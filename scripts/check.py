@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check.py [sfdir] [outdir]
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran.
+Compares each <outdir>/<name> parquet against the oracle SQL in
+<outdir>/oracle_sql.json executed by DuckDB over the same tables.
+Strict compare: columns sorted by name, rows sorted by all columns,
+values stringified exactly (decimals normalized).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+from decimal import Decimal
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+import datetime
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, float):
+        if np.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        return repr(float(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if v.hour == 0 and v.minute == 0 and v.second == 0 and v.microsecond == 0:
+            return str(v.date())
+        return str(v)
+    if pd.isna(v):
+        return "NULL"
+    return str(v)
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    s = df.map(norm_cell) if hasattr(df, "map") else df.applymap(norm_cell)
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    return s
+
+fails, passes, skipped = [], [], []
+names = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+for name in names:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    if name not in oracle:
+        skipped.append((name, len(spark_df)))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}"))
+        continue
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        fails.append((name, f"schema: spark={list(a.columns)} duck={list(b.columns)}"))
+        continue
+    if len(a) != len(b):
+        fails.append((name, f"rows: spark={len(a)} duck={len(b)}"))
+        continue
+    if not a.equals(b):
+        diff = (a != b)
+        idx = diff.any(axis=1)
+        bad = a[idx].head(3), b[idx].head(3)
+        fails.append((name, f"values differ on {int(idx.sum())} rows\nspark:\n{bad[0]}\nduck:\n{bad[1]}"))
+        continue
+    passes.append((name, len(a)))
+
+for n, r in passes:
+    print(f"PASS  {n}  ({r} rows)")
+for n, r in skipped:
+    print(f"SKIP  {n}  (no oracle, {r} rows)")
+for n, msg in fails:
+    print(f"FAIL  {n}: {msg}")
+print(f"\n{len(passes)} pass, {len(skipped)} rows-only, {len(fails)} fail")
+sys.exit(1 if fails else 0)

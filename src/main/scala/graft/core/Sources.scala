@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders (reference operator S1/S2).
+  *
+  * The reference pulls every input through `pd.read_sql` against Postgres
+  * (`kpi_receita_farmer_m_passado/extract.py:66`); this harness reads the
+  * driver-generated parquet star schema (/root/repo/TESTDATA.md).  Each
+  * loader is a plain lazy scan — predicate pushdown and column pruning reach
+  * the parquet reader through Catalyst, so callers simply `.filter`/`.select`
+  * and the scan narrows automatically (verified via `explain("formatted")`:
+  * `PushedFilters` / `ReadSchema`).
+  *
+  * A JDBC deployment would swap `parquet(...)` for
+  * `format("jdbc").option("dbtable", ...)` with no caller change.
+  */
+object Sources {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
