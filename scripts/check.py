@@ -31,16 +31,24 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 import datetime
 
 def norm_cell(v):
+    if v is None or v is pd.NaT:
+        return "NULL"
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, float):
         if np.isnan(v):
-            return "NaN"
+            return "NULL"  # duckdb fetchdf renders decimal NULL as NaN
         return repr(v)
     if isinstance(v, (np.floating,)):
         return repr(float(v))
-    if isinstance(v, (list, np.ndarray)):
+    if isinstance(v, np.ndarray):
+        if v.ndim == 0:
+            return norm_cell(v.item())
+        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, np.datetime64):
+        return norm_cell(pd.Timestamp(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         if v.hour == 0 and v.minute == 0 and v.second == 0 and v.microsecond == 0:
             return str(v.date())

@@ -20,15 +20,105 @@ object SparkEntry {
   private val cfg = RunConfig.default
 
   import graft.kpi._
+  import graft.ops.OperatorQueries
+
+  private val pastMonth = cfg.currentMonthStart.minusMonths(1)
 
   val registry: Seq[Q] = Seq(
+    // KPI pipeline analogs (reference P1-P6).
     Q("q_p1_receita_farmer",
       (s, d) => ReceitaFarmerPassado(s, d, cfg),
-      Some(ReceitaFarmerPassado.oracle(cfg))))
+      Some(ReceitaFarmerPassado.oracle(cfg))),
+    Q("q_p2_receita_presente",
+      (s, d) => ReceitaFarmerPresente(s, d, cfg),
+      Some(ReceitaFarmerPresente.oracle(cfg))),
+    Q("q_p3_receita_cliente",
+      (s, d) => ReceitaCliente(s, d, cfg),
+      Some(ReceitaCliente.oracle(cfg))),
+    Q("q_p4_receita_produto",
+      (s, d) => ReceitaProduto(s, d, cfg),
+      Some(ReceitaProduto.oracle(cfg))),
+    Q("q_p5_fechamento_passado",
+      (s, d) => Fechamento(s, d, pastMonth, isCurrent = false, cfg),
+      Some(Fechamento.oracle(pastMonth, isCurrent = false, cfg))),
+    Q("q_p6_fechamento_presente",
+      (s, d) => Fechamento(s, d, cfg.currentMonthStart, isCurrent = true, cfg),
+      Some(Fechamento.oracle(cfg.currentMonthStart, isCurrent = true, cfg))),
+    // Operator-unit queries (SURVEY.md §2 coverage).
+    Q("q_ops_scan_project",
+      (s, d) => OperatorQueries.scanProject(s, d),
+      Some(OperatorQueries.scanProjectOracle)),
+    Q("q_ops_filters",
+      (s, d) => OperatorQueries.filters(s, d, cfg),
+      Some(OperatorQueries.filtersOracle(cfg))),
+    Q("q_ops_anti_join",
+      (s, d) => OperatorQueries.antiJoin(s, d),
+      Some(OperatorQueries.antiJoinOracle)),
+    Q("q_ops_snapshot_dates",
+      (s, d) => OperatorQueries.snapshotDates(s, d),
+      Some(OperatorQueries.snapshotDatesOracle)),
+    Q("q_ops_month_spine",
+      (s, d) => OperatorQueries.monthSpine(s, d, cfg),
+      Some(OperatorQueries.monthSpineOracle(cfg))),
+    Q("q_ops_scalar_subquery",
+      (s, d) => OperatorQueries.scalarSubquery(s, d),
+      Some(OperatorQueries.scalarSubqueryOracle)),
+    Q("q_ops_periods",
+      (s, d) => OperatorQueries.periods(s, d),
+      Some(OperatorQueries.periodsOracle)),
+    Q("q_ops_responsibility_filter",
+      (s, d) => OperatorQueries.responsibilityFilter(s, d),
+      Some(OperatorQueries.responsibilityFilterOracle)),
+    Q("q_ops_responsibility_enrich",
+      (s, d) => OperatorQueries.responsibilityEnrich(s, d),
+      Some(OperatorQueries.responsibilityEnrichOracle)),
+    Q("q_ops_distinct_sort",
+      (s, d) => OperatorQueries.distinctSort(s, d),
+      Some(OperatorQueries.distinctSortOracle)),
+    Q("q_ops_casts",
+      (s, d) => OperatorQueries.casts(s, d),
+      Some(OperatorQueries.castsOracle)),
+    Q("q_ops_minmax_array",
+      (s, d) => OperatorQueries.minMaxArray(s, d, cfg),
+      Some(OperatorQueries.minMaxArrayOracle(cfg))),
+    // LLM-pipeline operators (dedup / similarity / text / multimodal).
+    Q("q_dedup_exact",
+      (s, d) => llm.Dedup.exact(s, d), Some(llm.Dedup.exactOracle)),
+    Q("q_dedup_normalized",
+      (s, d) => llm.Dedup.normalized(s, d), Some(llm.Dedup.normalizedOracle)),
+    Q("q_dedup_minhash_lsh",
+      (s, d) => llm.Dedup.minhashCandidates(s, d), None),
+    Q("q_dedup_simhash",
+      (s, d) => llm.Dedup.simhash(s, d), None),
+    Q("q_dedup_token_jaccard",
+      (s, d) => llm.Dedup.ngramJaccard(s, d),
+      Some(llm.Dedup.ngramJaccardOracle())),
+    Q("q_ann_brute_force",
+      (s, d) => llm.Similarity.bruteForceTopK(s, d), None),
+    Q("q_ann_lsh",
+      (s, d) => llm.Similarity.lshTopK(s, d), None),
+    Q("q_text_langid",
+      (s, d) => llm.TextAnalysis.langId(s, d), Some(llm.TextAnalysis.langIdOracle)),
+    Q("q_text_quality",
+      (s, d) => llm.TextAnalysis.quality(s, d), Some(llm.TextAnalysis.qualityOracle)),
+    Q("q_text_tokens",
+      (s, d) => llm.TextAnalysis.tokenCount(s, d),
+      Some(llm.TextAnalysis.tokenCountOracle)),
+    Q("q_text_fingerprint",
+      (s, d) => llm.TextAnalysis.fingerprint(s, d),
+      Some(llm.TextAnalysis.fingerprintOracle)),
+    Q("q_multimodal_metadata",
+      (s, d) => llm.Multimodal.metadata(s, d), Some(llm.Multimodal.metadataOracle)),
+    Q("q_multimodal_features",
+      (s, d) => llm.Multimodal.featureSummary(s, d), None),
+    Q("q_stream_daily_window",
+      (s, d) => streaming.EventsStream.dailyAgg(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.dailyAggOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    ReceitaFarmerPassado(spark, "/root/testdata/sf0.001", cfg)
+    Fechamento(spark, "/root/testdata/sf0.001", cfg.currentMonthStart,
+      isCurrent = true, cfg)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

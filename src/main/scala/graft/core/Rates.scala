@@ -31,10 +31,26 @@ object Rates {
     ("N", "F") -> "0.50",
     ("N", "O") -> "0.58")
 
-  /** Commission share of gross revenue in the detail pipeline analog
+  /** Commission share of gross revenue in the COE detail analog
     * (`kpi_receita_cliente/extract.py:205-210`). */
-  val CoePct = "5"
+  val CoeShare = "0.05"
 
   /** Structured-ops commission share. */
-  val OpPct = "4"
+  val OpShare = "0.04"
+
+  /** Hierarchy-tiered bonus rates (compensation table analog,
+    * `kpi_fechamento_m_presente/extract.py:190-216`). */
+  val JuniorRevenueBonus = "0.015"
+  val PlenoRevenueBonus = "0.025"
+  val JuniorCaptacaoBonus = "0.01"
+  val PlenoCaptacaoBonus = "0.02"
+  val JuniorChurnBonus = "0.005"
+  val PlenoChurnBonus = "0.0075"
+
+  /** Shared CASE fragment applying [[ComponentWeights]] to a lineitem row —
+    * the per-component rate weighting of
+    * `kpi_receita_farmer_m_presente/extract.py:64-89`. */
+  val WeightCase: String = "CASE " + ComponentWeights.map { case ((rf, ls), w) =>
+    s"WHEN l_returnflag = '$rf' AND l_linestatus = '$ls' THEN $w"
+  }.mkString(" ") + " ELSE 0 END"
 }

@@ -26,7 +26,14 @@ object Sources {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default; read nanos as long and convert to a microsecond
+    * timestamp (same truncation DuckDB applies, so oracles agree). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

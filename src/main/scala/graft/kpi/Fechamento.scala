@@ -1,0 +1,280 @@
+package graft.kpi
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Frag, Rates, RunConfig, Sources}
+import graft.ops.Goals
+
+/** P5 + P6 unified — the commission closing (the reference's "big query").
+  *
+  * Reference: `kpis/farmer/comissao/kpi_fechamento_m_presente/extract.py:22-312`,
+  * a single 250-line SQL statement: per-farmer weighted revenue aggregates
+  * (A4, extract.py:70-93), COE and structured-ops aggregates (A5/A6,
+  * extract.py:46-69), snapshot-day captação/churn sums via a correlated
+  * max-date scalar subquery (A7/J10, extract.py:106-131), responsibility
+  * period min/max + DATE[] array (A8/C15, extract.py:169-172), left-join
+  * assembly per farmer (J3, extract.py:102-104) including the
+  * compound-condition compensation join on employee AND month (J4,
+  * extract.py:254-256), and the goal/bonus CASE rulebook (C6/C8,
+  * extract.py:176-252).
+  *
+  * The reference duplicates this logic into a broken past-month copy
+  * (defect #1, `kpi_fechamento_m_passado/main.py:26-28` imports functions
+  * its modules don't define); here one month-parameterized implementation
+  * serves both: P6 = current month with a DATE[] period column
+  * (`db_schema_comissao.py:142-178`), P5 = any past month with scalar
+  * period start/end columns (`db_schema_comissao.py:50-87`).
+  *
+  * Scale notes: every CTE aggregates down to ≤ one row per farmer before
+  * any join, so the assembly is a chain of broadcast joins on a
+  * farmer-cardinality frame; the fact table is scanned once per component
+  * aggregate and never shuffled at detail grain.  The scalar max-date
+  * subquery is computed once and broadcast (never re-evaluated per row as
+  * the reference's correlated subquery is, 3× — extract.py:112-168).
+  */
+object Fechamento {
+
+  private val m = Frag.money("l_extendedprice")
+  private val w = Rates.WeightCase
+  private val tp = Frag.money("o_totalprice")
+
+  private val hierarchy =
+    "CASE WHEN n_nationkey % 2 = 0 THEN 'junior' ELSE 'pleno' END"
+
+  // Goal layer fragments, shared verbatim modulo the integer-div token.
+  private def goalCols(intDiv: String): Seq[(String, String)] = Seq(
+    "status_churn" -> Goals.status("churn_total", "meta_churn"),
+    "porcentagem_churn" -> Goals.pct("churn_total", "meta_churn", intDiv),
+    "bonus_churn" -> Goals.bonus("churn_total", "meta_churn", "receita_total",
+      "hierarchy_level", Rates.JuniorChurnBonus, Rates.PlenoChurnBonus),
+    "status_captacao" -> Goals.status("captacao_total", "meta_captacao"),
+    "porcentagem_captacao" -> Goals.pct("captacao_total", "meta_captacao", intDiv),
+    "bonus_captacao" -> Goals.bonus("captacao_total", "meta_captacao",
+      "receita_total", "hierarchy_level",
+      Rates.JuniorCaptacaoBonus, Rates.PlenoCaptacaoBonus),
+    "status_receita" -> Goals.status("receita_total", "meta_receita"),
+    "porcentagem_receita" -> Goals.pct("receita_total", "meta_receita", intDiv),
+    "bonus_receita" -> Goals.bonus("receita_total", "meta_receita",
+      "receita_total", "hierarchy_level",
+      Rates.JuniorRevenueBonus, Rates.PlenoRevenueBonus))
+
+  private val totalCols: Seq[(String, String)] = Seq(
+    "receita_total" -> Frag.asMoney(
+      "COALESCE(pos_receita, 0) + COALESCE(coe_receita, 0) + COALESCE(op_receita, 0)"),
+    "comissao_bruta_total" -> Frag.asMoney(
+      "COALESCE(pos_comissao, 0) + COALESCE(coe_comissao, 0) + COALESCE(op_comissao, 0)"),
+    "captacao_total" -> Frag.asMoney("COALESCE(captacao_raw, 0)"),
+    "churn_total" -> Frag.asMoney("COALESCE(churn_raw, 0)"))
+
+  /** @param month        closing month (first day)
+    * @param isCurrent    P6 semantics (DATE[] period column) vs P5 (scalars)
+    */
+  def apply(spark: SparkSession, dir: String, month: LocalDate,
+      isCurrent: Boolean, cfg: RunConfig = RunConfig.default): DataFrame = {
+    val monthCol = to_date(lit(month.toString))
+    val li = Sources.lineitem(spark, dir)
+      .filter(expr(Frag.mes("l_shipdate")) === monthCol)
+    val ord = Sources.orders(spark, dir)
+      .filter(expr(Frag.mes("o_orderdate")) === monthCol)
+    val custFarmer = Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("farmer_key"))
+    val orderFarmer = ord.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"), col("o_orderpriority"))
+      .join(broadcast(custFarmer), col("o_custkey") === col("c_custkey"))
+
+    // Fact lineitems of the month with their farmer (via the order's client).
+    val liFarmer = li.join(
+      Sources.orders(spark, dir).select("o_orderkey", "o_custkey"),
+      col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custFarmer), col("o_custkey") === col("c_custkey"))
+
+    val pos = liFarmer.groupBy(col("farmer_key").as("farmer_id"))
+      .agg(expr(Frag.sumMoney(m)).as("pos_receita"),
+        expr(Frag.sumMoney(s"$m * ($w)")).as("pos_comissao"))
+
+    val coe = orderFarmer.filter(col("o_orderstatus") === "F")
+      .groupBy(col("farmer_key").as("farmer_id"))
+      .agg(expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare}")).as("coe_receita"),
+        expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")).as("coe_comissao"))
+
+    val op = orderFarmer.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") =!= "P")
+      .groupBy(col("farmer_key").as("farmer_id"))
+      .agg(expr(Frag.sumMoney(s"$tp * ${Rates.OpShare}")).as("op_receita"),
+        expr(Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")).as("op_comissao"))
+
+    // J10 — the month's snapshot date, computed once and broadcast.
+    val ultima = li.agg(max(to_date(col("l_shipdate"))).as("data_positivador"))
+
+    val snapDay = liFarmer.join(broadcast(ultima),
+      to_date(col("l_shipdate")) === col("data_positivador"))
+    val capt = snapDay.groupBy(col("farmer_key").as("farmer_id"))
+      .agg(expr(Frag.sumMoney(s"$m * (1 - ${Frag.rate("l_discount")})")).as("captacao_raw"))
+    val churn = snapDay.groupBy(col("farmer_key").as("farmer_id"))
+      .agg(expr(Frag.sumMoney(
+        s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} ELSE 0 END"))
+        .as("churn_raw"))
+
+    // A8 — responsibility period bounds within the month.
+    val periods = orderFarmer.groupBy(col("farmer_key").as("farmer_id"))
+      .agg(min(to_date(col("o_orderdate"))).as("periodo_inicio"),
+        max(to_date(col("o_orderdate"))).as("periodo_fim_raw"))
+
+    // Compensation analog (J4 — compound join on farmer AND month).
+    val comp = Sources.supplier(spark, dir)
+      .groupBy(col("s_nationkey").cast("int").as("farmer_id"))
+      .agg(expr(Frag.asMoney(s"SUM(${Frag.money("s_acctbal")}) * 50")).as("meta_receita"),
+        expr(Frag.asMoney(s"SUM(${Frag.money("s_acctbal")}) * 2")).as("meta_captacao"),
+        expr(Frag.asMoney("COUNT(*) * 5")).as("meta_churn"))
+      .withColumn("target_date", monthCol)
+
+    val employees = Sources.nation(spark, dir).select(
+      col("n_nationkey").as("farmer_id"),
+      col("n_name").as("farmer_name"),
+      expr(hierarchy).as("hierarchy_level"))
+      .filter(col("hierarchy_level").isin("junior", "pleno")) // F4
+
+    val assembled = employees
+      .join(broadcast(pos), Seq("farmer_id"), "left") // J3 chain
+      .join(broadcast(coe), Seq("farmer_id"), "left")
+      .join(broadcast(op), Seq("farmer_id"), "left")
+      .join(broadcast(capt), Seq("farmer_id"), "left")
+      .join(broadcast(churn), Seq("farmer_id"), "left")
+      .join(broadcast(periods), Seq("farmer_id"), "left")
+      .join(broadcast(comp.withColumnRenamed("farmer_id", "comp_farmer_id")),
+        col("farmer_id") === col("comp_farmer_id") &&
+          col("target_date") === monthCol, "left") // J4 compound condition
+      .drop("comp_farmer_id", "target_date")
+      .crossJoin(broadcast(ultima))
+
+    val totals = totalCols.foldLeft(assembled) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+    val goals = goalCols(Goals.SparkDiv).foldLeft(totals) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+
+    val base = goals.select(
+      Seq(monthCol.as("mes"),
+        date_format(monthCol, "MM/yyyy").as("mes_formatado"),
+        col("farmer_id"), col("farmer_name"), col("hierarchy_level"),
+        col("data_positivador"),
+        col("churn_total"), col("meta_churn"), col("status_churn"),
+        col("porcentagem_churn"), col("bonus_churn"),
+        col("captacao_total"), col("meta_captacao"), col("status_captacao"),
+        col("porcentagem_captacao"), col("bonus_captacao"),
+        col("receita_total"), col("meta_receita"), col("status_receita"),
+        col("porcentagem_receita"), col("bonus_receita"),
+        col("comissao_bruta_total"),
+        expr(Frag.asMoney("bonus_churn + bonus_captacao + bonus_receita"))
+          .as("bonus_total"),
+        lit(isCurrent).as("is_current_month")) ++
+      (if (isCurrent)
+        Seq(array(col("periodo_inicio"),
+          coalesce(col("periodo_fim_raw"), cfg.runDateCol))
+          .as("periodo_responsabilidade")) // C15 DATE[] (P6 schema)
+      else
+        Seq(col("periodo_inicio").as("periodo_responsabilidade_inicio"),
+          coalesce(col("periodo_fim_raw"), cfg.runDateCol)
+            .as("periodo_responsabilidade_fim"))): _*) // P5 schema
+    base
+  }
+
+  def oracle(month: LocalDate, isCurrent: Boolean,
+      cfg: RunConfig = RunConfig.default): String = {
+    val mes = s"DATE '$month'"
+    val totals = totalCols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+    val goals = goalCols(Goals.DuckDiv).map { case (n, e) => s"$e AS $n" }
+      .mkString(",\n  ")
+    val periodCols =
+      if (isCurrent)
+        s"[periodo_inicio, COALESCE(periodo_fim_raw, DATE '${cfg.runDate}')] AS periodo_responsabilidade"
+      else
+        s"""periodo_inicio AS periodo_responsabilidade_inicio,
+           |  COALESCE(periodo_fim_raw, DATE '${cfg.runDate}') AS periodo_responsabilidade_fim""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l.*, CAST(c_nationkey AS INT) AS farmer_key
+       |  FROM lineitem l
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE ${Frag.mes("l_shipdate")} = $mes),
+       |ordf AS (
+       |  SELECT o.*, CAST(c_nationkey AS INT) AS farmer_key
+       |  FROM orders o JOIN customer ON o_custkey = c_custkey
+       |  WHERE ${Frag.mes("o_orderdate")} = $mes),
+       |pos AS (
+       |  SELECT farmer_key AS farmer_id, ${Frag.sumMoney(m)} AS pos_receita,
+       |         ${Frag.sumMoney(s"$m * ($w)")} AS pos_comissao
+       |  FROM li GROUP BY 1),
+       |coe AS (
+       |  SELECT farmer_key AS farmer_id,
+       |         ${Frag.sumMoney(s"$tp * ${Rates.CoeShare}")} AS coe_receita,
+       |         ${Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")} AS coe_comissao
+       |  FROM ordf WHERE o_orderstatus = 'F' GROUP BY 1),
+       |op AS (
+       |  SELECT farmer_key AS farmer_id,
+       |         ${Frag.sumMoney(s"$tp * ${Rates.OpShare}")} AS op_receita,
+       |         ${Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")} AS op_comissao
+       |  FROM ordf WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'
+       |  GROUP BY 1),
+       |ultima AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS data_positivador FROM li),
+       |snap_day AS (
+       |  SELECT li.* FROM li, ultima
+       |  WHERE CAST(l_shipdate AS DATE) = data_positivador),
+       |capt AS (
+       |  SELECT farmer_key AS farmer_id,
+       |         ${Frag.sumMoney(s"$m * (1 - ${Frag.rate("l_discount")})")} AS captacao_raw
+       |  FROM snap_day GROUP BY 1),
+       |churn AS (
+       |  SELECT farmer_key AS farmer_id,
+       |         ${Frag.sumMoney(s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} ELSE 0 END")} AS churn_raw
+       |  FROM snap_day GROUP BY 1),
+       |periods AS (
+       |  SELECT farmer_key AS farmer_id,
+       |         MIN(CAST(o_orderdate AS DATE)) AS periodo_inicio,
+       |         MAX(CAST(o_orderdate AS DATE)) AS periodo_fim_raw
+       |  FROM ordf GROUP BY 1),
+       |comp AS (
+       |  SELECT CAST(s_nationkey AS INT) AS farmer_id,
+       |         ${Frag.asMoney(s"SUM(${Frag.money("s_acctbal")}) * 50")} AS meta_receita,
+       |         ${Frag.asMoney(s"SUM(${Frag.money("s_acctbal")}) * 2")} AS meta_captacao,
+       |         ${Frag.asMoney("COUNT(*) * 5")} AS meta_churn,
+       |         $mes AS target_date
+       |  FROM supplier GROUP BY 1),
+       |employees AS (
+       |  SELECT n_nationkey AS farmer_id, n_name AS farmer_name,
+       |         $hierarchy AS hierarchy_level
+       |  FROM nation
+       |  WHERE ($hierarchy) IN ('junior', 'pleno')),
+       |assembled AS (
+       |  SELECT e.*, pos_receita, pos_comissao, coe_receita, coe_comissao,
+       |         op_receita, op_comissao, captacao_raw, churn_raw,
+       |         periodo_inicio, periodo_fim_raw,
+       |         meta_receita, meta_captacao, meta_churn, data_positivador
+       |  FROM employees e
+       |  LEFT JOIN pos USING (farmer_id)
+       |  LEFT JOIN coe USING (farmer_id)
+       |  LEFT JOIN op USING (farmer_id)
+       |  LEFT JOIN capt USING (farmer_id)
+       |  LEFT JOIN churn USING (farmer_id)
+       |  LEFT JOIN periods USING (farmer_id)
+       |  LEFT JOIN comp ON e.farmer_id = comp.farmer_id AND comp.target_date = $mes
+       |  CROSS JOIN ultima),
+       |totals AS (SELECT *, $totals FROM assembled)
+       |SELECT $mes AS mes, strftime($mes, '%m/%Y') AS mes_formatado,
+       |  farmer_id, farmer_name, hierarchy_level, data_positivador,
+       |  churn_total, meta_churn, status_churn, porcentagem_churn, bonus_churn,
+       |  captacao_total, meta_captacao, status_captacao, porcentagem_captacao,
+       |  bonus_captacao,
+       |  receita_total, meta_receita, status_receita, porcentagem_receita,
+       |  bonus_receita,
+       |  comissao_bruta_total,
+       |  ${Frag.asMoney("bonus_churn + bonus_captacao + bonus_receita")} AS bonus_total,
+       |  $isCurrent AS is_current_month,
+       |  $periodCols
+       |FROM (SELECT *, $goals FROM totals) g""".stripMargin
+  }
+}

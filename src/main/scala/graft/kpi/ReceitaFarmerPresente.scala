@@ -1,0 +1,116 @@
+package graft.kpi
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Frag, Rates, RunConfig, Sources}
+import graft.ops.Snapshot
+
+/** P2 — firm-level revenue, current month.
+  *
+  * Reference: `kpis/farmer/receita/kpi_receita_farmer_m_presente/extract.py:22-96`
+  * — current-month predicate (F3), last-snapshot-of-month selection (W1/J6
+  * via `ultima_data_mes` CTE, extract.py:30-35), firm-level weighted
+  * 6-component aggregation (A3, extract.py:64-89), COE revenue aggregate
+  * (A5, extract.py:37-49), structured-ops aggregate (A6, extract.py:50-62),
+  * assembled by left joins on the month (J2, extract.py:94-95).
+  *
+  * Testdata analog: the daily-snapshot table is lineitem (snapshot day = the
+  * month's max shipdate); component weights key off
+  * (l_returnflag, l_linestatus); COE = orders with status 'F' ("Liquidada"
+  * analog); structured ops = urgent orders not in status 'P' ("Cancelado"
+  * analog).
+  *
+  * Scale notes: each CTE is an independent aggregate whose shuffle carries
+  * one row per group (month) after map-side partial aggregation; the final
+  * J2 joins are single-row broadcasts.  Month-end selection uses
+  * groupBy+broadcast-join, not a window, so the fact table never shuffles
+  * (see [[graft.ops.Snapshot]]).
+  */
+object ReceitaFarmerPresente {
+
+  private val m = Frag.money("l_extendedprice")
+  private val w = Rates.WeightCase
+
+  def apply(spark: SparkSession, dir: String,
+      cfg: RunConfig = RunConfig.default): DataFrame = {
+    val li = Sources.lineitem(spark, dir)
+      .filter(expr(Frag.mes("l_shipdate")) === cfg.currentMonthCol) // F3
+    val snap = Snapshot.atMonthEnd(li, col("l_shipdate"))
+
+    val main = snap.groupBy(col("mes"))
+      .agg(
+        expr(Frag.sumMoney(m)).as("pos_receita"),
+        expr(Frag.sumMoney(s"$m * ($w)")).as("pos_comissao"))
+
+    val ord = Sources.orders(spark, dir)
+      .filter(expr(Frag.mes("o_orderdate")) === cfg.currentMonthCol)
+    val tp = Frag.money("o_totalprice")
+
+    val coe = ord.filter(col("o_orderstatus") === "F") // F4 'Liquidada' analog
+      .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
+      .agg(
+        expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare}")).as("coe_receita"),
+        expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")).as("coe_comissao"))
+
+    val op = ord.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") =!= "P") // F4 '!= Cancelado' analog
+      .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
+      .agg(
+        expr(Frag.sumMoney(s"$tp * ${Rates.OpShare}")).as("op_receita"),
+        expr(Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")).as("op_comissao"))
+
+    main
+      .join(broadcast(coe), Seq("mes"), "left") // J2
+      .join(broadcast(op), Seq("mes"), "left")
+      .select(
+        col("mes"),
+        date_format(col("mes"), "MM/yyyy").as("mes_formatado"),
+        expr(Frag.asMoney(
+          "pos_receita + COALESCE(coe_receita, 0) + COALESCE(op_receita, 0)"))
+          .as("receita_bruta"),
+        expr(Frag.asMoney(
+          "pos_comissao + COALESCE(coe_comissao, 0) + COALESCE(op_comissao, 0)"))
+          .as("comissao_bruta"),
+        expr(Frag.asMoney(
+          s"(pos_comissao + COALESCE(coe_comissao, 0) + COALESCE(op_comissao, 0)) * ${Rates.Net}"))
+          .as("comissao_liquida"),
+        lit("positivador").as("fonte"))
+  }
+
+  def oracle(cfg: RunConfig = RunConfig.default): String = {
+    val mes = s"DATE '${cfg.currentMonthStart}'"
+    s"""WITH snap AS (
+       |  SELECT l.* FROM lineitem l
+       |  JOIN (SELECT MAX(CAST(l_shipdate AS DATE)) AS ultima_data FROM lineitem
+       |        WHERE ${Frag.mes("l_shipdate")} = $mes) u
+       |    ON CAST(l.l_shipdate AS DATE) = u.ultima_data),
+       |main AS (
+       |  SELECT $mes AS mes, ${Frag.sumMoney(m)} AS pos_receita,
+       |         ${Frag.sumMoney(s"$m * ($w)")} AS pos_comissao
+       |  FROM snap),
+       |coe AS (
+       |  SELECT ${Frag.mes("o_orderdate")} AS mes,
+       |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.CoeShare}")} AS coe_receita,
+       |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.CoeShare} * ${Rates.Coe}")} AS coe_comissao
+       |  FROM orders
+       |  WHERE ${Frag.mes("o_orderdate")} = $mes AND o_orderstatus = 'F'
+       |  GROUP BY 1),
+       |op AS (
+       |  SELECT ${Frag.mes("o_orderdate")} AS mes,
+       |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.OpShare}")} AS op_receita,
+       |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.OpShare} * ${Rates.Coe}")} AS op_comissao
+       |  FROM orders
+       |  WHERE ${Frag.mes("o_orderdate")} = $mes
+       |    AND o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'
+       |  GROUP BY 1)
+       |SELECT main.mes, strftime(main.mes, '%m/%Y') AS mes_formatado,
+       |  ${Frag.asMoney("pos_receita + COALESCE(coe_receita, 0) + COALESCE(op_receita, 0)")} AS receita_bruta,
+       |  ${Frag.asMoney("pos_comissao + COALESCE(coe_comissao, 0) + COALESCE(op_comissao, 0)")} AS comissao_bruta,
+       |  ${Frag.asMoney(s"(pos_comissao + COALESCE(coe_comissao, 0) + COALESCE(op_comissao, 0)) * ${Rates.Net}")} AS comissao_liquida,
+       |  'positivador' AS fonte
+       |FROM main
+       |LEFT JOIN coe ON main.mes = coe.mes
+       |LEFT JOIN op ON main.mes = op.mes""".stripMargin
+  }
+}

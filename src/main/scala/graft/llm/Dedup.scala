@@ -1,0 +1,173 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** Deduplication operators for large-scale text corpora — beyond the
+  * reference's surface (it has none); designed per the LLM-training-pipeline
+  * requirements in the build brief.
+  *
+  * Scale design: every variant is bucketed — candidate pairs are only formed
+  * inside a bounded bucket (exact-hash group, LSH band bucket, or
+  * (lang, source) shard), never by an all-pairs cross join.  At 100 TB the
+  * shuffle volume is O(corpus) for signatures plus O(sum of bucket² sizes)
+  * for pairs, which the band/bucket width controls; an all-pairs design
+  * would be O(corpus²) and is never acceptable.
+  */
+object Dedup {
+
+  /** Exact dedup via hash groupBy on the full text (one shuffle of
+    * (hash, id) pairs; the text itself is aggregated map-side). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_chars")).as("n_chars"))
+      .select(col("keeper_doc_id"), col("n_copies"), col("n_chars"))
+
+  val exactOracle: String =
+    """SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
+      |  MAX(n_chars) AS n_chars
+      |FROM documents GROUP BY text""".stripMargin
+
+  /** Normalized exact dedup: case-fold + whitespace-collapse before
+    * grouping (catches trivially-reformatted copies). */
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_doc_id"), col("n_copies"))
+
+  val normalizedOracle: String =
+    """SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents) t
+      |GROUP BY norm""".stripMargin
+
+  /** Number of hash permutations in the MinHash signature. */
+  val NumHashes = 64
+
+  /** Band width for LSH bucketing: 16 bands of 4 rows each.  Two documents
+    * land in the same bucket when one band of their signatures agrees, i.e.
+    * with probability 1-(1-j^4)^16 for true Jaccard j — the standard S-curve
+    * centered near j ≈ 0.5. */
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Per-document MinHash signature over word 3-shingles.
+    * Deterministic: shingle base hash = xxhash64, permutations are affine
+    * (a_i * h + b_i) over the 31-bit Mersenne prime.  Pure Spark built-ins
+    * (codegen'd higher-order functions) — no UDF. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val prime = 2147483647L // 2^31 - 1: keeps a*h+b within 64 bits under ANSI mode
+    val shingles =
+      """array_distinct(transform(
+        |  sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin
+    // All 64 permutation-mins fold in one pass over the shingle array —
+    // codegen'd transform/array_min, no per-hash scan.
+    val minExprs = (0 until NumHashes).map { i =>
+      val a = 2L * i + 1
+      val b = 7L * i + 3
+      s"array_min(transform(shingle_hashes, h -> ($a * h + $b) % ${prime}L))"
+    }
+    docs
+      .withColumn("shingle_hashes",
+        expr(s"transform($shingles, s -> pmod(xxhash64(s), ${prime}L))"))
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id") +: col("lang") +:
+        minExprs.zipWithIndex.map { case (e, i) => expr(e).as(s"h$i") }: _*)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with the estimated Jaccard
+    * (fraction of agreeing signature positions).  Band → bucket → equi-join:
+    * the pair join key is (band_id, band_hash), so the shuffle is bounded by
+    * bucket sizes.  Rows-only correctness check (xxhash64 has no DuckDB
+    * equivalent). */
+  def minhashCandidates(spark: SparkSession, dir: String,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val sigs = minhashSignatures(Sources.documents(spark, dir))
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}),
+           |  b -> struct(b AS band_id,
+           |              xxhash64(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))) AS band_hash))""".stripMargin))
+        .as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_id"), col("band.band_hash"))
+    val a = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))
+                | / CAST($NumHashes AS DOUBLE)""".stripMargin).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens: sign of the
+    * per-bit weighted sum of token hashes.  Emitted with 4 16-bit band keys
+    * for hamming-bucketed candidate lookup.  Rows-only check. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSum = (bit: Int) =>
+      s"""aggregate(token_hashes, 0L,
+         |  (acc, h) -> acc + CASE WHEN (h >> $bit) % 2 != 0 THEN 1 ELSE -1 END)""".stripMargin
+    val simhashExpr = (0 until 64).map(b =>
+      s"CASE WHEN (${bitSum(b)}) > 0 THEN shiftleft(1L, $b) ELSE 0L END")
+      .mkString(" + ")
+    Sources.documents(spark, dir)
+      .withColumn("token_hashes",
+        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .withColumn("simhash", expr(simhashExpr))
+      .select(col("doc_id"), col("simhash"),
+        expr("shiftright(simhash, 48) & 65535").as("band0"),
+        expr("shiftright(simhash, 32) & 65535").as("band1"),
+        expr("shiftright(simhash, 16) & 65535").as("band2"),
+        expr("simhash & 65535").as("band3"))
+  }
+
+  /** Exact token-set Jaccard for candidate pairs bucketed by (lang, source)
+    * — bounded pair generation, DuckDB-checkable. */
+  def ngramJaccard(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.3): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) + size(toks_b)
+               |      - size(array_intersect(toks_a, toks_b)) AS DOUBLE)""".stripMargin)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  def ngramJaccardOracle(minJaccard: Double = 0.3): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, source,
+       |         list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents)
+       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) + len(b.toks)
+       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+       |FROM docs a JOIN docs b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) + len(b.toks)
+       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= $minJaccard""".stripMargin
+}

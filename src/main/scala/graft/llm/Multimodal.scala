@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Sources
+
+/** Multimodal-column plumbing: opaque binary payloads alongside relational
+  * dimensions, with typed metadata and a batched decode/feature-extract
+  * stage.
+  *
+  * The real decode (image/audio codecs) is STUBBED — those libraries are not
+  * in this container — behind [[FakeDecoder]], a deterministic stand-in.
+  * Everything Spark-side is real and tested: the schema (binary payload +
+  * metadata struct), the partition-preserving `mapPartitions` batch shape
+  * (the Scala analog of `mapInPandas` — one iterator per partition so a real
+  * decoder amortizes model/codec setup per batch, not per row), and the
+  * downstream feature schema.
+  *
+  * Scale notes: payloads never shuffle — metadata extraction and decoding
+  * are map-only; only the (small) extracted features flow into joins or
+  * aggregations.  For 100 TB of media, partition by source/date so decode
+  * failures re-run a partition, not the corpus.
+  */
+object Multimodal {
+
+  /** The corpus as a multimodal table: binary payload + typed metadata.
+    * (Text bytes stand in for image/audio payloads.) */
+  def payloadTable(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source"), col("lang"),
+        octet_length(col("text")).as("n_bytes"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  /** Metadata extraction query — checked against DuckDB (md5 of the same
+    * bytes, chunk count of the same payload). */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    payloadTable(spark, dir).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      ceil(col("meta.n_bytes") / lit(256.0)).cast("int").as("n_chunks"),
+      col("meta.mime").as("mime"))
+
+  val metadataOracle: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  CAST(CEIL(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks,
+      |  'text/plain' AS mime
+      |FROM documents""".stripMargin
+
+  /** Deterministic stand-in for a media decoder: "decodes" a payload into a
+    * fixed-dimension feature vector from its bytes.  A real deployment
+    * replaces ONLY this function (e.g. JNI image codec / ONNX encoder); the
+    * batch plumbing around it is unchanged. */
+  object FakeDecoder {
+    val FeatureDim = 8
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** Batched decode: one [[FakeDecoder]] "session" per partition, rows
+    * streamed through it — the mapInPandas batch shape in Scala. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    payloadTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // Per-partition setup happens HERE in a real decoder (codec init,
+        // model load); the iterator below is the per-batch hot path.
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val feats = FakeDecoder.decode(payload)
+          Row(r.getAs[Long]("doc_id"), payload.length, feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Feature summary registered as a rows-only query (mapPartitions output
+    * is not SQL-expressible): per-doc feature norm, deterministic. */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir).selectExpr(
+      "doc_id", "n_bytes",
+      "size(features) AS feature_dim",
+      """round(aggregate(features, 0D,
+        | (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 6) AS feature_sq_norm""".stripMargin)
+}

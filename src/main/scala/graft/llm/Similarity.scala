@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** Approximate-nearest-neighbor search over the embeddings table — beyond
+  * the reference's surface; built per the LLM-pipeline brief.
+  *
+  * The cosine kernel is pure codegen'd built-ins (`zip_with` dot product +
+  * `aggregate` fold) — no UDF, so whole-stage codegen spans the scoring
+  * stage.  Two variants:
+  *
+  *   - [[bruteForceTopK]]: exact baseline.  Scoring is a broadcast nested
+  *     loop of the (tiny) query set against all candidates — each candidate
+  *     partition streams once, O(|Q|·N) work but zero shuffle of the
+  *     candidate side; top-k is a per-query window.
+  *   - [[lshTopK]]: the 100 TB path.  Random-hyperplane signatures bucket
+  *     both sides; scoring only happens inside matching buckets, pruning the
+  *     candidate set by ~2^bits.  With an IVF-style layout (bucket =
+  *     partition key on disk) the scan itself prunes to matching partitions.
+  *
+  * Determinism: hyperplane weights derive from murmur3 `hash(plane, dim)` —
+  * no RNG state; ranking ties break on vec_id.
+  */
+object Similarity {
+
+  /** L2 norm + raw vector, precomputed once per side. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm",
+      expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+
+  private val dot =
+    "aggregate(zip_with(embedding, q_embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  /** Exact cosine top-k of every candidate for each query vector. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = withNorm(Sources.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("norm").as("q_norm"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(s"$dot / (norm * q_norm)"))
+    rankTopK(scored, k)
+  }
+
+  /** Number of random hyperplanes = signature bits. */
+  val LshBits = 8
+
+  /** Deterministic random-hyperplane bucket id for an embedding column. */
+  private def bucketExpr(embCol: String): String = {
+    // weight(p, i) = murmur3(p * 4099 + i) scaled to [-1, 1]
+    val bit = (p: Int) =>
+      s"""CASE WHEN aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
+         |  (x, i) -> CAST(x AS DOUBLE) * (CAST(hash($p * 4099 + i) AS DOUBLE) / 2147483647.0)),
+         |  0D, (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+    (0 until LshBits).map(bit).mkString(" + ")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are scored only when they
+    * share the query's hyperplane-sign bucket. */
+  def lshTopK(spark: SparkSession, dir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = withNorm(Sources.embeddings(spark, dir))
+      .withColumn("bucket", expr(bucketExpr("embedding")))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("embedding").as("q_embedding"), col("norm").as("q_norm"))
+    val scored = emb
+      .join(broadcast(queries), Seq("bucket")) // equi-join on bucket: pruned scoring
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(s"$dot / (norm * q_norm)"))
+    rankTopK(scored, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

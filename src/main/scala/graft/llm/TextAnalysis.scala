@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** Text-analysis operators over the documents table — language ID, quality
+  * scoring, token counting, fingerprinting.  All pure per-row expressions
+  * (codegen'd, no UDFs, no shuffle except a final exchange if the caller
+  * aggregates), so at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Marker tokens per language (derived from the synthetic corpus's
+    * per-language token distributions). */
+  val Markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "zh" -> "join", "es" -> "slow",
+    "de" -> "customer", "fr" -> "scan")
+
+  private def countTokSpark(t: String) =
+    s"size(filter(split(text, ' '), x -> x = '$t'))"
+  private def countTokDuck(t: String) =
+    s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
+
+  /** N-gram-heuristic language ID: argmax of marker-token counts with a
+    * fixed precedence for ties.  The CASE ladder is identical in both
+    * engines modulo the token-count spelling. */
+  private def langIdExprs(cnt: String => String): (Seq[String], String) = {
+    val cols = Markers.map { case (lang, tok) => s"${cnt(tok)} AS c_$lang" }
+    val all = Markers.map { case (lang, _) => s"c_$lang" }.mkString(", ")
+    val ladder = "CASE " + Markers.map { case (lang, _) =>
+      s"WHEN c_$lang >= GREATEST($all) THEN '$lang'"
+    }.mkString(" ") + " ELSE 'und' END"
+    (cols, ladder)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val (cols, ladder) = langIdExprs(countTokSpark)
+    Sources.documents(spark, dir)
+      .selectExpr(Seq("doc_id", "lang") ++ cols: _*)
+      .withColumn("predicted_lang", expr(ladder))
+      .withColumn("agrees", col("predicted_lang") === col("lang"))
+  }
+
+  val langIdOracle: String = {
+    val (cols, ladder) = langIdExprs(countTokDuck)
+    s"""SELECT doc_id, lang, ${Markers.map(m => s"c_${m._1}").mkString(", ")},
+       |  $ladder AS predicted_lang,
+       |  ($ladder) = lang AS agrees
+       |FROM (SELECT doc_id, lang, ${cols.mkString(", ")} FROM documents) t""".stripMargin
+  }
+
+  /** Quality scoring: length, token stats, stopword/punctuation ratios.
+    * Ratios are per-row IEEE double divisions — deterministic across
+    * engines. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir).selectExpr(
+      "doc_id",
+      "length(text) AS n_chars_actual",
+      "size(split(text, ' ')) AS n_tokens",
+      "size(array_distinct(split(text, ' '))) AS n_unique_tokens",
+      "length(text) / CAST(size(split(text, ' ')) AS DOUBLE) AS avg_token_span",
+      """size(filter(split(text, ' '),
+        | x -> x IN ('the', 'and', 'of', 'a', 'to'))) AS n_stopwords""".stripMargin,
+      "size(regexp_extract_all(text, '[.!?,;:]', 0)) AS n_punct",
+      """size(array_distinct(split(text, ' ')))
+        | / CAST(size(split(text, ' ')) AS DOUBLE) AS lexical_diversity""".stripMargin)
+
+  val qualityOracle: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_actual,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      |  length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_span,
+      |  len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'and', 'of', 'a', 'to'))) AS n_stopwords,
+      |  len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+      |  len(list_distinct(string_split(text, ' ')))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS lexical_diversity
+      |FROM documents""".stripMargin
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs, digit runs, single non-alphanumerics). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir).selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) AS ws_tokens",
+      """size(regexp_extract_all(lower(text),
+        | '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_ish_tokens""".stripMargin)
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+      |FROM documents""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over tokens, exact
+    * 64-bit integer math (identical fold in both engines). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir).selectExpr(
+      "doc_id",
+      """aggregate(
+        |  transform(split(text, ' '), t -> CAST(ascii(t) * length(t) AS BIGINT)),
+        |  CAST(0 AS BIGINT),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint""".stripMargin)
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        t -> CAST(ascii(t) * length(t) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+}

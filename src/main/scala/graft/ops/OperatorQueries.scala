@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Frag, RunConfig, Sources}
+
+/** Small targeted queries exercising each SURVEY.md §2 operator that is not
+  * already covered by a KPI pipeline, each with a DuckDB oracle.  These keep
+  * individual operators visible to the correctness gate even when the
+  * pipelines compose several of them.
+  */
+object OperatorQueries {
+
+  /** S1/F1 — scan + projection with computed expressions. */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Sources.region(spark, dir).select(
+      col("r_regionkey"), col("r_name"),
+      upper(col("r_name")).as("name_upper"),
+      (col("r_regionkey") * 10 + 1).as("calc"))
+
+  val scanProjectOracle: String =
+    """SELECT r_regionkey, r_name, UPPER(r_name) AS name_upper,
+      |  r_regionkey * 10 + 1 AS calc FROM region""".stripMargin
+
+  /** F4/F5 — status equality, IN-list, BETWEEN-date predicates. */
+  def filters(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame =
+    Sources.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderdate").between(cfg.windowStartCol, cfg.runDateCol))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), to_date(col("o_orderdate")).as("data"),
+        expr(Frag.money("o_totalprice")).as("valor"))
+
+  def filtersOracle(cfg: RunConfig): String =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       |  CAST(o_orderdate AS DATE) AS data,
+       |  ${Frag.money("o_totalprice")} AS valor
+       |FROM orders
+       |WHERE o_orderstatus = 'F'
+       |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  AND o_orderdate BETWEEN DATE '${cfg.windowStart}' AND DATE '${cfg.runDate}'""".stripMargin
+
+  /** J5 — anti-join: clients with no pending ('P') order
+    * (`NOT EXISTS` at `utils/client_responsibility.py:43-47`; the predicate
+    * keeps the result non-empty at every scale factor). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .join(Sources.orders(spark, dir)
+        .filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val antiJoinOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  /** W1/J6/U3 — distinct (month, last snapshot date) pairs. */
+  def snapshotDates(spark: SparkSession, dir: String): DataFrame =
+    Snapshot.lastDates(Sources.lineitem(spark, dir), col("l_shipdate")).distinct()
+
+  val snapshotDatesOracle: String = Snapshot.oracleLastDates("lineitem", "l_shipdate")
+
+  /** C4/J9/A9 — month spine left-joined to monthly order aggregates. */
+  def monthSpine(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame = {
+    val spine = MonthSpine(spark, cfg.windowStart, cfg.currentMonthStart)
+    val monthly = Sources.orders(spark, dir)
+      .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(to_date(col("o_orderdate"))).as("ultima_data"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"))
+    spine.join(monthly, Seq("mes"), "left")
+  }
+
+  def monthSpineOracle(cfg: RunConfig): String =
+    s"""WITH spine AS (${MonthSpine.oracleSpine(cfg.windowStart, cfg.currentMonthStart)}),
+       |monthly AS (
+       |  SELECT ${Frag.mes("o_orderdate")} AS mes, COUNT(*) AS n_orders,
+       |    MAX(CAST(o_orderdate AS DATE)) AS ultima_data,
+       |    ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
+       |  FROM orders GROUP BY 1)
+       |SELECT spine.mes, n_orders, ultima_data, receita
+       |FROM spine LEFT JOIN monthly ON spine.mes = monthly.mes""".stripMargin
+
+  /** J10/A10 — scalar subquery: lineitems on the global max ship date. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Sources.lineitem(spark, dir)
+    val maxDate = li.agg(max(to_date(col("l_shipdate"))).as("max_date"))
+    li.join(broadcast(maxDate), to_date(col("l_shipdate")) === col("max_date"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr(Frag.sumMoney(Frag.money("l_extendedprice"))).as("receita"),
+        max(col("max_date")).as("data"))
+  }
+
+  val scalarSubqueryOracle: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${Frag.sumMoney(Frag.money("l_extendedprice"))} AS receita,
+       |  MAX(CAST(l_shipdate AS DATE)) AS data
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) =
+       |  (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)
+       |GROUP BY 1""".stripMargin
+
+  /** W2/W3/U1/J5 — the responsibility period table itself. */
+  def periods(spark: SparkSession, dir: String): DataFrame =
+    Responsibility.periods(spark, dir)
+
+  val periodsOracle: String =
+    s"""WITH ${Responsibility.oraclePeriodsCte}
+       |SELECT client_id, farmer_id, start_date, end_date FROM periods""".stripMargin
+
+  private def factsDf(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .join(Sources.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("client_id"),
+        to_date(col("l_shipdate")).as("fact_date"),
+        expr(Frag.money("l_extendedprice")).as("receita"))
+
+  private val factsCte: String =
+    """facts AS (
+      |  SELECT o_custkey AS client_id, CAST(l_shipdate AS DATE) AS fact_date,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS receita
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
+  /** J7 — interval-membership semi join replacing the reference's O(N×M)
+    * pandas loop; aggregated per client to a stable summary. */
+  def responsibilityFilter(spark: SparkSession, dir: String): DataFrame =
+    Responsibility.filterByResponsibility(
+      factsDf(spark, dir), Responsibility.periods(spark, dir),
+      col("client_id"), col("fact_date"))
+      .groupBy(col("client_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(Frag.sumMoney("receita")).as("receita_total"))
+
+  val responsibilityFilterOracle: String =
+    s"""WITH ${Responsibility.oraclePeriodsCte},
+       |$factsCte
+       |SELECT client_id, COUNT(*) AS n_rows,
+       |  ${Frag.sumMoney("receita")} AS receita_total
+       |FROM facts
+       |WHERE EXISTS (
+       |  SELECT 1 FROM periods p
+       |  WHERE p.client_id = facts.client_id
+       |    AND p.start_date <= facts.fact_date
+       |    AND (p.end_date IS NULL OR facts.fact_date < p.end_date))
+       |GROUP BY 1""".stripMargin
+
+  /** J8 — enrichment variant: July-2001 fact rows with the responsible
+    * farmer attached. */
+  def responsibilityEnrich(spark: SparkSession, dir: String): DataFrame =
+    Responsibility.addResponsibleFarmer(
+      factsDf(spark, dir)
+        .filter(expr(Frag.mes("fact_date")) === to_date(lit("2001-07-01"))),
+      Responsibility.periods(spark, dir),
+      col("client_id"), col("fact_date"))
+      .select("client_id", "fact_date", "receita", "responsible_farmer_id")
+
+  val responsibilityEnrichOracle: String =
+    s"""WITH ${Responsibility.oraclePeriodsCte},
+       |$factsCte
+       |SELECT facts.client_id, fact_date, receita,
+       |  p.farmer_id AS responsible_farmer_id
+       |FROM facts
+       |LEFT JOIN periods p
+       |  ON p.client_id = facts.client_id
+       |  AND p.start_date <= facts.fact_date
+       |  AND (p.end_date IS NULL OR facts.fact_date < p.end_date)
+       |WHERE ${Frag.mes("fact_date")} = DATE '2001-07-01'""".stripMargin
+
+  /** U3/O1/O2 — distinct + multi-key mixed-direction sort. */
+  def distinctSort(spark: SparkSession, dir: String): DataFrame =
+    Sources.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment").asc, col("c_nationkey").desc)
+
+  val distinctSortOracle: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment ASC, c_nationkey DESC""".stripMargin
+
+  /** C7/C10/C11/C14 — lenient casts and date normalization over events. */
+  def casts(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir).select(
+      col("event_id"),
+      expr("TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT)").as("prop_k"),
+      expr("TRY_CAST(event_type AS DOUBLE)").as("bad_cast"),
+      to_date(col("ts")).as("event_date"),
+      expr(Frag.mes("ts")).as("mes"),
+      date_format(expr(Frag.mes("ts")), "MM/yyyy").as("mes_formatado"),
+      expr(Frag.money("value")).as("valor"))
+
+  val castsOracle: String =
+    s"""SELECT event_id,
+       |  TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS prop_k,
+       |  TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+       |  CAST(ts AS DATE) AS event_date,
+       |  ${Frag.mes("ts")} AS mes,
+       |  strftime(${Frag.mes("ts")}, '%m/%Y') AS mes_formatado,
+       |  ${Frag.money("value")} AS valor
+       |FROM events""".stripMargin
+
+  /** A8/C15 — per-client min/max dates + 2-element DATE array. */
+  def minMaxArray(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame =
+    Sources.orders(spark, dir)
+      .groupBy(col("o_custkey").as("client_id"))
+      .agg(min(to_date(col("o_orderdate"))).as("primeira"),
+        max(to_date(col("o_orderdate"))).as("ultima"))
+      .withColumn("periodo",
+        array(col("primeira"), coalesce(col("ultima"), cfg.runDateCol)))
+
+  def minMaxArrayOracle(cfg: RunConfig): String =
+    s"""SELECT o_custkey AS client_id,
+       |  MIN(CAST(o_orderdate AS DATE)) AS primeira,
+       |  MAX(CAST(o_orderdate AS DATE)) AS ultima,
+       |  [MIN(CAST(o_orderdate AS DATE)),
+       |   COALESCE(MAX(CAST(o_orderdate AS DATE)), DATE '${cfg.runDate}')] AS periodo
+       |FROM orders GROUP BY 1""".stripMargin
+}
