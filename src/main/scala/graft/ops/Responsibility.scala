@@ -53,11 +53,19 @@ object Responsibility {
   /** The period table: (client_id, farmer_id, start_date, end_date-or-NULL).
     * Periods partition each client's timeline from [[CreationDate]] onward.
     */
-  def periods(spark: SparkSession, dir: String): DataFrame = {
-    val base = Sources.customer(spark, dir).select(
-      col("c_custkey").as("client_id"),
-      col("c_nationkey").cast("int").as("base_farmer_id"))
-    val tr = transfers(spark, dir)
+  def periods(spark: SparkSession, dir: String): DataFrame =
+    periodsFrom(
+      Sources.customer(spark, dir).select(
+        col("c_custkey").as("client_id"),
+        col("c_nationkey").cast("int").as("base_farmer_id")),
+      transfers(spark, dir))
+
+  /** [[periods]] over explicit client/transfer frames (unit-testable core).
+    * @param base clients: (client_id, base_farmer_id)
+    * @param tr   transfer events: (client_id, transfer_date, transfer_id,
+    *             new_farmer_id)
+    */
+  def periodsFrom(base: DataFrame, tr: DataFrame): DataFrame = {
 
     // W2: close each transfer period at the next transfer.
     val w = Window.partitionBy("client_id").orderBy("transfer_date", "transfer_id")

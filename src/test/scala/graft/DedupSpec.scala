@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "en"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again", "en"), // near dup of 1
+    (4L, "completely different words about spark shuffles and partitions here", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  private lazy val sigs = Dedup.minhashSignatures(docs).cache()
+
+  test("identical texts get identical minhash signatures") {
+    val s = sigs.filter($"doc_id".isin(1L, 2L))
+      .drop("doc_id", "lang").collect().map(_.toSeq)
+    assert(s.length == 2 && s(0) == s(1))
+  }
+
+  test("near-duplicates share most signature positions, unrelated docs few") {
+    val bySig = sigs.drop("lang").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    def agree(a: Long, b: Long): Int =
+      bySig(a).zip(bySig(b)).count { case (x, y) => x == y }
+    assert(agree(1L, 3L) > Dedup.NumHashes / 2,
+      s"near-dups agree on ${agree(1L, 3L)}/${Dedup.NumHashes}")
+    assert(agree(1L, 4L) < Dedup.NumHashes / 4,
+      s"unrelated agree on ${agree(1L, 4L)}/${Dedup.NumHashes}")
+  }
+
+  test("signatures are deterministic across evaluations") {
+    val a = Dedup.minhashSignatures(docs).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = Dedup.minhashSignatures(docs).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("minhash-LSH candidates on testdata are symmetric-free ordered pairs") {
+    val pairs = Dedup.minhashCandidates(spark, Sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k returns k ranked neighbors per query with valid cosines") {
+    val out = Similarity.bruteForceTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      // ranks ordered by descending cosine
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+      rows.foreach { case (_, _, n, c) =>
+        assert(c >= -1.0001 && c <= 1.0001)
+        assert(!rows.map(_._1).contains(n) || n != rows.head._1) // no self-match
+      }
+    }
+  }
+
+  test("LSH top-k neighbors are a subset of candidates sharing the query bucket, ranked consistently") {
+    val out = Similarity.lshTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // Determinism: a second run yields the identical result set.
+    val again = Similarity.lshTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+}
