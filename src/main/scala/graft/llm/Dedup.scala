@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Sources
+import graft.functions.MinHashSignature
 
 /** Deduplication operators for large-scale text corpora — beyond the
   * reference's surface (it has none); designed per the LLM-training-pipeline
@@ -49,7 +50,7 @@ object Dedup {
       |GROUP BY norm""".stripMargin
 
   /** Number of hash permutations in the MinHash signature. */
-  val NumHashes = 64
+  val NumHashes: Int = MinHashSignature.NumHashes
 
   /** Band width for LSH bucketing: 16 bands of 4 rows each.  Two documents
     * land in the same bucket when one band of their signatures agrees, i.e.
@@ -58,29 +59,17 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
 
-  /** Per-document MinHash signature over word 3-shingles.
-    * Deterministic: shingle base hash = xxhash64, permutations are affine
-    * (a_i * h + b_i) over the 31-bit Mersenne prime.  Pure Spark built-ins
-    * (codegen'd higher-order functions) — no UDF. */
+  /** Per-document MinHash signature over word 3-shingles, as a single
+    * `sig: array<bigint>` column.  Shingling, hashing, and the permutation
+    * minima all run inside the custom codegen'd
+    * [[graft.functions.MinHashSignature]] expression — the built-in
+    * higher-order-function formulation re-evaluated `split` per shingle
+    * index inside an interpreted lambda (O(tokens²) string work per doc)
+    * and was the dedup benchmark's bottleneck. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val prime = 2147483647L // 2^31 - 1: keeps a*h+b within 64 bits under ANSI mode
-    val shingles =
-      """array_distinct(transform(
-        |  sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
-        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin
-    // All 64 permutation-mins fold in one pass over the shingle array —
-    // codegen'd transform/array_min, no per-hash scan.
-    val minExprs = (0 until NumHashes).map { i =>
-      val a = 2L * i + 1
-      val b = 7L * i + 3
-      s"array_min(transform(shingle_hashes, h -> ($a * h + $b) % ${prime}L))"
-    }
-    docs
-      .withColumn("shingle_hashes",
-        expr(s"transform($shingles, s -> pmod(xxhash64(s), ${prime}L))"))
-      .filter(size(col("shingle_hashes")) > 0)
-      .select(col("doc_id") +: col("lang") +:
-        minExprs.zipWithIndex.map { case (e, i) => expr(e).as(s"h$i") }: _*)
+    MinHashSignature.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("lang"),
+      expr("minhash_signature(split(text, ' '))").as("sig"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs with the estimated Jaccard
@@ -90,27 +79,41 @@ object Dedup {
     * equivalent). */
   def minhashCandidates(spark: SparkSession, dir: String,
       minEstJaccard: Double = 0.2): DataFrame = {
-    val sigs = minhashSignatures(Sources.documents(spark, dir))
-      .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+    // The signature pipeline is consumed three times (band generation plus
+    // both sides of the pair join); higher-order-function evaluation is the
+    // dominant cost, so spread it across cores (a small parquet file arrives
+    // as ONE partition) and materialize it once.  At 100 TB the signatures
+    // would be a persisted intermediate table instead.
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val sigs = minhashSignatures(docs)
       .select("doc_id", "sig")
-    val bands = sigs.select(col("doc_id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bands carry only (band key, doc_id): the candidate-pair shuffle moves
+    // ids, never the 64-long signature arrays.
+    val bands = sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${NumBands - 1}),
            |  b -> struct(b AS band_id,
            |              xxhash64(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))) AS band_hash))""".stripMargin))
         .as("band"))
-      .select(col("doc_id"), col("sig"),
-        col("band.band_id"), col("band.band_hash"))
-    val a = bands.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = bands.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    // Distinct id pairs FIRST (a pair colliding in k bands would otherwise
+    // be scored k times), then the signatures join back exactly once per
+    // surviving pair.
+    val pairs = bands.select(col("band_id"), col("band_hash"),
+        col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_id"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))
                 | / CAST($NumHashes AS DOUBLE)""".stripMargin).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 

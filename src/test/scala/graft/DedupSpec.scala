@@ -16,17 +16,19 @@ class DedupSpec extends SparkSpec {
 
   private lazy val sigs = Dedup.minhashSignatures(docs).cache()
 
+  private def sigMap = sigs.select("doc_id", "sig").collect()
+    .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
   test("identical texts get identical minhash signatures") {
-    val s = sigs.filter($"doc_id".isin(1L, 2L))
-      .drop("doc_id", "lang").collect().map(_.toSeq)
-    assert(s.length == 2 && s(0) == s(1))
+    val m = sigMap
+    assert(m(1L) == m(2L))
+    assert(m(1L).length == Dedup.NumHashes)
   }
 
   test("near-duplicates share most signature positions, unrelated docs few") {
-    val bySig = sigs.drop("lang").collect()
-      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val m = sigMap
     def agree(a: Long, b: Long): Int =
-      bySig(a).zip(bySig(b)).count { case (x, y) => x == y }
+      m(a).zip(m(b)).count { case (x, y) => x == y }
     assert(agree(1L, 3L) > Dedup.NumHashes / 2,
       s"near-dups agree on ${agree(1L, 3L)}/${Dedup.NumHashes}")
     assert(agree(1L, 4L) < Dedup.NumHashes / 4,
