@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session/codegen/parquet-footer startup costs would
+    // otherwise land entirely on whichever query happens to run first.
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every column of every row (a bare count()

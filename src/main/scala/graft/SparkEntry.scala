@@ -45,6 +45,12 @@ object SparkEntry {
       (s, d) => Fechamento(s, d, cfg.currentMonthStart, isCurrent = true, cfg),
       Some(Fechamento.oracle(cfg.currentMonthStart, isCurrent = true, cfg))),
     // Operator-unit queries (SURVEY.md §2 coverage).
+    Q("q_p1_scoped_farmer", // F8 param-driven predicate
+      (s, d) => ReceitaFarmerPassado(s, d, cfg.copy(farmerId = Some(7))),
+      Some(ReceitaFarmerPassado.oracle(cfg.copy(farmerId = Some(7))))),
+    Q("q_ops_scope_filter", // F9 3-way OR gating
+      (s, d) => OperatorQueries.scopeFilter(s, d),
+      Some(OperatorQueries.scopeFilterOracle())),
     Q("q_ops_scan_project",
       (s, d) => OperatorQueries.scanProject(s, d),
       Some(OperatorQueries.scanProjectOracle)),

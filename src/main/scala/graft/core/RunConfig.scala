@@ -48,6 +48,13 @@ final case class RunConfig(
 
   /** Column literal for [[runDate]]. */
   def runDateCol: Column = to_date(lit(runDate.toString))
+
+  /** Exclusive upper bound of the current month — used to express
+    * "current month" as a range predicate the parquet scan can push down
+    * (`date_trunc('month', d) = m` is not pushable; `m <= d < m+1` is). */
+  def nextMonthStart: LocalDate = currentMonthStart.plusMonths(1)
+
+  def nextMonthCol: Column = to_date(lit(nextMonthStart.toString))
 }
 
 object RunConfig {

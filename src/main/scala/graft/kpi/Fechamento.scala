@@ -75,10 +75,13 @@ object Fechamento {
   def apply(spark: SparkSession, dir: String, month: LocalDate,
       isCurrent: Boolean, cfg: RunConfig = RunConfig.default): DataFrame = {
     val monthCol = to_date(lit(month.toString))
+    val nextMonthCol = to_date(lit(month.plusMonths(1).toString))
+    // Month membership as range predicates so they push to the parquet scan
+    // (date_trunc-equality is not pushable).
     val li = Sources.lineitem(spark, dir)
-      .filter(expr(Frag.mes("l_shipdate")) === monthCol)
+      .filter(col("l_shipdate") >= monthCol && col("l_shipdate") < nextMonthCol)
     val ord = Sources.orders(spark, dir)
-      .filter(expr(Frag.mes("o_orderdate")) === monthCol)
+      .filter(col("o_orderdate") >= monthCol && col("o_orderdate") < nextMonthCol)
     val custFarmer = Sources.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey").cast("int").as("farmer_key"))
     val orderFarmer = ord.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
@@ -186,6 +189,7 @@ object Fechamento {
   def oracle(month: LocalDate, isCurrent: Boolean,
       cfg: RunConfig = RunConfig.default): String = {
     val mes = s"DATE '$month'"
+    val nextMes = s"DATE '${month.plusMonths(1)}'"
     val totals = totalCols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
     val goals = goalCols(Goals.DuckDiv).map { case (n, e) => s"$e AS $n" }
       .mkString(",\n  ")
@@ -200,11 +204,11 @@ object Fechamento {
        |  FROM lineitem l
        |  JOIN orders ON l_orderkey = o_orderkey
        |  JOIN customer ON o_custkey = c_custkey
-       |  WHERE ${Frag.mes("l_shipdate")} = $mes),
+       |  WHERE l_shipdate >= $mes AND l_shipdate < $nextMes),
        |ordf AS (
        |  SELECT o.*, CAST(c_nationkey AS INT) AS farmer_key
        |  FROM orders o JOIN customer ON o_custkey = c_custkey
-       |  WHERE ${Frag.mes("o_orderdate")} = $mes),
+       |  WHERE o_orderdate >= $mes AND o_orderdate < $nextMes),
        |pos AS (
        |  SELECT farmer_key AS farmer_id, ${Frag.sumMoney(m)} AS pos_receita,
        |         ${Frag.sumMoney(s"$m * ($w)")} AS pos_comissao

@@ -65,6 +65,8 @@ object ReceitaFarmerPassado {
 
   def oracle(cfg: RunConfig = RunConfig.default): String = {
     val aggs = measures.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val scope = cfg.farmerId // F8 mirror
+      .map(id => s"\n  AND n_nationkey = $id").getOrElse("")
     s"""SELECT ${Frag.mes("l_shipdate")} AS mes,
        |  n_nationkey AS farmer_id, n_name AS employee_name, $aggs,
        |  strftime(${Frag.mes("l_shipdate")}, '%m/%Y') AS mes_formatado,
@@ -74,7 +76,7 @@ object ReceitaFarmerPassado {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON CAST(c_nationkey AS INT) = n_nationkey
        |WHERE l_shipdate >= DATE '${cfg.windowStart}'
-       |  AND l_shipdate < DATE '${cfg.currentMonthStart}'
+       |  AND l_shipdate < DATE '${cfg.currentMonthStart}'$scope
        |GROUP BY 1, 2, 3""".stripMargin
   }
 }

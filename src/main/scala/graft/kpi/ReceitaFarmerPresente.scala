@@ -34,8 +34,11 @@ object ReceitaFarmerPresente {
 
   def apply(spark: SparkSession, dir: String,
       cfg: RunConfig = RunConfig.default): DataFrame = {
+    // F3 as a pushable range: date_trunc-equality would block parquet
+    // predicate pushdown (verified via explain("formatted")).
     val li = Sources.lineitem(spark, dir)
-      .filter(expr(Frag.mes("l_shipdate")) === cfg.currentMonthCol) // F3
+      .filter(col("l_shipdate") >= cfg.currentMonthCol &&
+        col("l_shipdate") < cfg.nextMonthCol)
     val snap = Snapshot.atMonthEnd(li, col("l_shipdate"))
 
     val main = snap.groupBy(col("mes"))
@@ -44,7 +47,8 @@ object ReceitaFarmerPresente {
         expr(Frag.sumMoney(s"$m * ($w)")).as("pos_comissao"))
 
     val ord = Sources.orders(spark, dir)
-      .filter(expr(Frag.mes("o_orderdate")) === cfg.currentMonthCol)
+      .filter(col("o_orderdate") >= cfg.currentMonthCol &&
+        col("o_orderdate") < cfg.nextMonthCol)
     val tp = Frag.money("o_totalprice")
 
     val coe = ord.filter(col("o_orderstatus") === "F") // F4 'Liquidada' analog
@@ -80,10 +84,11 @@ object ReceitaFarmerPresente {
 
   def oracle(cfg: RunConfig = RunConfig.default): String = {
     val mes = s"DATE '${cfg.currentMonthStart}'"
+    val nextMes = s"DATE '${cfg.nextMonthStart}'"
     s"""WITH snap AS (
        |  SELECT l.* FROM lineitem l
        |  JOIN (SELECT MAX(CAST(l_shipdate AS DATE)) AS ultima_data FROM lineitem
-       |        WHERE ${Frag.mes("l_shipdate")} = $mes) u
+       |        WHERE l_shipdate >= $mes AND l_shipdate < $nextMes) u
        |    ON CAST(l.l_shipdate AS DATE) = u.ultima_data),
        |main AS (
        |  SELECT $mes AS mes, ${Frag.sumMoney(m)} AS pos_receita,
@@ -94,14 +99,15 @@ object ReceitaFarmerPresente {
        |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.CoeShare}")} AS coe_receita,
        |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.CoeShare} * ${Rates.Coe}")} AS coe_comissao
        |  FROM orders
-       |  WHERE ${Frag.mes("o_orderdate")} = $mes AND o_orderstatus = 'F'
+       |  WHERE o_orderdate >= $mes AND o_orderdate < $nextMes
+       |    AND o_orderstatus = 'F'
        |  GROUP BY 1),
        |op AS (
        |  SELECT ${Frag.mes("o_orderdate")} AS mes,
        |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.OpShare}")} AS op_receita,
        |         ${Frag.sumMoney(s"${Frag.money("o_totalprice")} * ${Rates.OpShare} * ${Rates.Coe}")} AS op_comissao
        |  FROM orders
-       |  WHERE ${Frag.mes("o_orderdate")} = $mes
+       |  WHERE o_orderdate >= $mes AND o_orderdate < $nextMes
        |    AND o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'
        |  GROUP BY 1)
        |SELECT main.mes, strftime(main.mes, '%m/%Y') AS mes_formatado,

@@ -28,9 +28,12 @@ object ReceitaProduto {
 
   def apply(spark: SparkSession, dir: String,
       cfg: RunConfig = RunConfig.default): DataFrame = {
+    // F2 + F7: strictly-past-month as a plain date bound — for a month
+    // start m, date_trunc('month', d) < m  ⟺  d < m, and the latter pushes
+    // to the parquet scan.
     val li = Sources.lineitem(spark, dir)
       .filter(col("l_shipdate") >= cfg.windowStartCol &&
-        expr(Frag.mes("l_shipdate")) < cfg.currentMonthCol) // F2 + F7
+        col("l_shipdate") < cfg.currentMonthCol)
     val prt = Sources.part(spark, dir).select("p_partkey", "p_type", "p_brand", "p_size")
     val ord = Sources.orders(spark, dir).select("o_orderkey", "o_custkey")
     val cust = Sources.customer(spark, dir).select("c_custkey", "c_nationkey")
@@ -65,7 +68,7 @@ object ReceitaProduto {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON CAST(c_nationkey AS INT) = n_nationkey
        |WHERE l_shipdate >= DATE '${cfg.windowStart}'
-       |  AND ${Frag.mes("l_shipdate")} < DATE '${cfg.currentMonthStart}'
+       |  AND l_shipdate < DATE '${cfg.currentMonthStart}'
        |GROUP BY 1, 2, 3, 4, 5
        |HAVING ${Frag.sumMoney(m)} > 0""".stripMargin
 }

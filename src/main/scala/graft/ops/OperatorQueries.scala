@@ -204,6 +204,27 @@ object OperatorQueries {
        |  ${Frag.money("value")} AS valor
        |FROM events""".stripMargin
 
+  /** F9 — the reference's 3-way OR gating predicate over employee scope
+    * (`kpi_fechamento_m_presente/extract.py:264-268`: the same scope
+    * parameter appears three times — group gate, firm-wide gate, or an
+    * exact-name match).  Analog: scope '2. Farmers' limits to the "farmers
+    * group" (region 1) unless the firm-wide scope or a name match applies. */
+  private def scopePredicate(scope: String, name: String): String =
+    s"""('$scope' = '2. Farmers' AND n_regionkey = 1)
+       | OR ('$scope' = '1. Gamma Capital')
+       | OR (n_name = '$name')""".stripMargin
+
+  def scopeFilter(spark: SparkSession, dir: String,
+      scope: String = "2. Farmers", name: String = "NATION_3"): DataFrame =
+    Sources.nation(spark, dir)
+      .filter(expr(scopePredicate(scope, name)))
+      .select(col("n_nationkey").as("farmer_id"), col("n_name"), col("n_regionkey"))
+
+  def scopeFilterOracle(scope: String = "2. Farmers",
+      name: String = "NATION_3"): String =
+    s"""SELECT n_nationkey AS farmer_id, n_name, n_regionkey FROM nation
+       |WHERE ${scopePredicate(scope, name)}""".stripMargin
+
   /** A8/C15 — per-client min/max dates + 2-element DATE array. */
   def minMaxArray(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame =
     Sources.orders(spark, dir)

@@ -69,6 +69,24 @@ object Probe {
               sum(expr("count * (count - 1) / 2")).as("raw_pairs"))
             .show(false)
         }
+      case "plans" =>
+        val cfg = graft.core.RunConfig.default
+        Seq(
+          "q_p1_receita_farmer" ->
+            graft.kpi.ReceitaFarmerPassado(spark, dir, cfg),
+          "q_ops_responsibility_filter" ->
+            graft.ops.OperatorQueries.responsibilityFilter(spark, dir),
+          "q_p6_fechamento" ->
+            graft.kpi.Fechamento(spark, dir, cfg.currentMonthStart,
+              isCurrent = true, cfg),
+          "q_dedup_minhash" ->
+            graft.llm.Dedup.minhashCandidates(spark, dir),
+          "q_ann_lsh" ->
+            graft.llm.Similarity.lshTopK(spark, dir)
+        ).foreach { case (n, df) =>
+          println(s"\n========== $n ==========")
+          df.explain("formatted")
+        }
       case "enrich" =>
         time("responsibility enrich run1") {
           graft.ops.OperatorQueries.responsibilityEnrich(spark, dir)
