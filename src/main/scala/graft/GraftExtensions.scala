@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.MinHashSignature
+
+/** SparkSessionExtensions entry point: makes the engine's custom Catalyst
+  * functions available to ANY session (including plain `spark-sql` /
+  * thrift users) via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Library call sites don't depend on this — they register on their own
+  * session ([[MinHashSignature.register]]) — but a cluster deployment
+  * injects once here instead of per-job.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(MinHashSignature.description)
+}

@@ -119,7 +119,18 @@ object SparkEntry {
       (s, d) => llm.Multimodal.featureSummary(s, d), None),
     Q("q_stream_daily_window",
       (s, d) => streaming.EventsStream.dailyAgg(graft.core.Sources.events(s, d)),
-      Some(streaming.EventsStream.dailyAggOracle)))
+      Some(streaming.EventsStream.dailyAggOracle)),
+    Q("q_p5_fechamento_range", // the reference's P5 month loop, as one plan
+      (s, d) => Fechamento.range(s, d,
+        (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg),
+      Some(Fechamento.rangeOracle(
+        (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg))),
+    Q("q_dedup_embedding_cosine",
+      (s, d) => llm.Dedup.embeddingCosine(s, d), None),
+    Q("q_stream_sessionize", // flatMapGroupsWithState demo, batch-evaluated
+      (s, d) => streaming.EventsStream
+        .sessionize(graft.core.Sources.events(s, d)).toDF(),
+      None))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -103,11 +103,16 @@ object MinHashSignature {
     mins
   }
 
+  /** Function description shared by per-session registration and the
+    * [[graft.GraftExtensions]] injection path. */
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => MinHashSignature(children.head))
+
   /** Register `minhash_signature(array<string>)` on the session so plans can
     * reference it via `expr(...)` / SQL. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_signature"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (children: Seq[Expression]) => MinHashSignature(children.head))
+      description._1, description._2, description._3)
 }

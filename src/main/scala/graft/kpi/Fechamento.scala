@@ -186,6 +186,20 @@ object Fechamento {
     base
   }
 
+  /** P5's month loop (`kpi_fechamento_m_passado/main.py:157-181` iterates
+    * `mes_referencia`) as one unioned plan — each month is an independent
+    * subtree, so Spark runs them as one job instead of N sequential
+    * processes. */
+  def range(spark: SparkSession, dir: String, months: Seq[LocalDate],
+      cfg: RunConfig = RunConfig.default): DataFrame =
+    months.map(m => apply(spark, dir, m, isCurrent = false, cfg))
+      .reduce(_ unionByName _)
+
+  def rangeOracle(months: Seq[LocalDate],
+      cfg: RunConfig = RunConfig.default): String =
+    months.map(m => s"SELECT * FROM (\n${oracle(m, isCurrent = false, cfg)}\n)")
+      .mkString("\nUNION ALL\n")
+
   def oracle(month: LocalDate, isCurrent: Boolean,
       cfg: RunConfig = RunConfig.default): String = {
     val mes = s"DATE '$month'"

@@ -159,6 +159,40 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors colliding in ANY of
+    * several random-hyperplane LSH tables whose exact cosine clears the
+    * threshold.  Multi-table bucketing (4 tables × 6 bits) trades a
+    * constant factor of compute for recall on moderate-similarity pairs;
+    * pair generation stays bounded by bucket sizes — no all-pairs scoring.
+    * The default threshold suits the synthetic corpus, whose most similar
+    * pairs sit near cosine 0.4-0.5.  Rows-only check (float fold order has
+    * no cross-engine oracle). */
+  def embeddingCosine(spark: SparkSession, dir: String,
+      minCosine: Double = 0.35, tables: Int = 4, bits: Int = 6): DataFrame = {
+    val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
+    val bucketed = emb.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          expr(Similarity.bucketExpr("embedding", t * bits, bits)).as("bkt"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("b.tbl"), col("b.bkt"))
+    val pairs = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
+      .join(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("q_embedding"), col("norm").as("q_norm")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding"), col("norm")), "vec_b")
+      .withColumn("cosine", expr(s"${Similarity.dot} / (norm * q_norm)"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def ngramJaccardOracle(minJaccard: Double = 0.3): String =
     s"""WITH docs AS (
        |  SELECT doc_id, lang, source,

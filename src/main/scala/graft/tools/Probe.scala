@@ -87,6 +87,11 @@ object Probe {
           println(s"\n========== $n ==========")
           df.explain("formatted")
         }
+      case "embcos" =>
+        val n = time("embedding cosine pairs") {
+          graft.llm.Dedup.embeddingCosine(spark, dir).count()
+        }
+        println(s"[probe] embedding-cosine pairs: $n")
       case "enrich" =>
         time("responsibility enrich run1") {
           graft.ops.OperatorQueries.responsibilityEnrich(spark, dir)

@@ -24,6 +24,25 @@ class StreamingSpec extends SparkSpec {
   private def toDf(s: Seq[(Long, Timestamp, String, Double)]) =
     s.toDF("event_id", "ts", "event_type", "value")
 
+  test("sessionization closes a session when the gap exceeds the threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:10:00"), "click", 2.0), // same session
+      (1L, ts("2024-01-01 12:00:00"), "click", 3.0), // new session (gap > 30m)
+      (1L, ts("2024-01-01 12:05:00"), "click", 4.0),
+      (1L, ts("2024-01-01 15:00:00"), "click", 5.0), // third (stays open)
+      (2L, ts("2024-01-01 10:00:00"), "view", 9.0)   // single, stays open
+    ).toDF("user_id", "ts", "event_type", "value")
+    val sessions = EventsStream.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(_.session_start.getTime)
+    // Batch evaluation emits gap-closed sessions; each user's trailing
+    // session remains open state.
+    assert(sessions.length == 2)
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    assert(sessions(1).n_events == 2 && sessions(1).total_value == 7.0)
+    assert(sessions.forall(_.user_id == 1L))
+  }
+
   test("streaming daily aggregate matches the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
