@@ -87,6 +87,9 @@ object SparkEntry {
     Q("q_ops_minmax_array",
       (s, d) => OperatorQueries.minMaxArray(s, d, cfg),
       Some(OperatorQueries.minMaxArrayOracle(cfg))),
+    Q("q_ops_salted_agg", // skew-safe two-stage aggregation
+      (s, d) => OperatorQueries.saltedAgg(s, d),
+      Some(OperatorQueries.saltedAggOracle)),
     // LLM-pipeline operators (dedup / similarity / text / multimodal).
     Q("q_dedup_exact",
       (s, d) => llm.Dedup.exact(s, d), Some(llm.Dedup.exactOracle)),

@@ -225,6 +225,21 @@ object OperatorQueries {
     s"""SELECT n_nationkey AS farmer_id, n_name, n_regionkey FROM nation
        |WHERE ${scopePredicate(scope, name)}""".stripMargin
 
+  /** Skew-safe two-stage aggregation ([[SaltedAgg]]) — results must be
+    * identical to a plain GROUP BY, which the oracle asserts. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    SaltedAgg.sums(
+      Sources.lineitem(spark, dir),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("receita" -> Frag.money("l_extendedprice"),
+        "quantidade" -> Frag.money("l_quantity")))
+
+  val saltedAggOracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Frag.sumMoney(Frag.money("l_extendedprice"))} AS receita,
+       |  ${Frag.sumMoney(Frag.money("l_quantity"))} AS quantidade
+       |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   /** A8/C15 — per-client min/max dates + 2-element DATE array. */
   def minMaxArray(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame =
     Sources.orders(spark, dir)
