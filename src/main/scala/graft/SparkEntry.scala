@@ -133,7 +133,11 @@ object SparkEntry {
     Q("q_stream_sessionize", // flatMapGroupsWithState demo, batch-evaluated
       (s, d) => streaming.EventsStream
         .sessionize(graft.core.Sources.events(s, d)).toDF(),
-      None))
+      None),
+    Q("q_ann_ivf",
+      (s, d) => llm.Similarity.ivfTopK(s, d), None),
+    Q("q_llm_corpus_pipeline",
+      (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -80,6 +80,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    * `nlist` lowest-id vectors) partitions the corpus into inverted lists;
+    * each query scores only the lists of its `nprobe` nearest centroids.
+    * At scale the inverted-list id doubles as the table's partition key, so
+    * the scan itself prunes to the probed lists — the candidate set (and
+    * I/O) shrinks by ~nlist/nprobe versus brute force.  A trained k-means
+    * quantizer would drop in by replacing `centroids`; the plumbing
+    * (assignment, probing, scoring) is identical. */
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Sources.embeddings(spark, dir))
+    val centroids = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("q_embedding"),
+        col("norm").as("q_norm"))
+
+    // Rank every vector against every centroid once; rank 1 = inverted-list
+    // assignment, ranks <= nprobe = the probe set for query vectors.
+    val ranked = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", expr(s"$dot / (norm * q_norm)"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_sim").desc, col("cid").asc)))
+    val assigned = ranked.filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < numQueries &&
+        col("c_rank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("norm").as("q_norm"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid")) // list pruning
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", expr(s"$dot / (norm * q_norm)"))
+    rankTopK(scored, k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
