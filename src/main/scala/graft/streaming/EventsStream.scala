@@ -33,6 +33,14 @@ object EventsStream {
   def dailyAggStream(events: DataFrame): DataFrame =
     dailyAgg(events.withWatermark("ts", "1 day"))
 
+  /** Streaming exactly-once dedup: repeated event ids within the watermark
+    * horizon are dropped; state is bounded because ids older than the
+    * watermark are expired.  This is the ingestion-side guard an
+    * at-least-once source needs before the corpus-level dedup operators
+    * ([[graft.llm.Dedup]]) run downstream. */
+  def dedupeStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicates("event_id")
+
   /** A closed user session: contiguous events with gaps below the
     * sessionization threshold. */
   case class UserSession(

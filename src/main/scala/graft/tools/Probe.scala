@@ -87,6 +87,22 @@ object Probe {
           println(s"\n========== $n ==========")
           df.explain("formatted")
         }
+      case "stream_dedupe" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        // readStream needs a directory; glob-filter the sf dir to events
+        val events = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        val q = graft.streaming.EventsStream.dedupeStream(events)
+          .writeStream.format("memory").queryName("probe_dedupe")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val n = spark.table("probe_dedupe").count()
+        val distinctIds = spark.table("probe_dedupe")
+          .select("event_id").distinct().count()
+        println(s"[probe] stream-deduped rows: $n, distinct ids: $distinctIds")
       case "embcos" =>
         val n = time("embedding cosine pairs") {
           graft.llm.Dedup.embeddingCosine(spark, dir).count()

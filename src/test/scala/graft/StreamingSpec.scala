@@ -43,6 +43,23 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.forall(_.user_id == 1L))
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0), // duplicate delivery
+      (2L, ts("2024-01-01 11:00:00"), "view", 2.0))
+    val q = EventsStream.dedupeStream(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("dedupe_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedupe_test").select("event_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("streaming daily aggregate matches the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
