@@ -137,7 +137,22 @@ object SparkEntry {
     Q("q_ann_ivf",
       (s, d) => llm.Similarity.ivfTopK(s, d), None),
     Q("q_llm_corpus_pipeline",
-      (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)))
+      (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)),
+    // General analytics beyond the reference surface.
+    Q("q_an_rollup",
+      (s, d) => graft.ops.AnalyticsQueries.rollup(s, d),
+      Some(graft.ops.AnalyticsQueries.rollupOracle)),
+    Q("q_an_count_distinct",
+      (s, d) => graft.ops.AnalyticsQueries.countDistinct(s, d),
+      Some(graft.ops.AnalyticsQueries.countDistinctOracle)),
+    Q("q_an_approx_distinct",
+      (s, d) => graft.ops.AnalyticsQueries.approxDistinct(s, d), None),
+    Q("q_an_json_extract",
+      (s, d) => graft.ops.AnalyticsQueries.jsonExtract(s, d),
+      Some(graft.ops.AnalyticsQueries.jsonExtractOracle)),
+    Q("q_an_pivot",
+      (s, d) => graft.ops.AnalyticsQueries.pivot(s, d),
+      Some(graft.ops.AnalyticsQueries.pivotOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
