@@ -152,7 +152,16 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.jsonExtractOracle)),
     Q("q_an_pivot",
       (s, d) => graft.ops.AnalyticsQueries.pivot(s, d),
-      Some(graft.ops.AnalyticsQueries.pivotOracle)))
+      Some(graft.ops.AnalyticsQueries.pivotOracle)),
+    Q("q_an_ranking",
+      (s, d) => graft.ops.AnalyticsQueries.ranking(s, d),
+      Some(graft.ops.AnalyticsQueries.rankingOracle)),
+    Q("q_an_running_total",
+      (s, d) => graft.ops.AnalyticsQueries.runningTotal(s, d),
+      Some(graft.ops.AnalyticsQueries.runningTotalOracle)),
+    Q("q_an_set_ops",
+      (s, d) => graft.ops.AnalyticsQueries.setOps(s, d),
+      Some(graft.ops.AnalyticsQueries.setOpsOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -66,6 +66,68 @@ object AnalyticsQueries {
       |  json_extract_string(props, '$.missing') AS missing
       |FROM events""".stripMargin
 
+  /** Ranking windows (absent in the reference: SURVEY §2.5): per-customer
+    * order ranking by value, deterministic tie-break on the key. */
+  def ranking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Sources.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr(Frag.money("o_totalprice")).as("valor"),
+        col("rn"), col("rnk"), col("drnk"))
+  }
+
+  val rankingOracle: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  ${Frag.money("o_totalprice")} AS valor, rn, rnk, drnk
+       |FROM (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+       |    DENSE_RANK() OVER w AS drnk
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey
+       |               ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+       |WHERE rn <= 3""".stripMargin
+
+  /** Frame-spec running total (absent in the reference): cumulative
+    * customer spend in order-date order, unique sort key so the frame is
+    * deterministic. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("data"),
+        expr(Frag.asMoney(
+          s"SUM(${Frag.money("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+          .as("acumulado"))
+
+  val runningTotalOracle: String =
+    s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS data,
+       |  ${Frag.asMoney(s"SUM(${Frag.money("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS acumulado
+       |FROM orders""".stripMargin
+
+  /** Set operations (absent in the reference: SURVEY §2.7): customers
+    * active in both of two years, minus the always-pending ones. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Sources.orders(spark, dir)
+    def active(year: Int) = ord
+      .filter(expr(s"year(o_orderdate) = $year")).select("o_custkey")
+    active(2000).intersect(active(2001))
+      .except(ord.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .withColumnRenamed("o_custkey", "client_id")
+  }
+
+  val setOpsOracle: String =
+    """SELECT o_custkey AS client_id FROM orders WHERE year(o_orderdate) = 2000
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
   /** Pivot: monthly revenue with one column per return flag. */
   def pivot(spark: SparkSession, dir: String): DataFrame =
     Sources.lineitem(spark, dir)
