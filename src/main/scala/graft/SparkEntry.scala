@@ -78,6 +78,9 @@ object SparkEntry {
     Q("q_ops_responsibility_enrich",
       (s, d) => OperatorQueries.responsibilityEnrich(s, d),
       Some(OperatorQueries.responsibilityEnrichOracle)),
+    Q("q_ops_revenue_by_responsibility",
+      (s, d) => OperatorQueries.revenueByResponsibility(s, d, cfg),
+      Some(OperatorQueries.revenueByResponsibilityOracle(cfg))),
     Q("q_ops_distinct_sort",
       (s, d) => OperatorQueries.distinctSort(s, d),
       Some(OperatorQueries.distinctSortOracle)),

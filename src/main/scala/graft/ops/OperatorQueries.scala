@@ -172,6 +172,40 @@ object OperatorQueries {
        |  AND (p.end_date IS NULL OR facts.fact_date < p.end_date)
        |WHERE ${Frag.mes("fact_date")} = DATE '2001-07-01'""".stripMargin
 
+  /** J8 composed into an A1-style rollup — the reference's core
+    * attribution semantic: revenue credited to whoever was RESPONSIBLE for
+    * the client when the fact occurred (period membership), not to the
+    * client's current manager (`utils/client_responsibility.py:228-279`
+    * feeding the per-farmer pipelines). */
+  def revenueByResponsibility(spark: SparkSession, dir: String,
+      cfg: RunConfig): DataFrame =
+    Responsibility.addResponsibleFarmer(
+      factsDf(spark, dir)
+        .filter(col("fact_date") >= cfg.windowStartCol &&
+          col("fact_date") < cfg.currentMonthCol),
+      Responsibility.periods(spark, dir),
+      col("client_id"), col("fact_date"))
+      .groupBy(expr(Frag.mes("fact_date")).as("mes"),
+        col("responsible_farmer_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(Frag.sumMoney("receita")).as("receita_total"))
+
+  def revenueByResponsibilityOracle(cfg: RunConfig): String =
+    s"""WITH ${Responsibility.oraclePeriodsCte},
+       |$factsCte
+       |SELECT ${Frag.mes("fact_date")} AS mes,
+       |  p.farmer_id AS responsible_farmer_id,
+       |  COUNT(*) AS n_rows,
+       |  ${Frag.sumMoney("receita")} AS receita_total
+       |FROM facts
+       |LEFT JOIN periods p
+       |  ON p.client_id = facts.client_id
+       |  AND p.start_date <= facts.fact_date
+       |  AND (p.end_date IS NULL OR facts.fact_date < p.end_date)
+       |WHERE fact_date >= DATE '${cfg.windowStart}'
+       |  AND fact_date < DATE '${cfg.currentMonthStart}'
+       |GROUP BY 1, 2""".stripMargin
+
   /** U3/O1/O2 — distinct + multi-key mixed-direction sort. */
   def distinctSort(spark: SparkSession, dir: String): DataFrame =
     Sources.customer(spark, dir)
