@@ -187,13 +187,121 @@ object Fechamento {
   }
 
   /** P5's month loop (`kpi_fechamento_m_passado/main.py:157-181` iterates
-    * `mes_referencia`) as one unioned plan — each month is an independent
-    * subtree, so Spark runs them as one job instead of N sequential
-    * processes. */
+    * `mes_referencia`) as ONE single-pass plan: the month becomes a group
+    * key, so the fact tables are scanned once for the whole window instead
+    * of ~6 times per month (the naive union of per-month plans — and the
+    * reference's sequential re-runs — scan N× more).  The oracle is
+    * deliberately the naive per-month UNION ALL formulation, so the
+    * correctness gate proves the one-pass rewrite equivalent.
+    *
+    * Months must be contiguous (the window filter is their envelope). */
   def range(spark: SparkSession, dir: String, months: Seq[LocalDate],
-      cfg: RunConfig = RunConfig.default): DataFrame =
-    months.map(m => apply(spark, dir, m, isCurrent = false, cfg))
-      .reduce(_ unionByName _)
+      cfg: RunConfig = RunConfig.default): DataFrame = {
+    require(months.nonEmpty)
+    val lo = to_date(lit(months.min.toString))
+    val hi = to_date(lit(months.max.plusMonths(1).toString))
+    val li = Sources.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val ord = Sources.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val custFarmer = Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("farmer_key"))
+
+    val liFarmer = li
+      .join(Sources.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custFarmer), col("o_custkey") === col("c_custkey"))
+      .withColumn("mes", expr(Frag.mes("l_shipdate")))
+    val ordFarmer = ord
+      .join(broadcast(custFarmer), col("o_custkey") === col("c_custkey"))
+      .withColumn("mes", expr(Frag.mes("o_orderdate")))
+
+    def perFarmer(df: org.apache.spark.sql.DataFrame,
+        aggs: Seq[(String, String)]) =
+      df.groupBy(col("mes"), col("farmer_key").as("farmer_id"))
+        .agg(expr(aggs.head._2).as(aggs.head._1),
+          aggs.tail.map { case (n, e) => expr(e).as(n) }: _*)
+
+    val pos = perFarmer(liFarmer, Seq(
+      "pos_receita" -> Frag.sumMoney(m),
+      "pos_comissao" -> Frag.sumMoney(s"$m * ($w)")))
+    val coe = perFarmer(ordFarmer.filter(col("o_orderstatus") === "F"), Seq(
+      "coe_receita" -> Frag.sumMoney(s"$tp * ${Rates.CoeShare}"),
+      "coe_comissao" -> Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")))
+    val op = perFarmer(ordFarmer.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") =!= "P"), Seq(
+      "op_receita" -> Frag.sumMoney(s"$tp * ${Rates.OpShare}"),
+      "op_comissao" -> Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")))
+
+    val ultima = liFarmer.groupBy(col("mes"))
+      .agg(max(to_date(col("l_shipdate"))).as("data_positivador"))
+    val snapDay = liFarmer.join(broadcast(ultima),
+      liFarmer("mes") === ultima("mes") &&
+        to_date(col("l_shipdate")) === col("data_positivador"))
+      .drop(ultima("mes"))
+    val capt = perFarmer(snapDay, Seq(
+      "captacao_raw" -> Frag.sumMoney(s"$m * (1 - ${Frag.rate("l_discount")})")))
+    val churn = perFarmer(snapDay, Seq(
+      "churn_raw" -> Frag.sumMoney(
+        s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} ELSE 0 END")))
+    val periods = ordFarmer.groupBy(col("mes"), col("farmer_key").as("farmer_id"))
+      .agg(min(to_date(col("o_orderdate"))).as("periodo_inicio"),
+        max(to_date(col("o_orderdate"))).as("periodo_fim_raw"))
+
+    val comp = Sources.supplier(spark, dir)
+      .groupBy(col("s_nationkey").cast("int").as("comp_farmer_id"))
+      .agg(expr(Frag.asMoney(s"SUM(${Frag.money("s_acctbal")}) * 50")).as("meta_receita"),
+        expr(Frag.asMoney(s"SUM(${Frag.money("s_acctbal")}) * 2")).as("meta_captacao"),
+        expr(Frag.asMoney("COUNT(*) * 5")).as("meta_churn"))
+
+    val monthsDf = months.map(_.toString)
+      .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, s) =>
+        val one = spark.range(1).select(to_date(lit(s)).as("mes"))
+        Some(acc.map(_ unionByName one).getOrElse(one))
+      }.get
+    val employees = Sources.nation(spark, dir).select(
+      col("n_nationkey").as("farmer_id"),
+      col("n_name").as("farmer_name"),
+      expr(hierarchy).as("hierarchy_level"))
+      .filter(col("hierarchy_level").isin("junior", "pleno"))
+      .crossJoin(broadcast(monthsDf))
+
+    val assembled = employees
+      .join(broadcast(pos), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(coe), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(op), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(capt), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(churn), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(periods), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(comp), col("farmer_id") === col("comp_farmer_id"), "left")
+      .drop("comp_farmer_id")
+      .join(broadcast(ultima), Seq("mes"), "left")
+
+    val totals = totalCols.foldLeft(assembled) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+    val goals = goalCols(Goals.SparkDiv).foldLeft(totals) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+    goals.select(
+      col("mes"),
+      date_format(col("mes"), "MM/yyyy").as("mes_formatado"),
+      col("farmer_id"), col("farmer_name"), col("hierarchy_level"),
+      col("data_positivador"),
+      col("churn_total"), col("meta_churn"), col("status_churn"),
+      col("porcentagem_churn"), col("bonus_churn"),
+      col("captacao_total"), col("meta_captacao"), col("status_captacao"),
+      col("porcentagem_captacao"), col("bonus_captacao"),
+      col("receita_total"), col("meta_receita"), col("status_receita"),
+      col("porcentagem_receita"), col("bonus_receita"),
+      col("comissao_bruta_total"),
+      expr(Frag.asMoney("bonus_churn + bonus_captacao + bonus_receita"))
+        .as("bonus_total"),
+      lit(false).as("is_current_month"),
+      col("periodo_inicio").as("periodo_responsabilidade_inicio"),
+      coalesce(col("periodo_fim_raw"), cfg.runDateCol)
+        .as("periodo_responsabilidade_fim"))
+  }
 
   def rangeOracle(months: Seq[LocalDate],
       cfg: RunConfig = RunConfig.default): String =

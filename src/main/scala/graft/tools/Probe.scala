@@ -87,6 +87,27 @@ object Probe {
           println(s"\n========== $n ==========")
           df.explain("formatted")
         }
+      case "fech_range" =>
+        val cfg = graft.core.RunConfig.default
+        val months = (1 to 3).map(cfg.currentMonthStart.minusMonths(_))
+        time("warm") {
+          spark.read.parquet(s"$dir/lineitem.parquet")
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("one-pass range") {
+          graft.kpi.Fechamento.range(spark, dir, months, cfg)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("union of per-month") {
+          months.map(m => graft.kpi.Fechamento(spark, dir, m,
+            isCurrent = false, cfg))
+            .reduce(_ unionByName _)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("one-pass range (2nd)") {
+          graft.kpi.Fechamento.range(spark, dir, months, cfg)
+            .write.format("noop").mode("overwrite").save()
+        }
       case "stream_dedupe" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = spark.read.parquet(s"$dir/events.parquet").schema
