@@ -106,6 +106,29 @@ object EventsStream {
           flush(k, it.map(t => (t._2, t._3)), st))
   }
 
+  /** Streaming → idempotent table: lands each micro-batch through the
+    * same keyed-overwrite sink the batch pipelines use
+    * ([[graft.core.Sinks.overwriteByKey]]), so late data or a replayed
+    * batch repairs its partitions instead of duplicating them — the
+    * streaming continuation of the reference's delete-then-insert
+    * idempotency contract.
+    *
+    * The partition keys MUST match the update granularity: update mode
+    * emits only the changed (day, type) groups, so overwriting at coarser
+    * grain (day alone) would wipe the day's untouched groups.
+    */
+  def writeDailyAgg(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dailyAggStream(events)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.core.Sinks.overwriteByKey(batch.toDF(), path,
+          Seq("dia", "event_type"))
+      }
+      .start()
+
   /** Batch-mode oracle (windows are epoch-aligned, so a daily tumbling
     * window start equals date_trunc('day')). */
   val dailyAggOracle: String =

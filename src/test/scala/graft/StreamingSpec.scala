@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.forall(_.user_id == 1L))
   }
 
+  test("foreachBatch lands micro-batches through the idempotent keyed sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val q = EventsStream.writeDailyAgg(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"), out, ckpt)
+    try {
+      q.processAllAvailable()
+      // Late replay of an already-seen day: the day's partition is
+      // replaced, not duplicated.
+      stream.addData((5L, ts("2024-01-02 13:00:00"), "click", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val table = spark.read.parquet(out)
+    assert(table.count() == 3) // (jan1 click), (jan2 click), (jan2 view)
+    val jan2Click = table
+      .filter($"dia" === java.sql.Date.valueOf("2024-01-02") &&
+        $"event_type" === "click")
+      .select("n_events").as[Long].collect()
+    assert(jan2Click.toSeq == Seq(2L)) // updated in place, no duplicate row
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
