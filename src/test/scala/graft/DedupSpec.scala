@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("embedding-cosine candidates are ordered pairs above the threshold, deterministically") {
+    val a = Dedup.embeddingCosine(spark, Sf001)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val b = Dedup.embeddingCosine(spark, Sf001)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(a.nonEmpty)
+    assert(a.forall { case (x, y, c) => x < y && c >= 0.35 })
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("minhash-LSH candidates on testdata are symmetric-free ordered pairs") {
     val pairs = Dedup.minhashCandidates(spark, Sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

@@ -22,6 +22,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k ranks correctly and never beats brute force") {
+    val brute = Similarity.bruteForceTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    val ivf = Similarity.ivfTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val bruteBest = brute.filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+      // An approximate index can miss neighbors but never invent a better
+      // one than the exact search's best.
+      assert(rows.forall(_._4 <= bruteBest(q) + 1e-9))
+    }
+  }
+
   test("LSH top-k neighbors are a subset of candidates sharing the query bucket, ranked consistently") {
     val out = Similarity.lshTopK(spark, Sf001, numQueries = 4, k = 3)
       .as[(Long, Int, Long, Double)].collect()
