@@ -164,7 +164,10 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.runningTotalOracle)),
     Q("q_an_set_ops",
       (s, d) => graft.ops.AnalyticsQueries.setOps(s, d),
-      Some(graft.ops.AnalyticsQueries.setOpsOracle)))
+      Some(graft.ops.AnalyticsQueries.setOpsOracle)),
+    Q("q_an_percentiles",
+      (s, d) => graft.ops.AnalyticsQueries.percentiles(s, d),
+      Some(graft.ops.AnalyticsQueries.percentilesOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -128,6 +128,22 @@ object AnalyticsQueries {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
 
+  /** Exact percentiles per group (absent in the reference).  Both engines
+    * interpolate linearly at rank (n-1)·p over the same doubles, so the
+    * results agree bit-for-bit. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
+        .as("price_quantiles"),
+        expr("percentile(l_quantity, 0.5D)").as("median_qty"))
+
+  val percentilesOracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]) AS price_quantiles,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Pivot: monthly revenue with one column per return flag. */
   def pivot(spark: SparkSession, dir: String): DataFrame =
     Sources.lineitem(spark, dir)
