@@ -10,11 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: session/codegen/parquet-footer startup costs would
-    // otherwise land entirely on whichever query happens to run first.
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // Untimed warmup: session startup, codegen, parquet footers, and the
+    // OS page cache for the large fact tables would otherwise land
+    // entirely on whichever query happens to run first.
+    Seq("region", "lineitem", "orders").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every column of every row (a bare count()
