@@ -235,10 +235,11 @@ object Fechamento {
 
     val ultima = liFarmer.groupBy(col("mes"))
       .agg(max(to_date(col("l_shipdate"))).as("data_positivador"))
-    val snapDay = liFarmer.join(broadcast(ultima),
-      liFarmer("mes") === ultima("mes") &&
-        to_date(col("l_shipdate")) === col("data_positivador"))
-      .drop(ultima("mes"))
+    // Join on the snapshot DATE alone: a snapshot date uniquely determines
+    // its month, so adding a mes equality would be redundant (and, since
+    // ultima derives from liFarmer, self-join-ambiguous).
+    val snapDay = liFarmer.join(broadcast(ultima.drop("mes")),
+      to_date(col("l_shipdate")) === col("data_positivador"))
     val capt = perFarmer(snapDay, Seq(
       "captacao_raw" -> Frag.sumMoney(s"$m * (1 - ${Frag.rate("l_discount")})")))
     val churn = perFarmer(snapDay, Seq(
