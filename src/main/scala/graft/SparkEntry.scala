@@ -38,8 +38,8 @@ object SparkEntry {
     Q("q_p4_receita_produto",
       (s, d) => ReceitaProduto(s, d, cfg),
       Some(ReceitaProduto.oracle(cfg))),
-    Q("q_p5_fechamento_passado",
-      (s, d) => Fechamento(s, d, pastMonth, isCurrent = false, cfg),
+    Q("q_p5_fechamento_passado", // single past month via the one-pass plan
+      (s, d) => Fechamento.range(s, d, Seq(pastMonth), cfg),
       Some(Fechamento.oracle(pastMonth, isCurrent = false, cfg))),
     Q("q_p6_fechamento_presente",
       (s, d) => Fechamento(s, d, cfg.currentMonthStart, isCurrent = true, cfg),
