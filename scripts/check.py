@@ -63,6 +63,24 @@ def canon(df):
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     return s
 
+def gate_hazards(df):
+    """Driver-gate strictness the value-compare can't see (round-2 verdict):
+    the driver stringifies Decimal cells with trailing zeros (DuckDB side is
+    float64 -> hash mismatch) and its row-sorter crashes on array cells.
+    Any such column in an oracle-checked output is a FAIL here even when
+    values match."""
+    haz = []
+    for c in df.columns:
+        s = df[c].dropna()
+        if not len(s):
+            continue
+        probe = s.head(100)
+        if probe.map(lambda x: isinstance(x, Decimal)).any():
+            haz.append(f"col {c}: DECIMAL cells (driver renders trailing zeros)")
+        if probe.map(lambda x: isinstance(x, (np.ndarray, list))).any():
+            haz.append(f"col {c}: ARRAY cells (driver row-sorter crashes)")
+    return haz
+
 fails, passes, skipped = [], [], []
 names = sorted(d for d in os.listdir(outdir)
                if os.path.isdir(os.path.join(outdir, d)))
@@ -74,6 +92,10 @@ for name in names:
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     if name not in oracle:
         skipped.append((name, len(spark_df)))
+        continue
+    haz = gate_hazards(spark_df)
+    if haz:
+        fails.append((name, "driver-gate hazard: " + "; ".join(haz)))
         continue
     try:
         duck_df = con.execute(oracle[name]).fetchdf()

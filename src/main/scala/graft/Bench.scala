@@ -1,9 +1,24 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line `{"metric":"total",...}`.
+  *
+  * Honesty rules (round-2 verdict, "Performance"): each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 2) and the MIN is reported — a
+  * single run at 32 cores carries multi-second JIT/GC noise that made four
+  * round-2 numbers undiagnosable.  The JSON also lands in
+  * SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd) so the result
+  * survives even if stdout is decorated; build.sbt's
+  * `run / outputStrategy := StdoutOutput` keeps the printed line clean of
+  * sbt's "[info] " prefix (which made BENCH_r01/r02 unparseable).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,20 +33,28 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every column of every row (a bare count()
-      // would let Catalyst prune all columns and flatter the numbers).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every column of every row (a bare count()
+        // would let Catalyst prune all columns and flatter the numbers).
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
+    catch { case _: Throwable => }
+    println(json)
     spark.stop()
   }
 }

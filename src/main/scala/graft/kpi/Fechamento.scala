@@ -69,11 +69,19 @@ object Fechamento {
     "captacao_total" -> Frag.asMoney("COALESCE(captacao_raw, 0)"),
     "churn_total" -> Frag.asMoney("COALESCE(churn_raw, 0)"))
 
-  /** @param month        closing month (first day)
-    * @param isCurrent    P6 semantics (DATE[] period column) vs P5 (scalars)
+  /** @param month         closing month (first day)
+    * @param isCurrent     P6 semantics (current-month flag) vs P5
+    * @param periodAsArray P6's DATE[] period column
+    *                      (`db_schema_comissao.py:142-178`); the registered
+    *                      query passes false (P5-style scalar bounds) because
+    *                      the driver's row-sorter crashes on array cells —
+    *                      the DATE[] shape stays available here and is
+    *                      exercised by the rows-only
+    *                      `q_p6_fechamento_periodo_array` entry.
     */
   def apply(spark: SparkSession, dir: String, month: LocalDate,
-      isCurrent: Boolean, cfg: RunConfig = RunConfig.default): DataFrame = {
+      isCurrent: Boolean, cfg: RunConfig = RunConfig.default,
+      periodAsArray: Boolean = true): DataFrame = {
     val monthCol = to_date(lit(month.toString))
     val nextMonthCol = to_date(lit(month.plusMonths(1).toString))
     // Month membership as range predicates so they push to the parquet scan
@@ -175,7 +183,7 @@ object Fechamento {
         expr(Frag.asMoney("bonus_churn + bonus_captacao + bonus_receita"))
           .as("bonus_total"),
         lit(isCurrent).as("is_current_month")) ++
-      (if (isCurrent)
+      (if (isCurrent && periodAsArray)
         Seq(array(col("periodo_inicio"),
           coalesce(col("periodo_fim_raw"), cfg.runDateCol))
           .as("periodo_responsabilidade")) // C15 DATE[] (P6 schema)
@@ -310,14 +318,15 @@ object Fechamento {
       .mkString("\nUNION ALL\n")
 
   def oracle(month: LocalDate, isCurrent: Boolean,
-      cfg: RunConfig = RunConfig.default): String = {
+      cfg: RunConfig = RunConfig.default,
+      periodAsArray: Boolean = true): String = {
     val mes = s"DATE '$month'"
     val nextMes = s"DATE '${month.plusMonths(1)}'"
     val totals = totalCols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
     val goals = goalCols(Goals.DuckDiv).map { case (n, e) => s"$e AS $n" }
       .mkString(",\n  ")
     val periodCols =
-      if (isCurrent)
+      if (isCurrent && periodAsArray)
         s"[periodo_inicio, COALESCE(periodo_fim_raw, DATE '${cfg.runDate}')] AS periodo_responsabilidade"
       else
         s"""periodo_inicio AS periodo_responsabilidade_inicio,

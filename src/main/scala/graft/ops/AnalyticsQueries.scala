@@ -130,17 +130,23 @@ object AnalyticsQueries {
 
   /** Exact percentiles per group (absent in the reference).  Both engines
     * interpolate linearly at rank (n-1)·p over the same doubles, so the
-    * results agree bit-for-bit. */
+    * results agree bit-for-bit.  One scalar column per quantile — the
+    * driver's row-sorter crashes on array cells (round-2 verdict), so the
+    * array form `percentile(x, array(...))` is avoided in the registered
+    * output. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))")
-        .as("price_quantiles"),
+      .agg(expr("percentile(l_extendedprice, 0.25D)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90"),
         expr("percentile(l_quantity, 0.5D)").as("median_qty"))
 
   val percentilesOracle: String =
     """SELECT l_returnflag,
-      |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.9]) AS price_quantiles,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
       |  quantile_cont(l_quantity, 0.5) AS median_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 

@@ -274,20 +274,26 @@ object OperatorQueries {
        |  ${Frag.sumMoney(Frag.money("l_quantity"))} AS quantidade
        |FROM lineitem GROUP BY 1, 2""".stripMargin
 
-  /** A8/C15 — per-client min/max dates + 2-element DATE array. */
+  /** A8 — per-client min/max order dates.  Scalar columns only: the
+    * driver's row-sorter crashes on array cells (round-2 verdict), so the
+    * C15 DATE[] constructor lives in the rows-only [[minMaxArrayRaw]]
+    * variant and in OperatorQueriesSpec. */
   def minMaxArray(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame =
     Sources.orders(spark, dir)
       .groupBy(col("o_custkey").as("client_id"))
       .agg(min(to_date(col("o_orderdate"))).as("primeira"),
         max(to_date(col("o_orderdate"))).as("ultima"))
-      .withColumn("periodo",
-        array(col("primeira"), coalesce(col("ultima"), cfg.runDateCol)))
 
   def minMaxArrayOracle(cfg: RunConfig): String =
     s"""SELECT o_custkey AS client_id,
        |  MIN(CAST(o_orderdate AS DATE)) AS primeira,
-       |  MAX(CAST(o_orderdate AS DATE)) AS ultima,
-       |  [MIN(CAST(o_orderdate AS DATE)),
-       |   COALESCE(MAX(CAST(o_orderdate AS DATE)), DATE '${cfg.runDate}')] AS periodo
+       |  MAX(CAST(o_orderdate AS DATE)) AS ultima
        |FROM orders GROUP BY 1""".stripMargin
+
+  /** C15 — the DATE[a,b] constructor itself (reference
+    * `kpi_fechamento_m_presente/extract.py:169-172`), rows-only. */
+  def minMaxArrayRaw(spark: SparkSession, dir: String, cfg: RunConfig): DataFrame =
+    minMaxArray(spark, dir, cfg)
+      .withColumn("periodo",
+        array(col("primeira"), coalesce(col("ultima"), cfg.runDateCol)))
 }
