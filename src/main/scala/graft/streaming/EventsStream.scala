@@ -86,11 +86,23 @@ object EventsStream {
             st = SessionState(ts, ts, 1, v)
         }
       }
-      if (st != null) state.update(st)
-      if (state.hasTimedOut && st != null) {
-        closed += UserSession(userId, new java.sql.Timestamp(st.start),
-          new java.sql.Timestamp(st.last), st.n, st.total)
-        state.remove()
+      if (st != null) {
+        if (state.hasTimedOut) {
+          // Timeout callback (empty input iterator): the trailing session's
+          // gap elapsed with no new events — emit it and drop the state so
+          // per-user state is actually bounded.
+          closed += UserSession(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last), st.n, st.total)
+          state.remove()
+        } else {
+          state.update(st)
+          // Without arming the timeout, hasTimedOut could never fire and
+          // trailing sessions would be held (and state leaked) forever.
+          // Processing time approximates the event-time gap here; a
+          // watermark + EventTimeTimeout is the strict variant.  In batch
+          // evaluation this is a legal no-op.
+          state.setTimeoutDuration(gapMs)
+        }
       }
       closed.result().iterator
     }

@@ -79,12 +79,17 @@ class ResponsibilitySpec extends SparkSpec {
   }
 
   test("interval join plans as a hash equi-join on client_id, not a nested loop") {
+    // No broadcast() hint in the code path: Catalyst must pick an equi hash
+    // join on its own (broadcast while small, shuffled-hash/sort-merge at
+    // scale) — a forced broadcast would die once periods outgrow the
+    // threshold at 100 TB.
     val facts = Seq((1L, d("2001-05-05"))).toDF("client_id", "fact_date")
     val plan = Responsibility
       .filterByResponsibility(facts, periods, $"client_id", $"fact_date")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       s"expected an equi hash join with a range residual, got:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("NestedLoopJoin"), plan)
   }
 }
