@@ -105,16 +105,17 @@ object SparkEntry {
       (s, d) => llm.Dedup.exact(s, d), Some(llm.Dedup.exactOracle)),
     Q("q_dedup_normalized",
       (s, d) => llm.Dedup.normalized(s, d), Some(llm.Dedup.normalizedOracle)),
-    Q("q_dedup_minhash_lsh",
+    Q("q_dedup_minhash_lsh", // rows-only: xxhash64 signature permutations have no DuckDB twin
       (s, d) => llm.Dedup.minhashCandidates(s, d), None),
     Q("q_dedup_simhash",
-      (s, d) => llm.Dedup.simhash(s, d), None),
+      (s, d) => llm.Dedup.simhash(s, d), Some(llm.Dedup.simhashOracle)),
     Q("q_dedup_token_jaccard",
       (s, d) => llm.Dedup.ngramJaccard(s, d),
       Some(llm.Dedup.ngramJaccardOracle())),
     Q("q_ann_brute_force",
-      (s, d) => llm.Similarity.bruteForceTopK(s, d), None),
-    Q("q_ann_lsh",
+      (s, d) => llm.Similarity.bruteForceTopK(s, d),
+      Some(llm.Similarity.bruteForceOracle())),
+    Q("q_ann_lsh", // rows-only: murmur3 hyperplane weights (Spark hash()) have no DuckDB twin
       (s, d) => llm.Similarity.lshTopK(s, d), None),
     Q("q_text_langid",
       (s, d) => llm.TextAnalysis.langId(s, d), Some(llm.TextAnalysis.langIdOracle)),
@@ -128,7 +129,7 @@ object SparkEntry {
       Some(llm.TextAnalysis.fingerprintOracle)),
     Q("q_multimodal_metadata",
       (s, d) => llm.Multimodal.metadata(s, d), Some(llm.Multimodal.metadataOracle)),
-    Q("q_multimodal_features",
+    Q("q_multimodal_features", // rows-only: features come from the stubbed binary decoder, outside SQL
       (s, d) => llm.Multimodal.featureSummary(s, d), None),
     Q("q_stream_daily_window",
       (s, d) => streaming.EventsStream.dailyAgg(graft.core.Sources.events(s, d)),
@@ -138,13 +139,13 @@ object SparkEntry {
         (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg),
       Some(Fechamento.rangeOracle(
         (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg))),
-    Q("q_dedup_embedding_cosine",
+    Q("q_dedup_embedding_cosine", // rows-only: murmur3 hyperplane LSH buckets have no DuckDB twin
       (s, d) => llm.Dedup.embeddingCosine(s, d), None),
-    Q("q_stream_sessionize", // flatMapGroupsWithState demo, batch-evaluated
+    Q("q_stream_sessionize", // flatMapGroupsWithState, batch-evaluated vs gaps-and-islands SQL
       (s, d) => streaming.EventsStream
-        .sessionize(graft.core.Sources.events(s, d)).toDF(),
-      None),
-    Q("q_ann_ivf",
+        .sessionizeSummary(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.sessionizeOracle())),
+    Q("q_ann_ivf", // rows-only: the exact-cosine contract vs brute force is asserted by SimilaritySpec ("IVF never beats brute force") on top of the oracle-checked q_ann_brute_force
       (s, d) => llm.Similarity.ivfTopK(s, d), None),
     Q("q_llm_corpus_pipeline",
       (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)),
@@ -155,7 +156,7 @@ object SparkEntry {
     Q("q_an_count_distinct",
       (s, d) => graft.ops.AnalyticsQueries.countDistinct(s, d),
       Some(graft.ops.AnalyticsQueries.countDistinctOracle)),
-    Q("q_an_approx_distinct",
+    Q("q_an_approx_distinct", // rows-only: HLL++ register layout is engine-specific by nature
       (s, d) => graft.ops.AnalyticsQueries.approxDistinct(s, d), None),
     Q("q_an_json_extract",
       (s, d) => graft.ops.AnalyticsQueries.jsonExtract(s, d),

@@ -120,25 +120,65 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash per document over whitespace tokens: sign of the
-    * per-bit weighted sum of token hashes.  Emitted with 4 16-bit band keys
-    * for hamming-bucketed candidate lookup.  Rows-only check. */
+  /** SimHash modulus (prime) and its majority threshold. */
+  private val SimP = 1000000007L
+  private val SimHalf = SimP / 2
+
+  /** 64-bit SimHash per document over distinct whitespace tokens, emitted
+    * as its 4 16-bit band keys (band0 = bits 63..48 … band3 = bits 15..0;
+    * hamming-bucketed lookup joins on any agreeing band).
+    *
+    * Round 2 hashed tokens with `xxhash64`, which no independent engine
+    * reproduces, so the query was rows-only checked.  Now the token hash is
+    * a character-level polynomial mod the prime 1e9+7 (the same family as
+    * [[TextAnalysis.fingerprint]]) and bit b's sign comes from the modular
+    * product `(h+1)·(2b+3) mod p` — multiplication by a nonzero constant
+    * mod a prime is a bijection, so each bit splits the hash space evenly.
+    * Every step is exact 64-bit integer math far below overflow (max
+    * ~1.3e11), identical in Spark and DuckDB → the full output is
+    * hash-checked.  All per-row HOF lambdas (interpreted); at 100 TB the
+    * inner loop would move into a codegen'd Expression exactly like
+    * [[graft.functions.MinHashSignature]].
+    */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitSum = (bit: Int) =>
+    val tokenHashes =
+      """transform(array_distinct(split(text, ' ')),
+        |  t -> aggregate(
+        |         transform(sequence(1, length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+        |         CAST(0 AS BIGINT),
+        |         (acc, c) -> (acc * 131 + c) % 1000000007))""".stripMargin
+    def bitSum(b: Int) =
       s"""aggregate(token_hashes, 0L,
-         |  (acc, h) -> acc + CASE WHEN (h >> $bit) % 2 != 0 THEN 1 ELSE -1 END)""".stripMargin
-    val simhashExpr = (0 until 64).map(b =>
-      s"CASE WHEN (${bitSum(b)}) > 0 THEN shiftleft(1L, $b) ELSE 0L END")
-      .mkString(" + ")
+         |  (acc, h) -> acc + CASE WHEN ((h + 1) * ${2 * b + 3}) % $SimP > $SimHalf
+         |                         THEN 1 ELSE -1 END)""".stripMargin
+    def band(k: Int) = (0 until 16).map { j =>
+      s"CASE WHEN (${bitSum(63 - (k * 16 + j))}) > 0 THEN ${1 << (15 - j)} ELSE 0 END"
+    }.mkString(" + ")
     Sources.documents(spark, dir)
-      .withColumn("token_hashes",
-        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-      .withColumn("simhash", expr(simhashExpr))
-      .select(col("doc_id"), col("simhash"),
-        expr("shiftright(simhash, 48) & 65535").as("band0"),
-        expr("shiftright(simhash, 32) & 65535").as("band1"),
-        expr("shiftright(simhash, 16) & 65535").as("band2"),
-        expr("simhash & 65535").as("band3"))
+      .withColumn("token_hashes", expr(tokenHashes))
+      .select(Seq(col("doc_id")) ++
+        (0 until 4).map(k => expr(band(k)).as(s"band$k")): _*)
+  }
+
+  /** DuckDB mirror of [[simhash]] — same polynomial, same bit mixing. */
+  val simhashOracle: String = {
+    val tokenHashes =
+      """list_transform(list_distinct(string_split(text, ' ')),
+        |  t -> list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(generate_series(1, length(t)),
+        |             i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 131 + c) % 1000000007))""".stripMargin
+    def bitSum(b: Int) =
+      s"""list_sum(list_transform(th,
+         |  h -> CASE WHEN ((h + 1) * ${2 * b + 3}) % $SimP > $SimHalf
+         |            THEN 1 ELSE -1 END))""".stripMargin
+    def band(k: Int) = (0 until 16).map { j =>
+      s"CASE WHEN (${bitSum(63 - (k * 16 + j))}) > 0 THEN ${1 << (15 - j)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+       |  ${(0 until 4).map(k => s"CAST(${band(k)} AS INT) AS band$k").mkString(",\n  ")}
+       |FROM (SELECT doc_id, $tokenHashes AS th FROM documents) t""".stripMargin
   }
 
   /** Exact token-set Jaccard over same-(lang, source) pairs, with LOSSLESS

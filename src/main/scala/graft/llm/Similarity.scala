@@ -8,9 +8,12 @@ import graft.core.Sources
 /** Approximate-nearest-neighbor search over the embeddings table — beyond
   * the reference's surface; built per the LLM-pipeline brief.
   *
-  * The cosine kernel is pure codegen'd built-ins (`zip_with` dot product +
-  * `aggregate` fold) — no UDF, so whole-stage codegen spans the scoring
-  * stage.  Two variants:
+  * The cosine kernel is built-in higher-order functions (`zip_with` dot
+  * product + `aggregate` fold) — no UDF and no Python boundary, but NOTE:
+  * HOF lambdas are evaluated interpreted, outside whole-stage codegen
+  * (the reason [[graft.functions.MinHashSignature]] exists).  If ANN
+  * scoring ever dominates a profile, the dot product is the next candidate
+  * for the custom-codegen'd-Expression treatment.  Two variants:
   *
   *   - [[bruteForceTopK]]: exact baseline.  Scoring is a broadcast nested
   *     loop of the (tiny) query set against all candidates — each candidate
@@ -45,6 +48,31 @@ object Similarity {
       .withColumn("cosine", expr(s"$dot / (norm * q_norm)"))
     rankTopK(scored, k)
   }
+
+  /** DuckDB oracle for [[bruteForceTopK]].  The cosine is spelled
+    * `dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with `list_dot_product` —
+    * the same left-to-right double fold and the same norm factorization as
+    * the Spark kernel, so the doubles agree bit-for-bit and the 6dp
+    * rounding + (cosine DESC, id ASC) ranking are identical. */
+  def bruteForceOracle(numQueries: Int = 8, k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_dot_product(e.emb, q.q_emb)
+       |      / (sqrt(list_dot_product(e.emb, e.emb))
+       |         * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id,
+       |  ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rnk <= $k""".stripMargin
 
   /** Number of random hyperplanes = signature bits. */
   val LshBits = 8

@@ -148,4 +148,50 @@ object EventsStream {
        |  COUNT(*) AS n_events,
        |  ${Frag.sumMoney(Frag.money("value"))} AS valor
        |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** [[sessionize]] projected onto its oracle-stable columns.  `total_value`
+    * is excluded from the hash-checked surface on purpose: it is an ordered
+    * float fold whose rounding no independent engine reproduces bit-for-bit
+    * (it stays covered by StreamingSpec); boundaries and counts are integer/
+    * timestamp-exact in both engines. */
+  def sessionizeSummary(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes).toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
+  /** Batch-mode oracle for [[sessionizeSummary]]: the classic
+    * gaps-and-islands formulation (LAG boundary flags + running SUM as the
+    * session id — the same window shapes as reference W2/W3,
+    * `utils/client_responsibility.py:55`).  Two deliberate mirrors of the
+    * Spark semantics: timestamps floor to whole SECONDS (`CAST(ts AS
+    * BIGINT)` in [[sessionize]] is epoch seconds), and each user's LAST
+    * session is excluded — batch `flatMapGroupsWithState` never times out,
+    * so the trailing open session is held in state, not emitted. */
+  def sessionizeOracle(gapMinutes: Int = 30): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+       |marked AS (
+       |  SELECT user_id, sec,
+       |    CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec)
+       |              <= $gapSec
+       |         THEN 0 ELSE 1 END AS is_new
+       |  FROM ev),
+       |sess AS (
+       |  SELECT user_id, sec,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+       |                      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked),
+       |agg AS (
+       |  SELECT user_id, sid, MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+       |         COUNT(*) AS n_events
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT a.user_id,
+       |  make_timestamp(start_sec * 1000000) AS session_start,
+       |  make_timestamp(end_sec * 1000000) AS session_end,
+       |  n_events
+       |FROM agg a
+       |JOIN (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY 1) l
+       |  ON a.user_id = l.user_id AND a.sid < l.last_sid""".stripMargin
+  }
 }
