@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Idempotent sinks mirroring the reference's delete-then-insert reload
   * patterns (operators S4–S9).
@@ -34,9 +34,25 @@ object Sinks {
   /** S5/S6/S7 — replace only the partitions present in `df`, keyed by
     * `partitionCols` (farmer, month, date-bucket, ...).  Requires dynamic
     * partition-overwrite so untouched keys survive, exactly like the
-    * reference's targeted DELETE. */
-  def overwriteByKey(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-  }
+    * reference's targeted DELETE.  The mode is a per-write OPTION, not a
+    * session conf mutation — setting it on the shared session would
+    * silently change the semantics of every later partitioned overwrite. */
+  def overwriteByKey(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** S8 — schema-evolution read: partitions written under different schema
+    * versions (a keyed reload started shipping an extra column) read back
+    * as the UNION schema, old rows NULL-filled for columns they predate.
+    * This is the parquet analog of the reference's `column_exists` +
+    * `ALTER TABLE ADD COLUMN` migration (`utils/db_schema_main.py:50-74`,
+    * `db_schema_receita.py:70-77`): there the TABLE is widened in place;
+    * here each partition keeps the schema it was written with and the
+    * reader reconciles.  `mergeSchema` reads every file's footer instead of
+    * sampling one — at 100 TB set `spark.sql.parquet.mergeSchema` off by
+    * default and use this entry point only on evolved tables (or pin the
+    * union schema explicitly via `.schema(...)` once it is known). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -26,6 +26,15 @@ import graft.ops.Snapshot
   * J2 joins are single-row broadcasts.  Month-end selection uses
   * groupBy+broadcast-join, not a window, so the fact table never shuffles
   * (see [[graft.ops.Snapshot]]).
+  *
+  * Resolution of SURVEY.md defect #3: the reference's P2 loader deletes by
+  * a `farmer_id` column its firm-level table does not have
+  * (`kpi_receita_farmer_m_presente/load.py:44-48`), so its farmer-scoped
+  * reload can never have worked.  This rebuild intentionally drops that
+  * dead parameter: P2 is firm-grain, so the idempotent reload key is the
+  * month alone ([[graft.core.Sinks.overwriteByKey]] on `mes`); farmer-
+  * scoped reload exists only where farmer is a real grain (P1/P3-P6 via
+  * `RunConfig.farmerId`).
   */
 object ReceitaFarmerPresente {
 

@@ -42,4 +42,34 @@ class SinksSpec extends SparkSpec {
     Sinks.overwriteByKey(df, path, Seq("mes"))
     assert(spark.read.parquet(path).count() == 2)
   }
+
+  test("overwriteByKey leaves the session's partitionOverwriteMode untouched") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.get(key)
+    Sinks.overwriteByKey(Seq((1, "a")).toDF("mes", "v"), tmp(), Seq("mes"))
+    assert(spark.conf.get(key) == before)
+  }
+
+  test("S8 schema evolution: old partitions read NULL-filled under the union schema") {
+    val path = tmp()
+    // v1 schema lands months 1-2...
+    Sinks.overwriteByKey(
+      Seq((1, "jan"), (2, "feb")).toDF("mes", "v"), path, Seq("mes"))
+    // ...then the pipeline starts shipping an extra column (the reference's
+    // ALTER TABLE ADD COLUMN moment) and reloads month 2 + adds month 3.
+    Sinks.overwriteByKey(
+      Seq((2, "feb_v2", 20.0), (3, "mar", 30.0)).toDF("mes", "v", "extra"),
+      path, Seq("mes"))
+    val got = Sinks.readEvolved(spark, path)
+      .select("mes", "v", "extra")
+      .as[(Int, String, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "jan", None),            // v1 partition: evolved column is NULL
+      (2, "feb_v2", Some(20.0)),   // reloaded under v2
+      (3, "mar", Some(30.0))))
+    // A plain read (no mergeSchema) samples one footer and may miss the
+    // evolved column entirely — the dedicated entry point is the contract.
+    assert(Sinks.readEvolved(spark, path).columns.toSet ==
+      Set("mes", "v", "extra"))
+  }
 }
