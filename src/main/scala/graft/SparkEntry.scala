@@ -115,8 +115,9 @@ object SparkEntry {
     Q("q_ann_brute_force",
       (s, d) => llm.Similarity.bruteForceTopK(s, d),
       Some(llm.Similarity.bruteForceOracle())),
-    Q("q_ann_lsh", // rows-only: murmur3 hyperplane weights (Spark hash()) have no DuckDB twin
-      (s, d) => llm.Similarity.lshTopK(s, d), None),
+    Q("q_ann_lsh",
+      (s, d) => llm.Similarity.lshTopK(s, d),
+      Some(llm.Similarity.lshOracle())),
     Q("q_text_langid",
       (s, d) => llm.TextAnalysis.langId(s, d), Some(llm.TextAnalysis.langIdOracle)),
     Q("q_text_quality",
@@ -139,14 +140,16 @@ object SparkEntry {
         (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg),
       Some(Fechamento.rangeOracle(
         (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg))),
-    Q("q_dedup_embedding_cosine", // rows-only: murmur3 hyperplane LSH buckets have no DuckDB twin
-      (s, d) => llm.Dedup.embeddingCosine(s, d), None),
+    Q("q_dedup_embedding_cosine",
+      (s, d) => llm.Dedup.embeddingCosine(s, d),
+      Some(llm.Dedup.embeddingCosineOracle())),
     Q("q_stream_sessionize", // flatMapGroupsWithState, batch-evaluated vs gaps-and-islands SQL
       (s, d) => streaming.EventsStream
         .sessionizeSummary(graft.core.Sources.events(s, d)),
       Some(streaming.EventsStream.sessionizeOracle())),
-    Q("q_ann_ivf", // rows-only: the exact-cosine contract vs brute force is asserted by SimilaritySpec ("IVF never beats brute force") on top of the oracle-checked q_ann_brute_force
-      (s, d) => llm.Similarity.ivfTopK(s, d), None),
+    Q("q_ann_ivf",
+      (s, d) => llm.Similarity.ivfTopK(s, d),
+      Some(llm.Similarity.ivfOracle())),
     Q("q_llm_corpus_pipeline",
       (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)),
     // General analytics beyond the reference surface.

@@ -271,6 +271,35 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** DuckDB oracle for [[embeddingCosine]]: same integer-mix hyperplane
+    * buckets ([[Similarity.bucketOracle]]), same pair dedup, same cosine
+    * kernel — the doubles agree bit-for-bit (see
+    * [[Similarity.bruteForceOracle]]). */
+  def embeddingCosineOracle(minCosine: Double = 0.35, tables: Int = 4,
+      bits: Int = 6): String = {
+    val buckets = (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${Similarity.bucketOracle("emb", t * bits, bits)} AS bkt FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+       |bk AS (
+       |  $buckets),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM bk a JOIN bk b2
+       |    ON a.tbl = b2.tbl AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id),
+       |scored AS (
+       |  SELECT p.vec_a, p.vec_b,
+       |    list_dot_product(nb.emb, na.emb) / (nb.norm * na.norm) AS cos
+       |  FROM pairs p
+       |  JOIN n na ON na.vec_id = p.vec_a
+       |  JOIN n nb ON nb.vec_id = p.vec_b)
+       |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $minCosine""".stripMargin
+  }
+
   def ngramJaccardOracle(minJaccard: Double = 0.3): String =
     s"""WITH docs AS (
        |  SELECT doc_id, lang, source,

@@ -24,8 +24,10 @@ import graft.core.Sources
   *     candidate set by ~2^bits.  With an IVF-style layout (bucket =
   *     partition key on disk) the scan itself prunes to matching partitions.
   *
-  * Determinism: hyperplane weights derive from murmur3 `hash(plane, dim)` —
-  * no RNG state; ranking ties break on vec_id.
+  * Determinism: hyperplane weights derive from an integer multiplicative
+  * mix of (plane, dim) — no RNG state, and exact 64-bit arithmetic both
+  * Spark and DuckDB reproduce, so even the LSH variants are
+  * oracle-checkable; ranking ties break on vec_id.
   */
 object Similarity {
 
@@ -77,20 +79,116 @@ object Similarity {
   /** Number of random hyperplanes = signature bits. */
   val LshBits = 8
 
+  /** Hyperplane weight for (plane key `k`): an exact-integer multiplicative
+    * mix mod the prime 1e9+7, scaled to [-1, 1].  Replaces round-2's
+    * murmur3 `hash()` (Spark-only) so the SAME doubles come out of DuckDB;
+    * max intermediate ≈ 2.7e14, far below signed-64 overflow (ANSI-safe). */
+  private def weightExpr(k: String): String =
+    s"CAST((($k) * 2654435761) % 1000000007 AS DOUBLE) / 500000003.0 - 1.0"
+
   /** Deterministic random-hyperplane bucket id for an embedding column,
     * over planes [planeOffset, planeOffset + bits).  Different offsets give
     * independent hash tables (multi-table LSH trades compute for recall). */
   private[llm] def bucketExpr(embCol: String, planeOffset: Int = 0,
       bits: Int = LshBits): String = {
-    // weight(p, i) = murmur3(p * 4099 + i) scaled to [-1, 1]
     val bit = (b: Int) => {
       val p = planeOffset + b
       s"""CASE WHEN aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
-         |  (x, i) -> CAST(x AS DOUBLE) * (CAST(hash($p * 4099 + i) AS DOUBLE) / 2147483647.0)),
+         |  (x, i) -> CAST(x AS DOUBLE) * (${weightExpr(s"$p * 4099 + i + 1")})),
          |  0D, (acc, v) -> acc + v) > 0 THEN ${1 << b} ELSE 0 END""".stripMargin
     }
     (0 until bits).map(bit).mkString(" + ")
   }
+
+  /** DuckDB mirror of [[bucketExpr]] over a DOUBLE[] column: same weights,
+    * same left-to-right fold, 1-based list indexing mapped back to the
+    * 0-based plane-dim key. */
+  private def bucketOracleExpr(embCol: String, planeOffset: Int,
+      bits: Int): String = {
+    val bit = (b: Int) => {
+      val p = planeOffset + b
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, len($embCol)),
+         |    i -> $embCol[i] * (${weightExpr(s"$p * 4099 + (i - 1) + 1")}))),
+         |  (acc, v) -> acc + v) > 0 THEN ${1 << b} ELSE 0 END""".stripMargin
+    }
+    (0 until bits).map(bit).mkString(" + ")
+  }
+
+  /** DuckDB oracle for [[lshTopK]] — same buckets (see
+    * [[bucketOracleExpr]]), same cosine kernel as [[bruteForceOracle]]. */
+  def lshOracle(numQueries: Int = 8, k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm,
+       |    ${bucketOracleExpr("emb", 0, LshBits)} AS bucket
+       |  FROM e),
+       |q AS (
+       |  SELECT vec_id AS query_id, bucket, emb AS q_emb, norm AS q_norm
+       |  FROM b WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(b.emb, q.q_emb) / (b.norm * q.q_norm) AS cos
+       |  FROM b JOIN q USING (bucket)
+       |  WHERE b.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id,
+       |  ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** Shared with [[Dedup.embeddingCosineOracle]]. */
+  private[llm] def bucketOracle(embCol: String, planeOffset: Int,
+      bits: Int): String = bucketOracleExpr(embCol, planeOffset, bits)
+
+  /** DuckDB oracle for [[ivfTopK]]: same deterministic coarse quantizer
+    * (centroids = the nlist lowest ids), same centroid ranking with the
+    * (c_sim DESC, cid ASC) tie-break, same probe set, same cosine kernel. */
+  def ivfOracle(numQueries: Int = 8, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+       |c AS (
+       |  SELECT vec_id AS cid, emb AS c_emb, norm AS c_norm
+       |  FROM n WHERE vec_id < $nlist),
+       |csim AS (
+       |  SELECT n.vec_id, n.emb, n.norm, c.cid,
+       |    list_dot_product(n.emb, c.c_emb) / (n.norm * c.c_norm) AS c_sim
+       |  FROM n CROSS JOIN c),
+       |ranked_c AS (
+       |  SELECT vec_id, emb, norm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY c_sim DESC, cid ASC) AS c_rank
+       |  FROM csim),
+       |assigned AS (
+       |  SELECT vec_id, emb, norm, cid FROM ranked_c WHERE c_rank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM ranked_c
+       |  WHERE vec_id < $numQueries AND c_rank <= $nprobe),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+       |  FROM n WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(a.emb, q.q_emb) / (a.norm * q.q_norm) AS cos
+       |  FROM assigned a
+       |  JOIN probes p USING (cid)
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id,
+       |  ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rnk <= $k""".stripMargin
 
   /** LSH-bucketed approximate top-k: candidates are scored only when they
     * share the query's hyperplane-sign bucket. */
