@@ -105,8 +105,9 @@ object SparkEntry {
       (s, d) => llm.Dedup.exact(s, d), Some(llm.Dedup.exactOracle)),
     Q("q_dedup_normalized",
       (s, d) => llm.Dedup.normalized(s, d), Some(llm.Dedup.normalizedOracle)),
-    Q("q_dedup_minhash_lsh", // rows-only: xxhash64 signature permutations have no DuckDB twin
-      (s, d) => llm.Dedup.minhashCandidates(s, d), None),
+    Q("q_dedup_minhash_lsh",
+      (s, d) => llm.Dedup.minhashCandidates(s, d),
+      Some(llm.Dedup.minhashOracle())),
     Q("q_dedup_simhash",
       (s, d) => llm.Dedup.simhash(s, d), Some(llm.Dedup.simhashOracle)),
     Q("q_dedup_token_jaccard",

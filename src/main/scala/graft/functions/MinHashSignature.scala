@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * when built-ins can't express a kernel efficiently: native Expression
   * with codegen > Scala UDF.
   *
+  * Cross-engine contract (round-3): every step is exact modular integer
+  * arithmetic — token hash = character polynomial `(acc*131 + char) mod p`,
+  * shingle mix = `(acc*31 + tokHash) mod p` seeded at 17 — with NO 64-bit
+  * wraparound anywhere (round 2 used `UTF8String.hashCode` + Java long
+  * overflow, which no other engine reproduces).  An independent engine with
+  * the same fold (`Dedup.minhashOracle`) now produces bit-identical
+  * signatures.  Characters are UTF-16 units, equal to code points on the
+  * BMP (the corpus is ASCII).
+  *
   * Duplicate shingles need no dedup — duplicates cannot change a minimum.
   * Documents with fewer than 3 tokens contribute a single shingle mixing
   * whatever tokens exist.
@@ -44,7 +53,7 @@ case class MinHashSignature(child: Expression)
     val tokHashes = new Array[Long](n)
     var j = 0
     while (j < n) {
-      tokHashes(j) = arr.getUTF8String(j).hashCode().toLong
+      tokHashes(j) = tokenHash(arr.getUTF8String(j).toString)
       j += 1
     }
     new GenericArrayData(signature(tokHashes))
@@ -59,7 +68,8 @@ case class MinHashSignature(child: Expression)
          |final int $n = $c.numElements();
          |final long[] $tok = new long[$n];
          |for (int $j = 0; $j < $n; $j++) {
-         |  $tok[$j] = (long) $c.getUTF8String($j).hashCode();
+         |  $tok[$j] = graft.functions.MinHashSignature.tokenHash(
+         |    $c.getUTF8String($j).toString());
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.MinHashSignature.signature($tok));
@@ -75,6 +85,18 @@ object MinHashSignature {
   val Prime = 2147483647L // 2^31 - 1
   val ShingleWidth = 3
 
+  /** Character polynomial mod [[Prime]] — exact in any engine (max
+    * intermediate ≈ 2.8e11, no wraparound). */
+  def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 131 + s.charAt(i)) % Prime
+      i += 1
+    }
+    h
+  }
+
   /** Shared kernel for interpreted eval and generated code. */
   def signature(tokHashes: Array[Long]): Array[Long] = {
     val mins = Array.fill(NumHashes)(Long.MaxValue)
@@ -84,14 +106,16 @@ object MinHashSignature {
     while (j < nShingles) {
       // Mix the shingle's token hashes (fewer than ShingleWidth near the
       // end only when the document itself is shorter than one shingle).
-      var h = 1125899906842597L
+      // Modular at every step: token hashes are < Prime so the largest
+      // intermediate is 31 * Prime + Prime ≈ 6.9e10 — exact everywhere.
+      var h = 17L
       var k = j
       val end = math.min(j + ShingleWidth, n)
       while (k < end) {
-        h = h * 31 + tokHashes(k)
+        h = (h * 31 + tokHashes(k)) % Prime
         k += 1
       }
-      val sh = java.lang.Math.floorMod(h, Prime)
+      val sh = h
       var i = 0
       while (i < NumHashes) {
         val v = ((2L * i + 1) * sh + 7L * i + 3) % Prime

@@ -72,11 +72,21 @@ object Dedup {
       expr("minhash_signature(split(text, ' '))").as("sig"))
   }
 
+  /** Band-bucket key: polynomial mix of the band's 4 signature positions,
+    * mod a prime just under sqrt(2^63) so `acc*131 + sig` never overflows.
+    * Replaces round-2's `xxhash64(concat_ws(...))` so DuckDB reproduces the
+    * buckets ([[minhashOracle]]); a spurious bucket collision (~3e9 key
+    * space) only adds a candidate pair that the est-Jaccard filter scores
+    * identically in both engines. */
+  private val BandMixPrime = 3037000493L
+  private def bandHashExpr(sliceExpr: String): String =
+    s"aggregate($sliceExpr, 0L, (acc, x) -> (acc * 131 + x) % $BandMixPrime)"
+
   /** MinHash-LSH near-duplicate candidate pairs with the estimated Jaccard
     * (fraction of agreeing signature positions).  Band → bucket → equi-join:
     * the pair join key is (band_id, band_hash), so the shuffle is bounded by
-    * bucket sizes.  Rows-only correctness check (xxhash64 has no DuckDB
-    * equivalent). */
+    * bucket sizes.  Fully DuckDB-checked since every hash is exact modular
+    * arithmetic ([[graft.functions.MinHashSignature]], [[minhashOracle]]). */
   def minhashCandidates(spark: SparkSession, dir: String,
       minEstJaccard: Double = 0.2): DataFrame = {
     // The signature pipeline is consumed three times (band generation plus
@@ -98,7 +108,7 @@ object Dedup {
       explode(expr(
         s"""transform(sequence(0, ${NumBands - 1}),
            |  b -> struct(b AS band_id,
-           |              xxhash64(concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows))) AS band_hash))""".stripMargin))
+           |              ${bandHashExpr(s"slice(sig, b * $BandRows + 1, $BandRows)")} AS band_hash))""".stripMargin))
         .as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     // Distinct id pairs FIRST (a pair colliding in k bands would otherwise
@@ -118,6 +128,63 @@ object Dedup {
         expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))
                 | / CAST($NumHashes AS DOUBLE)""".stripMargin).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** DuckDB mirror of the FULL minhash pipeline — signatures
+    * ([[graft.functions.MinHashSignature]]: char-polynomial token hash,
+    * seeded 3-shingle mix, 64 affine permutations, all mod 2^31-1), band
+    * bucketing ([[bandHashExpr]]), distinct ordered pairs, and the
+    * estimated Jaccard (agreeing positions / 64, an exact multiple of
+    * 1/64 in both engines). */
+  def minhashOracle(minEstJaccard: Double = 0.2): String = {
+    val P = graft.functions.MinHashSignature.Prime
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS T FROM documents),
+       |th AS (
+       |  SELECT doc_id, len(T) AS n,
+       |    list_transform(T, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(1, length(t)),
+       |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * 131 + c) % $P)) AS th
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      generate_series(1, greatest(n - ${graft.functions.MinHashSignature.ShingleWidth - 1}, 1)),
+       |      j -> list_reduce(
+       |        list_prepend(CAST(17 AS BIGINT),
+       |          list_slice(th, j, least(j + ${graft.functions.MinHashSignature.ShingleWidth - 1}, n))),
+       |        (acc, x) -> (acc * 31 + x) % $P)) AS shs
+       |  FROM th),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${NumHashes - 1}),
+       |      i -> list_min(list_transform(shs,
+       |        s -> ((2 * i + 1) * s + 7 * i + 3) % $P))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, r.b AS band_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_slice(sig, r.b * $BandRows + 1, r.b * $BandRows + $BandRows)),
+       |      (acc, x) -> (acc * 131 + x) % $BandMixPrime) AS band_hash
+       |  FROM sig CROSS JOIN range(0, $NumBands) r(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b,
+       |  list_sum(list_transform(generate_series(1, $NumHashes),
+       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+       |    / CAST($NumHashes AS DOUBLE) AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.doc_a
+       |JOIN sig sb ON sb.doc_id = p.doc_b
+       |WHERE list_sum(list_transform(generate_series(1, $NumHashes),
+       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+       |    / CAST($NumHashes AS DOUBLE) >= $minEstJaccard""".stripMargin
   }
 
   /** SimHash modulus (prime) and its majority threshold. */
