@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.MinHashSignature
+import graft.functions.{MinHashSignature, SimHashBands}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * functions available to ANY session (including plain `spark-sql` /
@@ -14,6 +14,8 @@ import graft.functions.MinHashSignature
   * injects once here instead of per-job.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHashSignature.description)
+    ext.injectFunction(SimHashBands.description)
+  }
 }

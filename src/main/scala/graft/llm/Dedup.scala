@@ -203,28 +203,20 @@ object Dedup {
     * mod a prime is a bijection, so each bit splits the hash space evenly.
     * Every step is exact 64-bit integer math far below overflow (max
     * ~1.3e11), identical in Spark and DuckDB → the full output is
-    * hash-checked.  All per-row HOF lambdas (interpreted); at 100 TB the
-    * inner loop would move into a codegen'd Expression exactly like
-    * [[graft.functions.MinHashSignature]].
+    * hash-checked.  The per-row kernel is the codegen'd
+    * [[graft.functions.SimHashBands]] expression — one primitive-long loop,
+    * no interpreted lambdas in the hot path.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokenHashes =
-      """transform(array_distinct(split(text, ' ')),
-        |  t -> aggregate(
-        |         transform(sequence(1, length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
-        |         CAST(0 AS BIGINT),
-        |         (acc, c) -> (acc * 131 + c) % 1000000007))""".stripMargin
-    def bitSum(b: Int) =
-      s"""aggregate(token_hashes, 0L,
-         |  (acc, h) -> acc + CASE WHEN ((h + 1) * ${2 * b + 3}) % $SimP > $SimHalf
-         |                         THEN 1 ELSE -1 END)""".stripMargin
-    def band(k: Int) = (0 until 16).map { j =>
-      s"CASE WHEN (${bitSum(63 - (k * 16 + j))}) > 0 THEN ${1 << (15 - j)} ELSE 0 END"
-    }.mkString(" + ")
+    // Kernel lives in the codegen'd [[graft.functions.SimHashBands]]
+    // expression: the built-in formulation needed 64 interpreted `aggregate`
+    // HOFs per row (one per bit), re-walking the token hashes 64 times —
+    // the same escalation that created MinHashSignature.
+    graft.functions.SimHashBands.register(spark)
     Sources.documents(spark, dir)
-      .withColumn("token_hashes", expr(tokenHashes))
+      .withColumn("bands", expr("simhash_bands(array_distinct(split(text, ' ')))"))
       .select(Seq(col("doc_id")) ++
-        (0 until 4).map(k => expr(band(k)).as(s"band$k")): _*)
+        (0 until 4).map(k => expr(s"CAST(bands[$k] AS INT)").as(s"band$k")): _*)
   }
 
   /** DuckDB mirror of [[simhash]] — same polynomial, same bit mixing. */

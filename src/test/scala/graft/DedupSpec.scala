@@ -51,6 +51,20 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("simhash bands are 16-bit, deterministic, and equal for identical texts") {
+    val bands = Dedup.simhash(spark, Sf001)
+    val rows = bands.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      (1 to 4).foreach { i =>
+        val v = r.getInt(i)
+        assert(v >= 0 && v <= 0xFFFF, s"band out of 16-bit range: $v")
+      }
+    }
+    val again = Dedup.simhash(spark, Sf001).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("prefix-filtered jaccard equals the naive all-pairs result") {
     // The AllPairs prefix filter must be LOSSLESS: same pairs, same scores
     // as the quadratic within-(lang, source) formulation it replaced.
