@@ -63,21 +63,25 @@ def canon(df):
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     return s
 
-def gate_hazards(df):
+def gate_hazards(df, oracle_checked=True):
     """Driver-gate strictness the value-compare can't see (round-2 verdict):
     the driver stringifies Decimal cells with trailing zeros (DuckDB side is
     float64 -> hash mismatch) and its row-sorter crashes on array cells.
-    Any such column in an oracle-checked output is a FAIL here even when
-    values match."""
+    The row-sorter runs on EVERY entry (round 3 lost a rows-only DATE[]
+    query to it), so arrays fail unconditionally; decimals only matter when
+    an oracle hash-compare happens.  Scans FULL columns — only object-dtype
+    columns can hold Decimal/array cells, and a mostly-null column's first
+    offender may sit past any fixed-size head probe (round-3 ADVICE)."""
     haz = []
     for c in df.columns:
+        if df[c].dtype != object:
+            continue
         s = df[c].dropna()
         if not len(s):
             continue
-        probe = s.head(100)
-        if probe.map(lambda x: isinstance(x, Decimal)).any():
+        if oracle_checked and s.map(lambda x: isinstance(x, Decimal)).any():
             haz.append(f"col {c}: DECIMAL cells (driver renders trailing zeros)")
-        if probe.map(lambda x: isinstance(x, (np.ndarray, list))).any():
+        if s.map(lambda x: isinstance(x, (np.ndarray, list))).any():
             haz.append(f"col {c}: ARRAY cells (driver row-sorter crashes)")
     return haz
 
@@ -91,7 +95,11 @@ for name in names:
         continue
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     if name not in oracle:
-        skipped.append((name, len(spark_df)))
+        haz = gate_hazards(spark_df, oracle_checked=False)
+        if haz:
+            fails.append((name, "driver-gate hazard: " + "; ".join(haz)))
+        else:
+            skipped.append((name, len(spark_df)))
         continue
     haz = gate_hazards(spark_df)
     if haz:

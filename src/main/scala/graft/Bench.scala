@@ -35,6 +35,13 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        // Cold-honesty (round-3 verdict, "What's wrong #2"): clear BETWEEN
+        // reps, not after them — a query that persists intermediates
+        // (minhash signatures) would otherwise run rep 2 against rep 1's
+        // cache and the reported min would be a warm-cache number nobody
+        // pays on a first execution.  Every rep below is Spark-cache-cold;
+        // only JVM JIT state stays warm across reps.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop sink materializes every column of every row (a bare count()
         // would let Catalyst prune all columns and flatter the numbers).
@@ -44,17 +51,18 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // Queries that persist intermediates (minhash signatures) would
-      // otherwise accumulate cached blocks across 50+ queries × reps in
-      // this one shared session, polluting later timings.
-      spark.catalog.clearCache()
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Per-rep telemetry so cold JIT/codegen, steady-state, and machine
+    // contention are distinguishable from the artifact alone.
+    val repArrays = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":"$sfDir"}"""
     try Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
     catch { case _: Throwable => }

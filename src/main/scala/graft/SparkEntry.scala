@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.RunConfig
@@ -48,9 +48,18 @@ object SparkEntry {
         periodAsArray = false),
       Some(Fechamento.oracle(cfg.currentMonthStart, isCurrent = true, cfg,
         periodAsArray = false))),
-    Q("q_p6_fechamento_periodo_array", // C15 DATE[] schema variant, rows-only
-      (s, d) => Fechamento(s, d, cfg.currentMonthStart, isCurrent = true, cfg),
-      None),
+    Q("q_p6_fechamento_periodo_array", // C15 DATE[] schema variant
+      // The plan builds the true ArrayType(DateType) column (P6 schema,
+      // db_schema_comissao.py:142-178) and renders it to a string in the
+      // final projection — the driver's row-sorter crashes on array CELLS
+      // (round-2/3 verdicts), so arrays must never cross the gate.
+      // array_join and DuckDB's concat_ws both skip NULL elements and both
+      // engines print DATE as yyyy-MM-dd, so this variant is fully
+      // hash-checked rather than rows-only.
+      (s, d) => Fechamento(s, d, cfg.currentMonthStart, isCurrent = true, cfg)
+        .withColumn("periodo_responsabilidade",
+          expr("array_join(CAST(periodo_responsabilidade AS ARRAY<STRING>), ',')")),
+      Some(Fechamento.oracle(cfg.currentMonthStart, isCurrent = true, cfg))),
     // Operator-unit queries (SURVEY.md §2 coverage).
     Q("q_p1_scoped_farmer", // F8 param-driven predicate
       (s, d) => ReceitaFarmerPassado(s, d, cfg.copy(farmerId = Some(7))),

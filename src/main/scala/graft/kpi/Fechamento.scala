@@ -72,12 +72,13 @@ object Fechamento {
   /** @param month         closing month (first day)
     * @param isCurrent     P6 semantics (current-month flag) vs P5
     * @param periodAsArray P6's DATE[] period column
-    *                      (`db_schema_comissao.py:142-178`); the registered
-    *                      query passes false (P5-style scalar bounds) because
-    *                      the driver's row-sorter crashes on array cells —
-    *                      the DATE[] shape stays available here and is
-    *                      exercised by the rows-only
-    *                      `q_p6_fechamento_periodo_array` entry.
+    *                      (`db_schema_comissao.py:142-178`); the primary
+    *                      registered query passes false (P5-style scalar
+    *                      bounds) because the driver's row-sorter crashes on
+    *                      array cells — the DATE[] shape is exercised by
+    *                      `q_p6_fechamento_periodo_array`, which builds the
+    *                      array in-plan and string-renders it in the final
+    *                      projection (hash-checked vs a concat_ws oracle).
     */
   def apply(spark: SparkSession, dir: String, month: LocalDate,
       isCurrent: Boolean, cfg: RunConfig = RunConfig.default,
@@ -327,7 +328,10 @@ object Fechamento {
       .mkString(",\n  ")
     val periodCols =
       if (isCurrent && periodAsArray)
-        s"[periodo_inicio, COALESCE(periodo_fim_raw, DATE '${cfg.runDate}')] AS periodo_responsabilidade"
+        // Matches the registered query's array_join rendering: concat_ws and
+        // array_join both skip NULL elements, and both engines render DATE
+        // as 'yyyy-MM-dd', so the strings agree cell-for-cell.
+        s"concat_ws(',', CAST(periodo_inicio AS VARCHAR), CAST(COALESCE(periodo_fim_raw, DATE '${cfg.runDate}') AS VARCHAR)) AS periodo_responsabilidade"
       else
         s"""periodo_inicio AS periodo_responsabilidade_inicio,
            |  COALESCE(periodo_fim_raw, DATE '${cfg.runDate}') AS periodo_responsabilidade_fim""".stripMargin

@@ -302,8 +302,10 @@ object Dedup {
     * constant factor of compute for recall on moderate-similarity pairs;
     * pair generation stays bounded by bucket sizes — no all-pairs scoring.
     * The default threshold suits the synthetic corpus, whose most similar
-    * pairs sit near cosine 0.4-0.5.  Rows-only check (float fold order has
-    * no cross-engine oracle). */
+    * pairs sit near cosine 0.4-0.5.  Fully oracle-checked: DuckDB's
+    * `list_dot_product` evaluates the same left-to-right fold as the Spark
+    * kernel, so the cosines agree bit-for-bit (see
+    * [[embeddingCosineOracle]]). */
   def embeddingCosine(spark: SparkSession, dir: String,
       minCosine: Double = 0.35, tables: Int = 4, bits: Int = 6): DataFrame = {
     val emb = Similarity.withNorm(Sources.embeddings(spark, dir))

@@ -14,19 +14,24 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("oracle-checked outputs carry no decimal or array columns (driver-gate contract)") {
+  test("registered outputs carry no driver-gate hazard columns") {
     // The driver's canonicalizer stringifies Decimal cells with trailing
     // zeros (DuckDB's side is float64 -> hash mismatch) and its row-sorter
     // crashes on array cells: 29/50 queries went red in round 2 on exactly
-    // this.  Guard the whole registry so a future query can't regress it.
-    import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    // this, and round 3 lost q_p6_fechamento_periodo_array because the
+    // guard only covered oracle-checked entries — the driver sorts rows
+    // even for rows-only checks, so arrays are forbidden in EVERY
+    // registered output; decimals only hash-mismatch, so they are
+    // forbidden wherever an oracle exists.
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType}
     val oracleNames = SparkEntry.oracleSql.keySet
     val offenders = SparkEntry.queries.toSeq
-      .filter { case (name, _) => oracleNames.contains(name) }
       .flatMap { case (name, fn) =>
         fn(spark, Sf001).schema.fields.toSeq.collect {
-          case f if f.dataType.isInstanceOf[DecimalType] => s"$name.${f.name}: decimal"
-          case f if f.dataType.isInstanceOf[ArrayType]   => s"$name.${f.name}: array"
+          case f if f.dataType.isInstanceOf[DecimalType] && oracleNames(name) =>
+            s"$name.${f.name}: decimal"
+          case f if f.dataType.isInstanceOf[ArrayType] => s"$name.${f.name}: array"
+          case f if f.dataType.isInstanceOf[MapType]   => s"$name.${f.name}: map"
         }
       }
     assert(offenders.isEmpty, s"driver-gate hazards: ${offenders.mkString(", ")}")
