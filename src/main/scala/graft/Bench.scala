@@ -5,64 +5,76 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line `{"metric":"total",...}`.
   *
-  * Honesty rules (round-2 verdict, "Performance"): each query runs
-  * SPARK_GRAFT_BENCH_REPS times (default 2) and the MIN is reported — a
-  * single run at 32 cores carries multi-second JIT/GC noise that made four
-  * round-2 numbers undiagnosable.  The JSON also lands in
-  * SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd) so the result
-  * survives even if stdout is decorated; build.sbt's
-  * `run / outputStrategy := StdoutOutput` keeps the printed line clean of
-  * sbt's "[info] " prefix (which made BENCH_r01/r02 unparseable).
+  * Honesty + robustness rules (round-2/3 verdicts):
+  *
+  *   - Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the MIN
+  *     is reported; the full per-rep durations AND their wall-clock start
+  *     offsets land in the JSON (`"reps"`, `"starts"`), so cold
+  *     JIT/codegen, steady state, and machine contention are all
+  *     distinguishable from the artifact alone.
+  *   - Reps are INTERLEAVED as full passes over the query list (pass 1 runs
+  *     every query once, then pass 2, ...), not back-to-back. Round-4
+  *     measurement (docs/PLANS_r04.md) showed the host suffers multi-second
+  *     stall episodes that rotate between runs — back-to-back reps let one
+  *     episode poison every rep of a single query (the round-2/3
+  *     "same-plan sibling 10x" anomalies); interleaving separates a query's
+  *     reps by a whole pass (~a minute), so its min survives an episode.
+  *   - `clearCache()` runs before EVERY timed execution: a query that
+  *     persists intermediates (minhash signatures) must pay its full
+  *     pipeline cost each rep — only JVM JIT state stays warm across
+  *     passes (round-3 "What's wrong #2").
+  *   - The JSON also lands in SPARK_GRAFT_BENCH_OUT (default
+  *     bench_out.json) so the result survives a decorated stdout;
+  *     build.sbt's `run / outputStrategy := StdoutOutput` keeps the printed
+  *     line clean of sbt's "[info] " prefix (broke BENCH_r01/r02 parsing).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: session startup, codegen, parquet footers, and the
-    // OS page cache for the large fact tables would otherwise land
-    // entirely on whichever query happens to run first.
-    Seq("region", "lineitem", "orders").foreach { t =>
+    // Untimed warmup: session startup, codegen infra, parquet footers, and
+    // the OS page cache would otherwise land entirely on whichever query
+    // happens to run first.  Touch every table the registry reads.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        // Cold-honesty (round-3 verdict, "What's wrong #2"): clear BETWEEN
-        // reps, not after them — a query that persists intermediates
-        // (minhash signatures) would otherwise run rep 2 against rep 1's
-        // cache and the reported min would be a warm-cache number nobody
-        // pays on a first execution.  Every rep below is Spark-cache-cold;
-        // only JVM JIT state stays warm across reps.
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        // noop sink materializes every column of every row (a bare count()
-        // would let Catalyst prune all columns and flatter the numbers).
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val benchT0 = System.nanoTime()
+    val samples = // query -> per-pass (startOffsetSec, durationSec)
+      scala.collection.mutable.LinkedHashMap(
+        queries.map { case (n, _) => n -> Vector.empty[(Double, Double)] }: _*)
+    for (_ <- 1 to reps; (name, fn) <- queries) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      // noop sink materializes every column of every row (a bare count()
+      // would let Catalyst prune all columns and flatter the numbers).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> times
+      val t1 = System.nanoTime()
+      samples(name) :+= ((t0 - benchT0) / 1e9, (t1 - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
-    // Per-rep telemetry so cold JIT/codegen, steady-state, and machine
-    // contention are distinguishable from the artifact alone.
-    val repArrays = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    def obj(f: Vector[(Double, Double)] => String): String =
+      samples.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val qs = obj(v => v.map(_._2).min.toString)
+    val repArrays = obj(v => v.map(_._2).mkString("[", ",", "]"))
+    val startArrays = obj(v =>
+      v.map(s => f"${s._1}%.1f").mkString("[", ",", "]"))
+    val total = samples.valuesIterator.map(_.map(_._2).min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"starts":$startArrays,"sf":"$sfDir"}"""
     try Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
     catch { case _: Throwable => }

@@ -140,8 +140,13 @@ object SparkEntry {
       Some(llm.TextAnalysis.fingerprintOracle)),
     Q("q_multimodal_metadata",
       (s, d) => llm.Multimodal.metadata(s, d), Some(llm.Multimodal.metadataOracle)),
-    Q("q_multimodal_features", // rows-only: features come from the stubbed binary decoder, outside SQL
-      (s, d) => llm.Multimodal.featureSummary(s, d), None),
+    Q("q_multimodal_features",
+      // The decoder runs in mapPartitions (outside SQL), but FakeDecoder's
+      // integer-exact numerics make the summary a pure function of the
+      // payload bytes — so the entry is hash-checked after all (round-3
+      // stretch item; see Multimodal.featureSummaryOracle).
+      (s, d) => llm.Multimodal.featureSummary(s, d),
+      Some(llm.Multimodal.featureSummaryOracle)),
     Q("q_stream_daily_window",
       (s, d) => streaming.EventsStream.dailyAgg(graft.core.Sources.events(s, d)),
       Some(streaming.EventsStream.dailyAggOracle)),

@@ -302,9 +302,9 @@ object Dedup {
     * constant factor of compute for recall on moderate-similarity pairs;
     * pair generation stays bounded by bucket sizes — no all-pairs scoring.
     * The default threshold suits the synthetic corpus, whose most similar
-    * pairs sit near cosine 0.4-0.5.  Fully oracle-checked: DuckDB's
-    * `list_dot_product` evaluates the same left-to-right fold as the Spark
-    * kernel, so the cosines agree bit-for-bit (see
+    * pairs sit near cosine 0.4-0.5.  Fully oracle-checked: the oracle
+    * spells the dot product as the same explicit left-to-right fold as the
+    * Spark kernel, so the cosines agree bit-for-bit (see
     * [[embeddingCosineOracle]]). */
   def embeddingCosine(spark: SparkSession, dir: String,
       minCosine: Double = 0.35, tables: Int = 4, bits: Int = 6): DataFrame = {
@@ -334,8 +334,9 @@ object Dedup {
 
   /** DuckDB oracle for [[embeddingCosine]]: same integer-mix hyperplane
     * buckets ([[Similarity.bucketOracle]]), same pair dedup, same cosine
-    * kernel — the doubles agree bit-for-bit (see
-    * [[Similarity.bruteForceOracle]]). */
+    * kernel — spelled as the explicit [[Similarity.dotOracle]] left fold so
+    * the unrounded `cos >= minCosine` threshold cannot drift if DuckDB ever
+    * changes `list_dot_product`'s summation order. */
   def embeddingCosineOracle(minCosine: Double = 0.35, tables: Int = 4,
       bits: Int = 6): String = {
     val buckets = (0 until tables).map { t =>
@@ -344,7 +345,7 @@ object Dedup {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |n AS (
-       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+       |  SELECT vec_id, emb, sqrt(${Similarity.dotOracle("emb", "emb")}) AS norm FROM e),
        |bk AS (
        |  $buckets),
        |pairs AS (
@@ -353,7 +354,7 @@ object Dedup {
        |    ON a.tbl = b2.tbl AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id),
        |scored AS (
        |  SELECT p.vec_a, p.vec_b,
-       |    list_dot_product(nb.emb, na.emb) / (nb.norm * na.norm) AS cos
+       |    ${Similarity.dotOracle("nb.emb", "na.emb")} / (nb.norm * na.norm) AS cos
        |  FROM pairs p
        |  JOIN n na ON na.vec_id = p.vec_a
        |  JOIN n nb ON nb.vec_id = p.vec_b)

@@ -57,16 +57,31 @@ object Multimodal {
   /** Deterministic stand-in for a media decoder: "decodes" a payload into a
     * fixed-dimension feature vector from its bytes.  A real deployment
     * replaces ONLY this function (e.g. JNI image codec / ONNX encoder); the
-    * batch plumbing around it is unchanged. */
+    * batch plumbing around it is unchanged.
+    *
+    * Numerics are chosen so the features are EXACT: each lane accumulates
+    * its bytes as integers (lane `l` takes payload positions `l, l+8, …`),
+    * then scales by the power of two 1/256 — a long below 2²⁴ converts to
+    * float losslessly and the division only shifts the exponent, so every
+    * feature is an exactly-representable float and an independent engine
+    * can reproduce it from the bytes alone (see [[featureSummaryOracle]]).
+    * Exactness holds for payloads under ~512 KiB (2²⁴·8/255 bytes); the
+    * corpus documents are well under that. */
   object FakeDecoder {
     val FeatureDim = 8
 
     def decode(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatureDim)
+      val acc = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
-        out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        acc(i % FeatureDim) += (payload(i) & 0xff)
         i += 1
+      }
+      val out = new Array[Float](FeatureDim)
+      var l = 0
+      while (l < FeatureDim) {
+        out(l) = acc(l) / 256.0f
+        l += 1
       }
       out
     }
@@ -95,12 +110,37 @@ object Multimodal {
       }(enc)
   }
 
-  /** Feature summary registered as a rows-only query (mapPartitions output
-    * is not SQL-expressible): per-doc feature norm, deterministic. */
+  /** Feature summary — per-doc feature squared norm.  Although the features
+    * come out of the `mapPartitions` decoder (not SQL), [[FakeDecoder]]'s
+    * integer-exact numerics make the summary a pure function of the payload
+    * bytes, so this IS oracle-checkable (round-3 verdict, stretch item). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir).selectExpr(
       "doc_id", "n_bytes",
       "size(features) AS feature_dim",
       """round(aggregate(features, 0D,
         | (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 6) AS feature_sq_norm""".stripMargin)
+
+  /** DuckDB mirror of [[featureSummary]]: the corpus is ASCII (verified:
+    * `octet_length(encode(text)) = length(text)` over every scale), so
+    * `ascii(substr(text, p, 1))` enumerates payload bytes; lane `l` sums
+    * byte positions `l+1, l+9, …` (1-based) exactly in BIGINT, scales by
+    * the double 1/256 (exact — see [[FakeDecoder]]), and the squared norm
+    * folds the 8 lane squares left-to-right like Spark's `aggregate`.
+    * Each lane square has ≤48 significant bits (lane values carry ≤24), so
+    * the squares themselves are exact and only the final 8-term sum
+    * rounds — identically in both engines given the same order. */
+  val featureSummaryOracle: String = {
+    def lane(l: Int): String =
+      s"""(CAST(COALESCE(list_sum(list_transform(
+         |  generate_series(${l + 1}, octet_length(encode(text)), ${FakeDecoder.FeatureDim}),
+         |  p -> ascii(substr(text, p, 1)))), 0) AS DOUBLE) / 256.0)""".stripMargin
+    val sq = (0 until FakeDecoder.FeatureDim)
+      .map(l => s"${lane(l)} * ${lane(l)}").mkString("\n  + ")
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  CAST(${FakeDecoder.FeatureDim} AS INT) AS feature_dim,
+       |  round($sq, 6) AS feature_sq_norm
+       |FROM documents""".stripMargin
+  }
 }

@@ -51,22 +51,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Explicit left-to-right double fold for every oracle dot product — the
+    * same evaluation order as the Spark kernel's `aggregate(zip_with(...))`.
+    * Spelled out as `list_reduce` rather than `list_dot_product` so the
+    * oracle does not depend on that function's summation order staying a
+    * scalar left fold (a vectorized/pairwise rewrite in a future DuckDB
+    * would silently flip unrounded threshold and rank comparisons). */
+  private[llm] def dotOracle(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+       |    (acc, v) -> acc + v)""".stripMargin
+
   /** DuckDB oracle for [[bruteForceTopK]].  The cosine is spelled
-    * `dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with `list_dot_product` —
-    * the same left-to-right double fold and the same norm factorization as
-    * the Spark kernel, so the doubles agree bit-for-bit and the 6dp
-    * rounding + (cosine DESC, id ASC) ranking are identical. */
+    * `dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with the explicit
+    * [[dotOracle]] fold — the same left-to-right summation and the same
+    * norm factorization as the Spark kernel, so the doubles agree
+    * bit-for-bit and the 6dp rounding + (cosine DESC, id ASC) ranking are
+    * identical. */
   def bruteForceOracle(numQueries: Int = 8, k: Int = 5): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(${dotOracle("emb", "emb")}) AS norm FROM e),
        |q AS (
-       |  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $numQueries),
+       |  SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+       |  FROM n WHERE vec_id < $numQueries),
        |scored AS (
-       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |    list_dot_product(e.emb, q.q_emb)
-       |      / (sqrt(list_dot_product(e.emb, e.emb))
-       |         * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
-       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${dotOracle("n.emb", "q.q_emb")} / (n.norm * q.q_norm) AS cos
+       |  FROM n, q WHERE n.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -121,7 +134,7 @@ object Similarity {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |b AS (
-       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm,
+       |  SELECT vec_id, emb, sqrt(${dotOracle("emb", "emb")}) AS norm,
        |    ${bucketOracleExpr("emb", 0, LshBits)} AS bucket
        |  FROM e),
        |q AS (
@@ -129,7 +142,7 @@ object Similarity {
        |  FROM b WHERE vec_id < $numQueries),
        |scored AS (
        |  SELECT q.query_id, b.vec_id AS neighbor_id,
-       |    list_dot_product(b.emb, q.q_emb) / (b.norm * q.q_norm) AS cos
+       |    ${dotOracle("b.emb", "q.q_emb")} / (b.norm * q.q_norm) AS cos
        |  FROM b JOIN q USING (bucket)
        |  WHERE b.vec_id <> q.query_id),
        |ranked AS (
@@ -153,13 +166,13 @@ object Similarity {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |n AS (
-       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+       |  SELECT vec_id, emb, sqrt(${dotOracle("emb", "emb")}) AS norm FROM e),
        |c AS (
        |  SELECT vec_id AS cid, emb AS c_emb, norm AS c_norm
        |  FROM n WHERE vec_id < $nlist),
        |csim AS (
        |  SELECT n.vec_id, n.emb, n.norm, c.cid,
-       |    list_dot_product(n.emb, c.c_emb) / (n.norm * c.c_norm) AS c_sim
+       |    ${dotOracle("n.emb", "c.c_emb")} / (n.norm * c.c_norm) AS c_sim
        |  FROM n CROSS JOIN c),
        |ranked_c AS (
        |  SELECT vec_id, emb, norm, cid,
@@ -176,7 +189,7 @@ object Similarity {
        |  FROM n WHERE vec_id < $numQueries),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    list_dot_product(a.emb, q.q_emb) / (a.norm * q.q_norm) AS cos
+       |    ${dotOracle("a.emb", "q.q_emb")} / (a.norm * q.q_norm) AS cos
        |  FROM assigned a
        |  JOIN probes p USING (cid)
        |  JOIN q ON q.query_id = p.query_id
