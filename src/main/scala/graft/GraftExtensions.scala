@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{MinHashSignature, SimHashBands}
+import graft.functions.{HyperplaneBuckets, MinHashSignature, SimHashBands}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * functions available to ANY session (including plain `spark-sql` /
@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHashSignature.description)
     ext.injectFunction(SimHashBands.description)
+    ext.injectFunction(HyperplaneBuckets.description)
   }
 }

@@ -308,14 +308,16 @@ object Dedup {
     * [[embeddingCosineOracle]]). */
   def embeddingCosine(spark: SparkSession, dir: String,
       minCosine: Double = 0.35, tables: Int = 4, bits: Int = 6): DataFrame = {
+    // All tables' buckets come from ONE pass of the codegen'd
+    // [[graft.functions.HyperplaneBuckets]] kernel; the previous
+    // formulation ran tables × bits interpreted aggregate(zip_with(...))
+    // lambdas per row and dominated this query's profile.  posexplode's
+    // position IS the table id (plane offset t*bits, same as before).
+    graft.functions.HyperplaneBuckets.register(spark)
     val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
     val bucketed = emb.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          expr(Similarity.bucketExpr("embedding", t * bits, bits)).as("bkt"))
-      }: _*)).as("b"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("b.tbl"), col("b.bkt"))
+      posexplode(expr(s"hyperplane_buckets(embedding, $tables, $bits)")))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
     val pairs = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
       .join(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b")),
         Seq("tbl", "bkt"))

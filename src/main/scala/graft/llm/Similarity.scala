@@ -11,9 +11,12 @@ import graft.core.Sources
   * The cosine kernel is built-in higher-order functions (`zip_with` dot
   * product + `aggregate` fold) — no UDF and no Python boundary, but NOTE:
   * HOF lambdas are evaluated interpreted, outside whole-stage codegen
-  * (the reason [[graft.functions.MinHashSignature]] exists).  If ANN
-  * scoring ever dominates a profile, the dot product is the next candidate
-  * for the custom-codegen'd-Expression treatment.  Two variants:
+  * (the reason [[graft.functions.MinHashSignature]] exists).  The LSH
+  * bucket computation DID dominate the embedding-dedup profile (tables ×
+  * bits interpreted folds per row) and moved into the codegen'd
+  * [[graft.functions.HyperplaneBuckets]] expression in round 4; the
+  * pairwise dot product, evaluated only on bucket-pruned candidates, is
+  * the next candidate if it ever dominates.  Two variants:
   *
   *   - [[bruteForceTopK]]: exact baseline.  Scoring is a broadcast nested
   *     loop of the (tiny) query set against all candidates — each candidate
@@ -101,8 +104,13 @@ object Similarity {
 
   /** Deterministic random-hyperplane bucket id for an embedding column,
     * over planes [planeOffset, planeOffset + bits).  Different offsets give
-    * independent hash tables (multi-table LSH trades compute for recall). */
-  private[llm] def bucketExpr(embCol: String, planeOffset: Int = 0,
+    * independent hash tables (multi-table LSH trades compute for recall).
+    *
+    * This built-in SQL formulation is the REFERENCE semantics; production
+    * paths use the bit-identical codegen'd
+    * [[graft.functions.HyperplaneBuckets]] (SimilaritySpec asserts the
+    * equivalence on real data, so the two can never drift apart). */
+  private[graft] def bucketExpr(embCol: String, planeOffset: Int = 0,
       bits: Int = LshBits): String = {
     val bit = (b: Int) => {
       val p = planeOffset + b
@@ -204,11 +212,14 @@ object Similarity {
        |FROM ranked WHERE rnk <= $k""".stripMargin
 
   /** LSH-bucketed approximate top-k: candidates are scored only when they
-    * share the query's hyperplane-sign bucket. */
+    * share the query's hyperplane-sign bucket.  Buckets come from the
+    * codegen'd [[graft.functions.HyperplaneBuckets]] kernel (bit-identical
+    * to the [[bucketExpr]] SQL formulation — SimilaritySpec proves it). */
   def lshTopK(spark: SparkSession, dir: String,
       numQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.HyperplaneBuckets.register(spark)
     val emb = withNorm(Sources.embeddings(spark, dir))
-      .withColumn("bucket", expr(bucketExpr("embedding")))
+      .withColumn("bucket", expr(s"hyperplane_buckets(embedding, 1, $LshBits)[0]"))
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("embedding").as("q_embedding"), col("norm").as("q_norm"))

@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen'd hyperplane buckets equal the built-in SQL formulation bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.HyperplaneBuckets.register(spark)
+    val emb = graft.core.Sources.embeddings(spark, Sf001)
+    // Every (table, bits) shape used by production paths: the 4x6 dedup
+    // tables and the single 8-bit ANN table.
+    for ((tables, bits) <- Seq((4, 6), (1, 8))) {
+      val sqlBuckets = (0 until tables).map { t =>
+        expr(graft.llm.Similarity.bucketExpr("embedding", t * bits, bits))
+          .as(s"sql_$t")
+      }
+      val native = expr(s"hyperplane_buckets(embedding, $tables, $bits)").as("nat")
+      val mismatches = emb.select(col("vec_id") +: native +: sqlBuckets: _*)
+        .filter((0 until tables)
+          .map(t => s"nat[$t] <> sql_$t").mkString(" OR "))
+        .count()
+      assert(mismatches == 0L, s"buckets diverge for tables=$tables bits=$bits")
+    }
+  }
+
   test("LSH top-k neighbors are a subset of candidates sharing the query bucket, ranked consistently") {
     val out = Similarity.lshTopK(spark, Sf001, numQueries = 4, k = 3)
       .as[(Long, Int, Long, Double)].collect()
