@@ -162,6 +162,10 @@ object SparkEntry {
       (s, d) => streaming.EventsStream
         .sessionizeSummary(graft.core.Sources.events(s, d)),
       Some(streaming.EventsStream.sessionizeOracle())),
+    Q("q_stream_conversions", // stream-stream interval join, batch-evaluated
+      (s, d) => streaming.EventsStream
+        .conversionsFromEvents(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.conversionsOracle())),
     Q("q_ann_ivf",
       (s, d) => llm.Similarity.ivfTopK(s, d),
       Some(llm.Similarity.ivfOracle())),

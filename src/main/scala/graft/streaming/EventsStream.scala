@@ -141,6 +141,73 @@ object EventsStream {
       }
       .start()
 
+  /** Conversion attribution as an interval JOIN: every `purchase` a user
+    * makes within `windowMinutes` of their `view` (inclusive bounds).
+    *
+    * Works on batch OR streaming frames.  As a stream-stream join, each
+    * side is watermarked and the join condition carries the explicit time
+    * bound, so Spark can expire buffered state once the watermark passes
+    * `view.ts + window` — state is bounded by (watermark horizon ×
+    * arrival rate), never the whole stream.  StreamingSpec proves
+    * streaming ≡ batch on the same input.
+    *
+    * Scale notes: the join is an equi-join on user_id with the interval as
+    * a residual predicate — it shuffles both sides by user (or streams
+    * per-user state in streaming mode); there is no cross product.
+    */
+  def conversions(views: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_event_id"),
+      col("ts").as("view_ts"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"))
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_event_id"), col("purchase_event_id"),
+        col("view_ts"), col("purchase_ts"),
+        // Whole-second lag, the cross-engine-stable convention
+        // ([[sessionizeOracle]]): CAST(ts AS BIGINT) is epoch seconds.
+        (col("purchase_ts").cast("bigint") - col("view_ts").cast("bigint"))
+          .as("lag_seconds"))
+  }
+
+  /** Batch evaluation over the events table (the registered query). */
+  def conversionsFromEvents(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame =
+    conversions(events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"), windowMinutes)
+
+  /** Streaming variant: both sides watermarked; append mode.  The
+    * watermark horizon must cover the join window plus allowed lateness. */
+  def conversionsStream(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val wm = events.withWatermark("ts", s"${2 * windowMinutes} minutes")
+    conversions(wm.filter(col("event_type") === "view"),
+      wm.filter(col("event_type") === "purchase"), windowMinutes)
+  }
+
+  /** DuckDB oracle for [[conversionsFromEvents]] — the same interval
+    * equi-join.  Raw micro timestamps are cross-engine safe: both engines
+    * truncate the parquet TIMESTAMP(NANOS) to microseconds (verified
+    * bit-for-bit over the corpus).  The lag uses exact integer epoch
+    * microseconds (`epoch_us(ts) // 1e6` ≡ Spark's `CAST(ts AS BIGINT)`
+    * for positive timestamps) — a float `epoch()` could round across a
+    * whole-second boundary before flooring. */
+  def conversionsOracle(windowMinutes: Int = 30): String =
+    s"""SELECT v.user_id, v.event_id AS view_event_id,
+       |  p.event_id AS purchase_event_id,
+       |  v.ts AS view_ts, p.ts AS purchase_ts,
+       |  CAST(epoch_us(p.ts) // 1000000 AS BIGINT)
+       |    - CAST(epoch_us(v.ts) // 1000000 AS BIGINT) AS lag_seconds
+       |FROM (SELECT * FROM events WHERE event_type = 'view') v
+       |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON v.user_id = p.user_id
+       | AND p.ts >= v.ts
+       | AND p.ts <= v.ts + INTERVAL $windowMinutes MINUTE""".stripMargin
+
   /** Batch-mode oracle (windows are epoch-aligned, so a daily tumbling
     * window start equals date_trunc('day')). */
   val dailyAggOracle: String =

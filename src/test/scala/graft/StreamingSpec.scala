@@ -84,6 +84,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream conversion join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "purchase", 5.0),  // within 30m
+      (3L, ts("2024-01-01 10:40:01"), 7L, "purchase", 6.0),  // 1s too late
+      (4L, ts("2024-01-01 12:00:00"), 8L, "view", 0.0),
+      (5L, ts("2024-01-01 12:00:00"), 8L, "purchase", 9.0),  // same instant
+      (6L, ts("2024-01-01 12:30:00"), 9L, "purchase", 1.0))  // no view
+    def df(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(ev: _*)
+    val q = EventsStream.conversionsStream(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("conv_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("conv_test")
+      .orderBy("view_event_id", "purchase_event_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventsStream.conversionsFromEvents(df(ev))
+      .orderBy("view_event_id", "purchase_event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // (1 -> 2) inside the window, (4 -> 5) at lag zero; 3 misses by 1s.
+    assert(batch.map(r => (r(1), r(2))) == Seq((1L, 2L), (4L, 5L)))
+    assert(batch.map(_(5)) == Seq(600L, 0L))
+  }
+
   test("streaming daily aggregate matches the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
