@@ -197,7 +197,13 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.setOpsOracle)),
     Q("q_an_percentiles",
       (s, d) => graft.ops.AnalyticsQueries.percentiles(s, d),
-      Some(graft.ops.AnalyticsQueries.percentilesOracle)))
+      Some(graft.ops.AnalyticsQueries.percentilesOracle)),
+    Q("q_an_grouping_sets",
+      (s, d) => graft.ops.AnalyticsQueries.groupingSets(s, d),
+      Some(graft.ops.AnalyticsQueries.groupingSetsOracle)),
+    Q("q_an_moving_window",
+      (s, d) => graft.ops.AnalyticsQueries.movingWindow(s, d),
+      Some(graft.ops.AnalyticsQueries.movingWindowOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -150,6 +150,59 @@ object AnalyticsQueries {
       |  quantile_cont(l_quantity, 0.5) AS median_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** GROUPING SETS with explicit grouping flags (completes the
+    * grouping-sets family next to [[rollup]]'s hierarchy): one pass
+    * produces (flag, status) cells, per-flag totals, and per-status totals.
+    * `grouping(col)` disambiguates a subtotal row's NULL from a genuine
+    * NULL key — identical semantics in both engines. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Sources.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+         |  ${Frag.sumMoney(Frag.money("l_extendedprice"))} AS receita,
+         |  COUNT(*) AS n
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  val groupingSetsOracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+       |  ${Frag.sumMoney(Frag.money("l_extendedprice"))} AS receita,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), (l_linestatus))""".stripMargin
+
+  /** Interval RANGE-frame moving window (absent in the reference): each
+    * order's trailing-30-day customer spend.  The frame is VALUE-based
+    * (days since epoch), so rows sharing an order date share one frame and
+    * the result is deterministic under ties — a ROWS frame would not be.
+    * Decimal-exact sum per [[Frag]]. */
+  def movingWindow(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("data"),
+        expr(Frag.asMoney(
+          s"""SUM(${Frag.money("o_totalprice")}) OVER (
+             |  PARTITION BY o_custkey
+             |  ORDER BY datediff(o_orderdate, DATE '1970-01-01')
+             |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin))
+          .as("janela_30d"))
+
+  val movingWindowOracle: String =
+    s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS data,
+       |  ${Frag.asMoney(
+      s"""SUM(${Frag.money("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin)} AS janela_30d
+       |FROM orders""".stripMargin
+
   /** Pivot: monthly revenue with one column per return flag. */
   def pivot(spark: SparkSession, dir: String): DataFrame =
     Sources.lineitem(spark, dir)
