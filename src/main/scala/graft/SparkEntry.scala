@@ -147,6 +147,12 @@ object SparkEntry {
       // stretch item; see Multimodal.featureSummaryOracle).
       (s, d) => llm.Multimodal.featureSummary(s, d),
       Some(llm.Multimodal.featureSummaryOracle)),
+    Q("q_multimodal_resize", // batched "image rescale" stand-in
+      (s, d) => llm.Multimodal.resized(s, d),
+      Some(llm.Multimodal.resizedOracle)),
+    Q("q_multimodal_frames", // batched "video keyframe" stand-in
+      (s, d) => llm.Multimodal.frameSamples(s, d),
+      Some(llm.Multimodal.frameSamplesOracle)),
     Q("q_stream_daily_window",
       (s, d) => streaming.EventsStream.dailyAgg(graft.core.Sources.events(s, d)),
       Some(streaming.EventsStream.dailyAggOracle)),

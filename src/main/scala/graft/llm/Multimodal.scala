@@ -85,6 +85,32 @@ object Multimodal {
       }
       out
     }
+
+    /** "Resize": deterministic downsample keeping every `stride`-th byte —
+      * the stand-in for an image rescale; a real codec replaces only this. */
+    def resize(payload: Array[Byte], stride: Int = 2): Array[Byte] = {
+      val out = new Array[Byte]((payload.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+      out
+    }
+
+    val FrameLen = 64
+    val FrameStep = 4
+
+    /** "Frame sampling": fixed [[FrameLen]]-byte frames, keeping every
+      * [[FrameStep]]-th — the stand-in for video keyframe extraction.
+      * Returns (frame index, frame bytes); the last frame may be short. */
+    def sampleFrames(payload: Array[Byte]): Seq[(Int, Array[Byte])] = {
+      val frames = Seq.newBuilder[(Int, Array[Byte])]
+      var f = 0
+      while (f * FrameLen < payload.length) {
+        frames += f -> payload.slice(f * FrameLen,
+          math.min((f + 1) * FrameLen, payload.length))
+        f += FrameStep
+      }
+      frames.result()
+    }
   }
 
   private val featureSchema = StructType(Seq(
@@ -120,6 +146,91 @@ object Multimodal {
       "size(features) AS feature_dim",
       """round(aggregate(features, 0D,
         | (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 6) AS feature_sq_norm""".stripMargin)
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("resized_bytes", IntegerType, nullable = false),
+    StructField("resized_md5", StringType, nullable = false)))
+
+  /** Batched "resize" over the payloads — the image-rescale analog, same
+    * partition-preserving mapPartitions shape as [[decodeFeatures]]; only
+    * the (small) resized digest leaves the stage, payloads never shuffle. */
+  def resized(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    payloadTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // One digest instance per partition (digest() resets it per use) —
+        // the same per-partition-setup slot a real codec would occupy.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val small = FakeDecoder.resize(payload)
+          Row(r.getAs[Long]("doc_id"), payload.length, small.length,
+            Multimodal.hex(md.digest(small)))
+        }
+      }(enc)
+  }
+
+  private[llm] def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  /** DuckDB mirror of [[resized]] (ASCII corpus — see
+    * [[featureSummaryOracle]]): every 2nd byte is every 2nd char, and
+    * md5 of the sampled string hashes the same bytes. */
+  val resizedOracle: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  octet_length(encode(sampled)) AS resized_bytes,
+      |  md5(sampled) AS resized_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    array_to_string(list_transform(
+      |      generate_series(1, length(text), 2),
+      |      i -> substr(text, i, 1)), '') AS sampled
+      |  FROM documents) t""".stripMargin
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_len", IntegerType, nullable = false),
+    StructField("frame_md5", StringType, nullable = false)))
+
+  /** Batched frame sampling — the video-keyframe analog: one payload row
+    * explodes to its sampled frames inside the partition (a flatMap, so
+    * frames of one payload never cross partitions). */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    payloadTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val docId = r.getAs[Long]("doc_id")
+          FakeDecoder.sampleFrames(r.getAs[Array[Byte]]("payload")).map {
+            case (idx, bytes) => Row(docId, idx, bytes.length,
+              Multimodal.hex(md.digest(bytes)))
+          }
+        }
+      }(enc)
+  }
+
+  /** DuckDB mirror of [[frameSamples]]: frame f covers 1-based char
+    * positions [f·64+1, f·64+64]; sampled indices are 0, 4, 8, … while
+    * f·64 < length. */
+  val frameSamplesOracle: String = {
+    val (flen, step) = (FakeDecoder.FrameLen, FakeDecoder.FrameStep)
+    s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |  octet_length(encode(fr)) AS frame_len, md5(fr) AS frame_md5
+       |FROM (
+       |  SELECT doc_id, f, substr(text, f * $flen + 1, $flen) AS fr
+       |  FROM documents,
+       |    LATERAL UNNEST(generate_series(0,
+       |      CAST(ceil(length(text) / $flen.0) AS INT) - 1, $step)) u(f)) t""".stripMargin
+  }
 
   /** DuckDB mirror of [[featureSummary]]: the corpus is ASCII (verified:
     * `octet_length(encode(text)) = length(text)` over every scale), so

@@ -28,6 +28,21 @@ class MultimodalSpec extends SparkSpec {
       Seq.fill(FakeDecoder.FeatureDim)(0.0f))
   }
 
+  test("resize halves the payload and frame sampling tiles it without overlap") {
+    val p = (0 until 130).map(_.toByte).toArray
+    val small = FakeDecoder.resize(p)
+    assert(small.length == 65)
+    assert(small.toSeq == p.indices.filter(_ % 2 == 0).map(p(_)).toSeq)
+
+    val frames = FakeDecoder.sampleFrames(p) // frames 0 and 2 exist; step 4 keeps 0
+    assert(frames.map(_._1) == Seq(0))
+    assert(frames.head._2.toSeq == p.take(64).toSeq)
+    // A payload long enough to reach frame 4 keeps frames 0 and 4.
+    val long = (0 until 64 * 5 + 1).map(_.toByte).toArray
+    assert(FakeDecoder.sampleFrames(long).map(_._1) == Seq(0, 4))
+    assert(FakeDecoder.sampleFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("featureSummary carries one exact row per document") {
     val df = Multimodal.featureSummary(spark, Sf001)
     val rows = df.collect()
