@@ -259,11 +259,11 @@ object Dedup {
     * the corpus grows; the per-doc prefix shuffle is O(total tokens).
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      minJaccard: Double = 0.3): DataFrame = {
+      minJaccard: Double = 0.3, n: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Sources.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+        expr(ngramSetExpr("text", n)).as("toks"))
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
       size(col("toks")).as("n"), explode(col("toks")).as("tok"))
     val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -364,10 +364,30 @@ object Dedup {
        |FROM scored WHERE cos >= $minCosine""".stripMargin
   }
 
-  def ngramJaccardOracle(minJaccard: Double = 0.3): String =
+  /** Distinct word-n-gram set of a text column (n = 1 degenerates to the
+    * token set).  Shorter-than-n documents contribute their whole token
+    * list as one shingle (the [[MinHashSignature]] convention — `sequence`
+    * would otherwise run DESCENDING when size − n + 1 < 1). */
+  private[graft] def ngramSetExpr(textCol: String, n: Int): String =
+    if (n == 1) s"array_distinct(split($textCol, ' '))"
+    else
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)),
+         |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))""".stripMargin
+
+  /** DuckDB mirror of [[ngramSetExpr]] (`list_slice` is inclusive-end and
+    * caps at the list length, matching Spark's length-capped `slice`). */
+  private def ngramSetOracleExpr(textCol: String, n: Int): String =
+    if (n == 1) s"list_distinct(string_split($textCol, ' '))"
+    else
+      s"""list_distinct(list_transform(
+         |  generate_series(1, greatest(len(string_split($textCol, ' ')) - ${n - 1}, 1)),
+         |  j -> array_to_string(list_slice(string_split($textCol, ' '), j, j + ${n - 1}), ' ')))""".stripMargin
+
+  def ngramJaccardOracle(minJaccard: Double = 0.3, n: Int = 1): String =
     s"""WITH docs AS (
        |  SELECT doc_id, lang, source,
-       |         list_distinct(string_split(text, ' ')) AS toks
+       |         ${ngramSetOracleExpr("text", n)} AS toks
        |  FROM documents)
        |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  len(list_intersect(a.toks, b.toks)) /

@@ -90,6 +90,30 @@ class DedupSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("prefix-filtered 3-gram jaccard equals the naive all-pairs result") {
+    // Same losslessness proof over word-3-gram shingle sets — the prefix
+    // bound is token-representation-agnostic.
+    val fast = Dedup.ngramJaccard(spark, Sf001, minJaccard = 0.2, n = 3)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(Dedup.ngramSetExpr("text", 3)).as("toks"))
+    val naive = docs.select(col("lang"), col("source"),
+        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      .join(docs.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) + size(toks_b)
+               |      - size(array_intersect(toks_a, toks_b)) AS DOUBLE)""".stripMargin)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(fast == naive)
+  }
+
   test("minhash-LSH candidates on testdata are symmetric-free ordered pairs") {
     val pairs = Dedup.minhashCandidates(spark, Sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
