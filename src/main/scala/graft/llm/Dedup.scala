@@ -261,11 +261,27 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       minJaccard: Double = 0.3, n: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle sets are consumed three times (the prefix pipeline plus
+    // both sides of the scoring join) and their construction — an
+    // interpreted transform×slice×concat per shingle — dominates the
+    // profile, so materialize them once (the [[minhashCandidates]]
+    // signature-table pattern; cache lifecycle is caller-owned, see there).
     val docs = Sources.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         expr(ngramSetExpr("text", n)).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The prefix-filter stages carry 8-byte xxhash64 shingle hashes, never
+    // the shingle strings (which for n-grams average tens of bytes × three
+    // shuffles).  Lossless: a shared prefix string implies a shared hash,
+    // so every true pair still meets a witness; a hash collision can only
+    // ADD a candidate, which the exact string-set scorer below rejects —
+    // DedupSpec's fast==naive identity tests cover this path.  xxhash64 is
+    // fine here because candidates are internal; no oracle sees them.
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-      size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+        size(col("toks")).as("n"), explode(col("toks")).as("tok_s"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n"),
+        xxhash64(col("tok_s")).as("tok"))
     val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Rank each doc's tokens in the global (df, tok) order; the prefix is
     // the first n - ceil(t*n) + 1 of them (AllPairs bound for Jaccard t).
