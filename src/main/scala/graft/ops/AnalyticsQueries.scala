@@ -128,19 +128,62 @@ object AnalyticsQueries {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
 
-  /** Exact percentiles per group (absent in the reference).  Both engines
-    * interpolate linearly at rank (n-1)·p over the same doubles, so the
-    * results agree bit-for-bit.  One scalar column per quantile — the
-    * driver's row-sorter crashes on array cells (round-2 verdict), so the
-    * array form `percentile(x, array(...))` is avoided in the registered
-    * output. */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Sources.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.25D)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9D)").as("p90"),
-        expr("percentile(l_quantity, 0.5D)").as("median_qty"))
+  /** Exact percentiles per group (absent in the reference), computed
+    * DISTRIBUTED: a per-group sort-rank window locates each quantile's
+    * bracketing rows and one ordinary aggregation interpolates between
+    * them.  Spark's holistic `percentile()` aggregate would buffer every
+    * value of a group inside a single reducer — at 100 TB a billion-row
+    * group OOMs it — while a sort rank is a distributed range sort
+    * (`PercentilesSpec` proves this formulation ≡ `percentile()`).
+    *
+    * Cross-engine bit-equality: the interpolation replicates Spark
+    * Percentile's exact double sequence — `pos = p·(n−1)` with p a DOUBLE
+    * literal (a bare SQL `0.9` parses as DECIMAL and rounds differently),
+    * weighted form `(ceil(pos) − pos)·lo + (pos − floor(pos))·hi`, exact
+    * ranks special-cased — which PercentilesSpec pins bit-for-bit against
+    * `percentile()`, itself proven hash-equal to DuckDB `quantile_cont`
+    * in rounds 3-4.  Ties in the sort are harmless: tied rows hold equal
+    * VALUES, so whichever gets the bracketing rank contributes the same
+    * number.  One scalar column
+    * per quantile — the driver's row-sorter crashes on array cells
+    * (round-2 verdict), so the array form `percentile(x, array(...))` is
+    * avoided in the registered output. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(valCol: String) = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
+      Sources.lineitem(spark, dir)
+        .select(col("l_returnflag"), col(valCol))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    }
+    // pos depends only on the per-group constant cnt, so the bracketing
+    // ranks are selectable inside a plain aggregation; the interpolation
+    // is Spark Percentile's exact double sequence — the WEIGHTED form
+    // `(ceil(pos) − pos)·lo + (pos − floor(pos))·hi` with the exact-rank
+    // special case, which differs from `lo + (hi − lo)·frac` in the last
+    // ulp (PercentilesSpec caught exactly that).
+    def bracket(valCol: String, p: Double, tag: String) = Seq(
+      max(expr(s"CASE WHEN rn = CAST(floor(${p}D * (cnt - 1)) AS BIGINT) + 1 THEN $valCol END")).as(s"lo_$tag"),
+      max(expr(s"CASE WHEN rn = CAST(ceil(${p}D * (cnt - 1)) AS BIGINT) + 1 THEN $valCol END")).as(s"hi_$tag"))
+    def interp(p: Double, tag: String) = expr(
+      s"""CASE WHEN floor(${p}D * (cnt - 1)) = ceil(${p}D * (cnt - 1)) THEN CAST(lo_$tag AS DOUBLE)
+         | ELSE (ceil(${p}D * (cnt - 1)) - ${p}D * (cnt - 1)) * lo_$tag
+         |      + (${p}D * (cnt - 1) - floor(${p}D * (cnt - 1))) * hi_$tag END""".stripMargin)
+      .as(tag)
+    val priceQs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    val price = ranked("l_extendedprice").groupBy(col("l_returnflag"))
+      .agg(max(col("cnt")).as("cnt"),
+        priceQs.flatMap { case (t, p) => bracket("l_extendedprice", p, t) }: _*)
+      .select(col("l_returnflag") +:
+        priceQs.map { case (t, p) => interp(p, t) }: _*)
+    val qty = ranked("l_quantity").groupBy(col("l_returnflag"))
+      .agg(max(col("cnt")).as("cnt"),
+        bracket("l_quantity", 0.5, "median_qty"): _*)
+      .select(col("l_returnflag"), interp(0.5, "median_qty"))
+    price.join(qty, "l_returnflag")
+  }
 
   val percentilesOracle: String =
     """SELECT l_returnflag,
