@@ -39,6 +39,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.parquet stores TIMESTAMP(NANOS); without this shim the plain
+    // warmup read below aborts (harmlessly, but noisily) before
+    // Sources.events would set it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Untimed warmup: session startup, codegen infra, parquet footers, and
     // the OS page cache would otherwise land entirely on whichever query
     // happens to run first.  Touch every table the registry reads.
