@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{HyperplaneBuckets, MinHashSignature, SimHashBands}
+import graft.functions.{HllSketch, HyperplaneBuckets, MinHashSignature, SimHashBands}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * functions available to ANY session (including plain `spark-sql` /
@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSignature.description)
     ext.injectFunction(SimHashBands.description)
     ext.injectFunction(HyperplaneBuckets.description)
+    ext.injectFunction(HllSketch.description)
   }
 }

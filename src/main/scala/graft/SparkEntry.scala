@@ -189,6 +189,9 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.countDistinctOracle)),
     Q("q_an_approx_distinct", // rows-only: HLL++ register layout is engine-specific by nature
       (s, d) => graft.ops.AnalyticsQueries.approxDistinct(s, d), None),
+    Q("q_an_hll_sketch", // the engine's OWN mergeable HLL: estimate itself hash-checked
+      (s, d) => graft.ops.AnalyticsQueries.hllDistinct(s, d),
+      Some(graft.ops.AnalyticsQueries.hllDistinctOracle)),
     Q("q_an_json_extract",
       (s, d) => graft.ops.AnalyticsQueries.jsonExtract(s, d),
       Some(graft.ops.AnalyticsQueries.jsonExtractOracle)),

@@ -50,6 +50,56 @@ object AnalyticsQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"))
 
+  /** Distinct parts per return flag via the engine's OWN HLL sketch
+    * ([[graft.functions.HllSketch]]) — unlike [[approxDistinct]]'s built-in
+    * HLL++ (whose register layout is engine-private, hence rows-only), this
+    * sketch's spec is exact integer math an independent engine reproduces
+    * bit-for-bit, so the ESTIMATE itself is hash-checked cross-engine.
+    * Exact count alongside shows the ±1.04/√64 error band holds. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllSketch.register(spark)
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("hll_distinct(CAST(l_partkey AS BIGINT))"), 4)
+          .as("hll_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+  }
+
+  /** DuckDB mirror of the [[graft.functions.HllSketch]] spec: same
+    * mix-mod-p hash, register index, ρ (trailing zeros via
+    * `bit_count((w & -w) - 1)`), max-per-register, and raw harmonic
+    * estimate.  `1.0/(1<<ρ)` keeps every addend an exact dyadic, so the sum
+    * — and therefore the rounded estimate — matches Spark bit-for-bit; the
+    * `64 - COUNT(*)` term supplies the 2^0 = 1 contribution of registers no
+    * key ever touched. */
+  val hllDistinctOracle: String =
+    """WITH x0 AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_partkey AS BIGINT) & 2147483647 AS h FROM lineitem),
+      |x1 AS (SELECT l_returnflag, xor(h, h >> 16) AS h FROM x0),
+      |x2 AS (SELECT l_returnflag, (h * 2246822507) & 2147483647 AS h FROM x1),
+      |x3 AS (SELECT l_returnflag, xor(h, h >> 13) AS h FROM x2),
+      |x4 AS (SELECT l_returnflag, (h * 3266489909) & 2147483647 AS h FROM x3),
+      |h AS (SELECT l_returnflag, xor(h, h >> 16) AS h FROM x4),
+      |rw AS (
+      |  SELECT l_returnflag, h & 63 AS reg, h >> 6 AS w FROM h),
+      |regs AS (
+      |  SELECT l_returnflag, reg,
+      |    MAX(CASE WHEN w = 0 THEN 26
+      |             ELSE 1 + bit_count((w & -w) - 1) END) AS rho
+      |  FROM rw GROUP BY l_returnflag, reg),
+      |est AS (
+      |  SELECT l_returnflag,
+      |    0.709::DOUBLE * 64 * 64 /
+      |      (64 - COUNT(*) + SUM(1.0::DOUBLE / (1::BIGINT << rho))) AS est
+      |  FROM regs GROUP BY l_returnflag),
+      |ex AS (
+      |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT e.l_returnflag, ROUND(e.est, 4) AS hll_parts, ex.exact_parts
+      |FROM est e JOIN ex USING (l_returnflag)""".stripMargin
+
   /** JSON extraction over the events props payload (C-series analog the
     * reference never needed — its payloads were relational). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
