@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{HllSketch, HyperplaneBuckets, MinHashSignature, SimHashBands}
+import graft.functions.{HllSketch, HyperplaneBuckets, MinHashSignature, SimHashBands, WordNgramShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * functions available to ANY session (including plain `spark-sql` /
@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHashBands.description)
     ext.injectFunction(HyperplaneBuckets.description)
     ext.injectFunction(HllSketch.description)
+    ext.injectFunction(WordNgramShingles.description)
   }
 }

@@ -262,13 +262,18 @@ object Dedup {
       minJaccard: Double = 0.3, n: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The shingle sets are consumed three times (the prefix pipeline plus
-    // both sides of the scoring join) and their construction — an
-    // interpreted transform×slice×concat per shingle — dominates the
-    // profile, so materialize them once (the [[minhashCandidates]]
-    // signature-table pattern; cache lifecycle is caller-owned, see there).
+    // both sides of the scoring join) and their construction dominates the
+    // profile, so (a) build them with the codegen'd
+    // [[graft.functions.WordNgramShingles]] kernel — the declarative
+    // [[ngramSetExpr]] form re-tokenizes the document inside an interpreted
+    // lambda for every shingle index, O(tokens²) string work per doc — and
+    // (b) materialize them once (the [[minhashCandidates]] signature-table
+    // pattern; cache lifecycle is caller-owned, see there).
+    // WordNgramShinglesSpec proves kernel ≡ declarative form exactly.
+    graft.functions.WordNgramShingles.register(spark)
     val docs = Sources.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        expr(ngramSetExpr("text", n)).as("toks"))
+        expr(s"ngram_shingles(text, $n)").as("toks"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The prefix-filter stages carry 8-byte xxhash64 shingle hashes, never
@@ -383,7 +388,12 @@ object Dedup {
   /** Distinct word-n-gram set of a text column (n = 1 degenerates to the
     * token set).  Shorter-than-n documents contribute their whole token
     * list as one shingle (the [[MinHashSignature]] convention — `sequence`
-    * would otherwise run DESCENDING when size − n + 1 < 1). */
+    * would otherwise run DESCENDING when size − n + 1 < 1).
+    *
+    * This declarative form is the SPEC: the hot path uses the codegen'd
+    * [[graft.functions.WordNgramShingles]] kernel, and
+    * WordNgramShinglesSpec asserts element-for-element equality between the
+    * two; DedupSpec's naive-identity tests also build sets through here. */
   private[graft] def ngramSetExpr(textCol: String, n: Int): String =
     if (n == 1) s"array_distinct(split($textCol, ' '))"
     else
