@@ -180,6 +180,12 @@ object SparkEntry {
       Some(llm.Similarity.ivfOracle())),
     Q("q_llm_corpus_pipeline",
       (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)),
+    Q("q_llm_splits", // deterministic hash-based train/val/test assignment
+      (s, d) => llm.Sampling.splits(s, d),
+      Some(llm.Sampling.splitsOracle())),
+    Q("q_llm_stratified_sample", // per-language deterministic sampling
+      (s, d) => llm.Sampling.stratifiedSample(s, d),
+      Some(llm.Sampling.stratifiedSampleOracle())),
     // General analytics beyond the reference surface.
     Q("q_an_rollup",
       (s, d) => graft.ops.AnalyticsQueries.rollup(s, d),

@@ -99,16 +99,10 @@ object HllSketch {
   val Alpha = 0.709             // α_64, Flajolet et al. 2007, Fig. 3
   val MaxRho = 26               // w has 25 payload bits; w = 0 ⇒ ρ = 26
 
-  val Mask = 0x7FFFFFFFL // 2^31 − 1, as a bit mask
-
-  /** One key into the registers — shared by [[HllSketch.update]] and specs. */
+  /** One key into the registers — shared by [[HllSketch.update]] and specs.
+    * The hash is the engine-wide [[Mix31]] chain. */
   def add(regs: Array[Byte], key: Long): Unit = {
-    var h = key & Mask
-    h ^= h >>> 16
-    h = (h * 0x85ebca6bL) & Mask
-    h ^= h >>> 13
-    h = (h * 0xc2b2ae35L) & Mask
-    h ^= h >>> 16
+    val h = Mix31.mix(key)
     val reg = (h & (M - 1)).toInt
     val w = h >>> 6
     val rho =

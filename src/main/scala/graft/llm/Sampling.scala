@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+import graft.functions.Mix31
+
+/** Deterministic corpus sampling and splitting — the reproducibility layer
+  * a training-data pipeline needs: the SAME document lands in the SAME
+  * split/sample on every run, every engine, every cluster size, because
+  * assignment is a pure function of the stable `doc_id` (the engine-wide
+  * [[Mix31]] hash), never an RNG stream.  `df.sample`/`sampleBy` cannot
+  * promise that: their per-partition RNG re-deals whenever partitioning
+  * changes, and no other engine can replay it.
+  *
+  * Scale: both operators are stateless per-row projections/filters — they
+  * fuse into the scan under whole-stage codegen, shuffle nothing, and the
+  * observed rates concentrate around the target at any data size (mix31 is
+  * uniform on the bucket space).  The reference has no sampling surface
+  * (it processes full extracts — e.g. `kpi_receita_m_passado/extract.py`
+  * reads whole tables); this is part of the beyond-reference LLM-pipeline
+  * surface.
+  */
+object Sampling {
+
+  /** Train/val/test assignment: bucket = mix31(doc_id) mod 100;
+    * test = [0, testPct), val = [testPct, testPct+valPct), train = rest.
+    * Disjoint and exhaustive by construction (SamplingSpec). */
+  def splits(spark: SparkSession, dir: String,
+      valPct: Int = 10, testPct: Int = 10): DataFrame =
+    Sources.documents(spark, dir)
+      .withColumn("bucket",
+        expr(s"${Mix31.sparkSql("doc_id")} % 100").cast("int"))
+      .withColumn("split",
+        when(col("bucket") < testPct, lit("test"))
+          .when(col("bucket") < testPct + valPct, lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+
+  def splitsOracle(valPct: Int = 10, testPct: Int = 10): String =
+    s"""SELECT doc_id, lang,
+       |  CAST(${Mix31.duckSql("doc_id")} % 100 AS INT) AS bucket,
+       |  CASE WHEN ${Mix31.duckSql("doc_id")} % 100 < $testPct THEN 'test'
+       |       WHEN ${Mix31.duckSql("doc_id")} % 100 < ${testPct + valPct}
+       |         THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM documents""".stripMargin
+
+  /** Per-language sampling rates in basis points (keyed sampling for corpus
+    * rebalancing — up-weight scarce languages, down-sample the dominant
+    * one).  A doc survives iff mix31(doc_id) mod 10000 < its language's
+    * rate: changing one language's rate never re-deals another's sample,
+    * and raising a rate strictly grows the kept set (nested samples). */
+  val DefaultRates: Seq[(String, Int)] = Seq(
+    "en" -> 2500, "zh" -> 7500, "de" -> 7500, "fr" -> 7500, "es" -> 7500)
+
+  /** Stratified deterministic sample, summarized per language (total vs
+    * kept vs the basis-point target).  The rates dim is a broadcast join —
+    * the per-row filter itself never shuffles. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      rates: Seq[(String, Int)] = DefaultRates): DataFrame = {
+    import spark.implicits._
+    val rateDim = rates.toDF("lang", "rate_bp")
+    Sources.documents(spark, dir)
+      .join(broadcast(rateDim), Seq("lang"), "inner")
+      .withColumn("kept",
+        expr(s"${Mix31.sparkSql("doc_id")} % 10000").cast("int")
+          < col("rate_bp"))
+      .groupBy(col("lang"), col("rate_bp"))
+      // Conditional COUNT, not SUM: both engines type COUNT as BIGINT,
+      // while DuckDB widens SUM(int) to HUGEINT (a driver-gate hazard).
+      .agg(count(lit(1)).as("total_docs"),
+        count(when(col("kept"), 1)).as("sampled_docs"))
+      .withColumn("observed_bp",
+        round(col("sampled_docs") * lit(10000.0) / col("total_docs"), 4))
+  }
+
+  def stratifiedSampleOracle(
+      rates: Seq[(String, Int)] = DefaultRates): String = {
+    val dim = rates.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""WITH rates(lang, rate_bp) AS (VALUES $dim),
+       |d AS (
+       |  SELECT doc.lang, r.rate_bp,
+       |    CASE WHEN ${Mix31.duckSql("doc.doc_id")} % 10000 < r.rate_bp
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM documents doc JOIN rates r ON doc.lang = r.lang)
+       |SELECT lang, rate_bp,
+       |  COUNT(*) AS total_docs,
+       |  COUNT(CASE WHEN kept = 1 THEN 1 END) AS sampled_docs,
+       |  ROUND(COUNT(CASE WHEN kept = 1 THEN 1 END) * 10000.0::DOUBLE
+       |        / COUNT(*), 4) AS observed_bp
+       |FROM d GROUP BY lang, rate_bp""".stripMargin
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("splits are disjoint, exhaustive, and a pure function of doc_id") {
+    val s = Sampling.splits(spark, dir).cache()
+    try {
+      val total = s.count()
+      assert(total == graft.core.Sources.documents(spark, dir).count())
+      // One split per doc (disjoint+exhaustive), and re-evaluation under a
+      // different partitioning assigns identically (no RNG anywhere).
+      val again = Sampling.splits(spark, dir).repartition(13)
+        .withColumnRenamed("split", "split2").select("doc_id", "split2")
+      val disagree = s.join(again, "doc_id")
+        .filter(col("split") =!= col("split2")).count()
+      assert(disagree == 0)
+      val bad = s.filter(!col("split").isin("train", "val", "test")).count()
+      assert(bad == 0)
+    } finally s.unpersist()
+  }
+
+  test("split shares land near the configured percentages") {
+    val s = Sampling.splits(spark, dir, valPct = 10, testPct = 10)
+    val byShare = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byShare.values.sum.toDouble
+    // mix31 buckets are uniform; 500 docs → generous ±60% relative band.
+    assert(math.abs(byShare("train") / total - 0.8) < 0.1)
+    assert(byShare("val") > 0 && byShare("test") > 0)
+  }
+
+  test("raising a language's rate keeps the smaller sample nested") {
+    val lo = Sampling.stratifiedSample(spark, dir,
+      Seq("en" -> 2000, "zh" -> 2000, "de" -> 2000, "fr" -> 2000,
+        "es" -> 2000))
+    val hi = Sampling.stratifiedSample(spark, dir,
+      Seq("en" -> 8000, "zh" -> 8000, "de" -> 8000, "fr" -> 8000,
+        "es" -> 8000))
+    val loN = lo.agg(sum("sampled_docs")).collect().head.getLong(0)
+    val hiN = hi.agg(sum("sampled_docs")).collect().head.getLong(0)
+    // Nested by construction (same hash, bigger threshold) — so the kept
+    // count is monotone in the rate.
+    assert(loN < hiN)
+  }
+
+  test("observed rate tracks the target rate per language") {
+    val rows = Sampling.stratifiedSample(spark, dir).collect()
+    rows.foreach { r =>
+      val target = r.getAs[Int]("rate_bp").toDouble
+      val obs = r.getAs[Double]("observed_bp")
+      // Small strata (60-220 docs at sf0.001): ±2500bp absolute band.
+      assert(math.abs(obs - target) < 2500, s"$r")
+    }
+  }
+}
