@@ -1,6 +1,9 @@
 package graft.core
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Idempotent sinks mirroring the reference's delete-then-insert reload
   * patterns (operators S4–S9).
@@ -55,4 +58,66 @@ object Sinks {
     * union schema explicitly via `.schema(...)` once it is known). */
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Operational compaction of a parquet table directory.  Incremental
+    * keyed reloads ([[overwriteByKey]]) accumulate one file per task per
+    * write; at 100 TB the resulting small-file population dominates scan
+    * planning (footer reads, scheduler overhead) long before data volume
+    * does.  Rewrites the table to ~`targetBytes`-sized files — sized from
+    * the ACTUAL on-disk compressed bytes, not row counts — then swaps the
+    * rewrite in with delete+rename.
+    *
+    * Unpartitioned tables repartition to ⌈bytes / targetBytes⌉ tasks;
+    * partitioned tables repartition BY the partition columns so each
+    * partition value is written by exactly one task → one file per
+    * partition directory (the keyed-reload layout this engine writes reads
+    * cleanest at one-to-few files per key).
+    *
+    * The delete+rename swap is not crash-atomic on object stores — a table
+    * format with transactional commit (or a rename-into-place per
+    * partition) covers that in production; SinksSpec covers the
+    * rows-preserved and file-count contracts here.  Returns the data-file
+    * count after compaction. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): Int = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(table.getParent, table.getName + ".compact-tmp")
+    fs.delete(tmp, true)
+
+    val df = spark.read.parquet(path)
+    if (partitionCols.isEmpty) {
+      val n = math.max(1, math.ceil(
+        dataBytes(spark, path).toDouble / targetBytes).toInt)
+      df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    } else {
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    }
+    fs.delete(table, true)
+    fs.rename(tmp, table)
+    dataFiles(spark, path).size
+  }
+
+  /** Parquet data files under a table directory (recursive, metadata
+    * excluded) — compaction sizing and spec assertions. */
+  def dataFiles(spark: SparkSession, path: String): Seq[Path] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(table, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
+  }
+
+  private def dataBytes(spark: SparkSession, path: String): Long = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFiles(spark, path).map(fs.getFileStatus(_).getLen).sum
+  }
 }

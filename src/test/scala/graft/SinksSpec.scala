@@ -72,4 +72,36 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readEvolved(spark, path).columns.toSet ==
       Set("mes", "v", "extra"))
   }
+
+  test("compact merges a small-file table without changing its rows") {
+    val path = tmp()
+    val rows = (1 to 1000).map(i => (i, s"v$i"))
+    rows.toDF("k", "v").repartition(40).write.mode("overwrite").parquet(path)
+    assert(Sinks.dataFiles(spark, path).size == 40)
+    // Huge target → everything fits one file.
+    val nFiles = Sinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(nFiles == 1)
+    val got = spark.read.parquet(path).as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == rows)
+  }
+
+  test("compact on a partitioned table keeps the layout, one file per key") {
+    val path = tmp()
+    val df = Seq((1, "jan", 1.0), (1, "jan2", 2.0), (2, "feb", 3.0))
+      .toDF("mes", "v", "x")
+    // Three keyed reloads → multiple small files per partition dir.
+    Sinks.overwriteByKey(df.repartition(8), path, Seq("mes"))
+    Sinks.overwriteByKey(
+      Seq((2, "feb_v2", 4.0)).toDF("mes", "v", "x").repartition(8),
+      path, Seq("mes"))
+    val before = spark.read.parquet(path).select("mes", "v", "x")
+      .as[(Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    Sinks.compact(spark, path, partitionCols = Seq("mes"))
+    val files = Sinks.dataFiles(spark, path)
+    // Partition directories survive; one data file per mes value.
+    assert(files.map(_.getParent.getName).sorted == Seq("mes=1", "mes=2"))
+    val after = spark.read.parquet(path).select("mes", "v", "x")
+      .as[(Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(after.toSeq == before.toSeq)
+  }
 }
