@@ -159,6 +159,10 @@ object SparkEntry {
     Q("q_stream_daily_window",
       (s, d) => streaming.EventsStream.dailyAgg(graft.core.Sources.events(s, d)),
       Some(streaming.EventsStream.dailyAggOracle)),
+    Q("q_stream_daily_distinct", // mergeable HLL as streaming-shaped state
+      (s, d) => streaming.EventsStream
+        .dailyDistinct(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.dailyDistinctOracle)),
     Q("q_p5_fechamento_range", // the reference's P5 month loop, as one plan
       (s, d) => Fechamento.range(s, d,
         (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg),

@@ -101,6 +101,23 @@ object Sinks {
     dataFiles(spark, path).size
   }
 
+  /** Sorted (clustered) write — the data-skipping layout.  Range-partition
+    * by `sortCols` then sort within each task: files cover DISJOINT
+    * sort-key ranges and every parquet row group carries tight min/max
+    * stats, so a point or range predicate on the sort key prunes to the
+    * few files/row groups that can match instead of scanning the table.
+    * At 100 TB this is the difference between a key lookup touching ~one
+    * file and touching all of them (single-dimension Z-ORDER analog; the
+    * reference's Postgres tables get this from btree indexes —
+    * `utils/db_schema_main.py` CREATE INDEX — which parquet lakes replace
+    * with clustering + statistics).  `files` sizes the range partitioner;
+    * SinksSpec asserts the disjoint-ranges contract from the real footers. */
+  def overwriteSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      files: Int): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Parquet data files under a table directory (recursive, metadata
     * excluded) — compaction sizing and spec assertions. */
   def dataFiles(spark: SparkSession, path: String): Seq[Path] = {

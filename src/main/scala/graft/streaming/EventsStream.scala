@@ -33,6 +33,37 @@ object EventsStream {
   def dailyAggStream(events: DataFrame): DataFrame =
     dailyAgg(events.withWatermark("ts", "1 day"))
 
+  /** Daily distinct users via the engine's mergeable
+    * [[graft.functions.HllSketch]] next to the exact count.  The sketch
+    * buffer is what the streaming state store keeps per window — 64 bytes
+    * per day instead of a growing distinct-user set, so state is O(1) per
+    * window at any traffic volume (StreamingSpec proves streaming ≡ batch;
+    * the micro-batch cut points are invisible because sketch merge is an
+    * elementwise max).  Batch-evaluated here for the driver gate, same as
+    * [[dailyAgg]]; DuckDB reproduces the estimate bit-for-bit. */
+  def dailyDistinct(events: DataFrame): DataFrame = {
+    graft.functions.HllSketch.register(events.sparkSession)
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(round(expr("hll_distinct(user_id)"), 4).as("users_hll"),
+        count_distinct(col("user_id")).as("users_exact"))
+      .select(to_date(col("w.start")).as("dia"), col("users_hll"),
+        col("users_exact"))
+  }
+
+  /** Streaming daily distinct users — HLL only: Spark refuses exact
+    * DISTINCT aggregation on streams (unbounded per-window state), which
+    * is exactly the gap the 64-byte mergeable sketch closes.  The batch
+    * [[dailyDistinct]] keeps the exact column alongside for the oracle's
+    * error-band evidence. */
+  def dailyDistinctStream(events: DataFrame): DataFrame = {
+    graft.functions.HllSketch.register(events.sparkSession)
+    events.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(round(expr("hll_distinct(user_id)"), 4).as("users_hll"))
+      .select(to_date(col("w.start")).as("dia"), col("users_hll"))
+  }
+
   /** Streaming exactly-once dedup: repeated event ids within the watermark
     * horizon are dropped; state is bounded because ids older than the
     * watermark are expired.  This is the ingestion-side guard an
@@ -215,6 +246,33 @@ object EventsStream {
        |  COUNT(*) AS n_events,
        |  ${Frag.sumMoney(Frag.money("value"))} AS valor
        |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB mirror of [[dailyDistinct]] — the
+    * [[graft.functions.HllSketch]] register math per day (same spelling as
+    * `AnalyticsQueries.hllDistinctOracle`, grouped by the window day). */
+  val dailyDistinctOracle: String = {
+    val mix = graft.functions.Mix31.duckSql("user_id")
+    s"""WITH h AS (
+       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS dia, $mix AS h
+       |  FROM events),
+       |rw AS (SELECT dia, h & 63 AS reg, h >> 6 AS w FROM h),
+       |regs AS (
+       |  SELECT dia, reg,
+       |    MAX(CASE WHEN w = 0 THEN 26
+       |             ELSE 1 + bit_count((w & -w) - 1) END) AS rho
+       |  FROM rw GROUP BY dia, reg),
+       |est AS (
+       |  SELECT dia,
+       |    0.709::DOUBLE * 64 * 64 /
+       |      (64 - COUNT(*) + SUM(1.0::DOUBLE / (1::BIGINT << rho))) AS est
+       |  FROM regs GROUP BY dia),
+       |ex AS (
+       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS dia,
+       |    COUNT(DISTINCT user_id) AS users_exact
+       |  FROM events GROUP BY 1)
+       |SELECT e.dia, ROUND(e.est, 4) AS users_hll, ex.users_exact
+       |FROM est e JOIN ex USING (dia)""".stripMargin
+  }
 
   /** [[sessionize]] projected onto its oracle-stable columns.  `total_value`
     * is excluded from the hash-checked surface on purpose: it is an ordered

@@ -85,6 +85,39 @@ class SinksSpec extends SparkSpec {
     assert(got.toSeq == rows)
   }
 
+  test("overwriteSorted clusters files into disjoint sort-key ranges") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+
+    val path = tmp()
+    // Bijective scramble: distinct keys, arriving thoroughly unsorted.
+    val df = (1 to 20000).map(i => ((i * 37) % 20000, s"v$i")).toDF("k", "v")
+    Sinks.overwriteSorted(df, path, Seq("k"), files = 8)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = Sinks.dataFiles(spark, path).map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val stats = r.getFooter.getBlocks.asScala.map(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "k").get
+            .getStatistics)
+        (stats.map(_.genericGetMin.toString.toLong).min,
+          stats.map(_.genericGetMax.toString.toLong).max)
+      } finally r.close()
+    }.sortBy(_._1)
+
+    assert(ranges.size == 8)
+    // Every footer min/max interval is disjoint from the next file's — the
+    // stats a parquet reader prunes on, read back from the real files.
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+    // And nothing was lost in the re-layout.
+    assert(spark.read.parquet(path).count() == 20000)
+  }
+
   test("compact on a partitioned table keeps the layout, one file per key") {
     val path = tmp()
     val df = Seq((1, "jan", 1.0), (1, "jan2", 2.0), (2, "feb", 3.0))

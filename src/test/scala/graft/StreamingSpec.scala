@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpec {
     assert(jan2Click.toSeq == Seq(2L)) // updated in place, no duplicate row
   }
 
+  test("hll_distinct aggregates across micro-batch cuts: streaming equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val day1 = (1 to 120).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), i.toLong % 37))
+    val day2 = (1 to 80).map(i =>
+      (1000L + i, ts("2024-01-02 09:00:00"), i.toLong % 53))
+    val all = day1 ++ day2
+
+    val stream = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventsStream.dailyDistinctStream(
+      stream.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("complete").start()
+    try {
+      // Two separate micro-batches: the day-1 sketch buffer persisted in
+      // the state store must merge with the second batch's partial.
+      stream.addData(all.take(100): _*)
+      q.processAllAvailable()
+      stream.addData(all.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hll_stream_test")
+      .orderBy("dia").collect().map(_.toSeq).toSeq
+    // The streaming surface is HLL-only (exact DISTINCT is unsupported on
+    // streams — the gap the sketch closes); batch carries both columns.
+    val batch = EventsStream.dailyDistinct(
+      all.toDF("event_id", "ts", "user_id"))
+      .select("dia", "users_hll")
+      .orderBy("dia").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
