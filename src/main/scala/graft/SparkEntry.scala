@@ -184,6 +184,9 @@ object SparkEntry {
       Some(llm.Similarity.ivfOracle())),
     Q("q_llm_corpus_pipeline",
       (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)),
+    Q("q_llm_pack", // fixed-token-budget training shards (contiguous packing)
+      (s, d) => llm.Packing.pack(s, d),
+      Some(llm.Packing.packOracle())),
     Q("q_llm_splits", // deterministic hash-based train/val/test assignment
       (s, d) => llm.Sampling.splits(s, d),
       Some(llm.Sampling.splitsOracle())),
