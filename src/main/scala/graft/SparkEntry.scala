@@ -184,6 +184,9 @@ object SparkEntry {
       Some(llm.Similarity.ivfOracle())),
     Q("q_llm_corpus_pipeline",
       (s, d) => llm.CorpusPipeline(s, d), Some(llm.CorpusPipeline.oracle)),
+    Q("q_ops_zorder", // Morton clustering key, hash-checked cross-engine
+      (s, d) => graft.core.ZOrder.zValues(s, d),
+      Some(graft.core.ZOrder.zValuesOracle)),
     Q("q_llm_pack", // fixed-token-budget training shards (contiguous packing)
       (s, d) => llm.Packing.pack(s, d),
       Some(llm.Packing.packOracle())),
