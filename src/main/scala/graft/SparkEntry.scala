@@ -187,6 +187,9 @@ object SparkEntry {
     Q("q_ops_zorder", // Morton clustering key, hash-checked cross-engine
       (s, d) => graft.core.ZOrder.zValues(s, d),
       Some(graft.core.ZOrder.zValuesOracle)),
+    Q("q_llm_profile", // one-pass per-column corpus health profile
+      (s, d) => llm.Profiler.profile(s, d),
+      Some(llm.Profiler.profileOracle)),
     Q("q_llm_pack", // fixed-token-budget training shards (contiguous packing)
       (s, d) => llm.Packing.pack(s, d),
       Some(llm.Packing.packOracle())),
