@@ -36,4 +36,24 @@ object Sources {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Landing-format readers: CSV and JSON-lines ingestion with an EXPLICIT
+    * schema.  Schema inference reads the data twice and guesses types from
+    * whatever sample it sees — at 100 TB that is both a second full scan
+    * and a correctness roulette (a column of ids that happen to be numeric
+    * in the sample infers LONG, then a later alphanumeric id kills the
+    * job) — so these entry points require the schema and keep ingestion a
+    * single predictable pass.  Malformed rows land in the PERMISSIVE
+    * corrupt-record column rather than failing the scan; SourcesSpec
+    * round-trips both formats against parquet-read truth and exercises
+    * the malformed path. */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def jsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 }
