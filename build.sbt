@@ -16,6 +16,11 @@ run / fork := true
 // "[info] " prefix breaks that parse (BENCH_r01/r02 both landed
 // "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only the LAST 2000 chars of stdout; sbt's trailing
+// "[success] Total time: ..." line would eat ~80 of them and push the
+// head of Bench's JSON line out of the window (BENCH_r05 landed
+// "parsed": null with the JSON head-truncated at exactly that margin).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

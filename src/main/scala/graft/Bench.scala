@@ -41,13 +41,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // events.parquet stores TIMESTAMP(NANOS); session-builder is the one
+      // sanctioned place for this legacy flag (Sources.events requires it).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet stores TIMESTAMP(NANOS); without this shim the plain
-    // warmup read below aborts (harmlessly, but noisily) before
-    // Sources.events would set it.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Untimed warmup: session startup, codegen infra, parquet footers, and
     // the OS page cache would otherwise land entirely on whichever query
     // happens to run first.  Touch every table the registry reads.
@@ -77,15 +76,22 @@ object Bench {
     def obj(f: Vector[(Double, Double)] => String): String =
       samples.map { case (k, v) => s"\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-    val qs = obj(v => v.map(_._2).min.toString)
     val repArrays = obj(v => v.map(_._2).mkString("[", ",", "]"))
     val startArrays = obj(v =>
       v.map(s => f"${s._1}%.1f").mkString("[", ",", "]"))
     val total = samples.valuesIterator.map(_.map(_._2).min).sum
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only the last 2000 stdout chars.  Full-precision
+    // doubles (~2.45 KB at 64 queries) head-truncated the r5 line; ms
+    // precision keeps it ~1.8 KB, with a 10 ms fallback should the
+    // registry ever outgrow even that.
+    def compactAt(dec: Int) = {
+      val qs = obj(v => s"%.${dec}f".format(v.map(_._2).min))
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val compact = { val c3 = compactAt(3); if (c3.length <= 1900) c3 else compactAt(2) }
+    val qsFull = obj(v => v.map(_._2).min.toString)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"starts":$startArrays,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repArrays,"starts":$startArrays,"sf":"$sfDir"}"""
     try Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full)
     catch { case _: Throwable => }
