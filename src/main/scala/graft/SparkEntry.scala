@@ -103,6 +103,9 @@ object SparkEntry {
     Q("q_ops_casts",
       (s, d) => OperatorQueries.casts(s, d),
       Some(OperatorQueries.castsOracle)),
+    Q("q_ops_landing_csv", // explicit-schema CSV landing reader, end-to-end
+      (s, d) => OperatorQueries.landingCsv(s, d),
+      Some(OperatorQueries.landingCsvOracle)),
     Q("q_ops_minmax_array",
       (s, d) => OperatorQueries.minMaxArray(s, d, cfg),
       Some(OperatorQueries.minMaxArrayOracle(cfg))),
@@ -193,6 +196,9 @@ object SparkEntry {
     Q("q_llm_pack", // fixed-token-budget training shards (contiguous packing)
       (s, d) => llm.Packing.pack(s, d),
       Some(llm.Packing.packOracle())),
+    Q("q_llm_pack_bucketed", // the (lang, mix31-bucket) parallel-scale form
+      (s, d) => llm.Packing.packBucketed(s, d),
+      Some(llm.Packing.packBucketedOracle())),
     Q("q_llm_splits", // deterministic hash-based train/val/test assignment
       (s, d) => llm.Sampling.splits(s, d),
       Some(llm.Sampling.splitsOracle())),

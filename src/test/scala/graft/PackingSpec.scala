@@ -51,4 +51,56 @@ class PackingSpec extends SparkSpec {
       assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq)
     }
   }
+
+  test("bucketed: every doc packed once, tokens conserved, key is wider") {
+    val packed = Packing.packBucketed(spark, dir, budget)
+    val docs = graft.core.Sources.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val expected = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = packed.groupBy("lang")
+      .agg(sum("n_docs").as("n"), sum("shard_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expected)
+    // The point of the bucketed form: strictly more window partitions than
+    // languages, so packing parallelism is no longer capped at #languages.
+    val keys = packed.select("lang", "bucket").distinct().count()
+    val langs = packed.select("lang").distinct().count()
+    assert(keys > langs, s"only $keys window keys over $langs languages")
+  }
+
+  test("bucketed: per-(lang,bucket) shard loads bounded, ids contiguous") {
+    val maxDoc = graft.core.Sources.documents(spark, dir)
+      .agg(max(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    val shards = Packing.packBucketed(spark, dir, budget).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getAs[Long]("shard_tokens")))
+    val byKey = shards.groupBy(t => (t._1, t._2))
+    byKey.foreach { case ((lang, bkt), rs) =>
+      val lastShard = rs.map(_._3).max
+      rs.foreach { case (_, _, shard, toks) =>
+        assert(toks < budget + maxDoc, s"$lang/$bkt/$shard overflows: $toks")
+        if (shard != lastShard)
+          assert(toks > budget - maxDoc,
+            s"$lang/$bkt/$shard underfilled: $toks")
+      }
+      val ids = rs.map(_._3).sorted
+      assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq)
+    }
+  }
+
+  test("bucketed ≡ plain packing when nBuckets = 1") {
+    val plain = Packing.pack(spark, dir, budget)
+      .select("lang", "shard_id", "n_docs", "shard_tokens")
+      .collect().map(_.toSeq).toSet
+    val one = Packing.packBucketed(spark, dir, budget, nBuckets = 1)
+      .select("lang", "shard_id", "n_docs", "shard_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(one == plain)
+  }
 }
