@@ -296,4 +296,36 @@ object OperatorQueries {
     minMaxArray(spark, dir, cfg)
       .withColumn("periodo",
         array(col("primeira"), coalesce(col("ultima"), cfg.runDateCol)))
+
+  /** S1 landing path — the explicit-schema CSV reader
+    * ([[Sources.csv]]) exercised end-to-end under the driver gate: stage
+    * `orders` out as headered CSV, read it back with the parquet truth's
+    * schema, and aggregate.  The oracle aggregates the PARQUET table in
+    * DuckDB, so a hash match proves the CSV round-trip is lossless for
+    * every column type it carries (bigint keys, doubles via shortest
+    * round-trip rendering, quoted strings, timestamps).  The re-staging is
+    * deliberate (self-contained + cold-honest under the bench's
+    * clear-cache protocol); at 100 TB landing files are written once by
+    * the producer, and the read side here is the same one predictable
+    * explicit-schema pass. */
+  def landingCsv(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Sources.orders(spark, dir)
+    val landing =
+      s"/tmp/graft_landing/${new java.io.File(dir).getName}/orders_csv"
+    truth.write.mode("overwrite").option("header", "true").csv(landing)
+    Sources.csv(spark, landing, truth.schema)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        min(to_date(col("o_orderdate"))).as("primeira"),
+        max(to_date(col("o_orderdate"))).as("ultima"))
+  }
+
+  val landingCsvOracle: String =
+    s"""SELECT o_orderstatus,
+       |  COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  MIN(CAST(o_orderdate AS DATE)) AS primeira,
+       |  MAX(CAST(o_orderdate AS DATE)) AS ultima
+       |FROM orders GROUP BY 1""".stripMargin
 }
