@@ -28,9 +28,20 @@ object Sources {
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default; read nanos as long and convert to a microsecond
-    * timestamp (same truncation DuckDB applies, so oracles agree). */
+    * timestamp (same truncation DuckDB applies, so oracles agree).
+    *
+    * The `nanosAsLong` flag must come from the SESSION BUILDER (Bench,
+    * Verify, Probe, SparkSpec all set it): it is captured at plan time, so
+    * a set-and-restore around this lazy read would break the later action,
+    * and a permanent `spark.conf.set` here would leak the legacy flag into
+    * every subsequent parquet read on the shared session (the same hygiene
+    * rule applied to sinks in round 3). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

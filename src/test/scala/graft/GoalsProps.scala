@@ -20,6 +20,9 @@ object GoalsProps extends Properties("Goals") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // keep in sync with SparkSpec: getOrCreate may CREATE the JVM-wide
+    // session here, and later suites read events.parquet through it
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
