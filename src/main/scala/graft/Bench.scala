@@ -88,7 +88,21 @@ object Bench {
       val qs = obj(v => s"%.${dec}f".format(v.map(_._2).min))
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val compact = { val c3 = compactAt(3); if (c3.length <= 1900) c3 else compactAt(2) }
+    // Last-resort tier: keep only the slowest queries in the stdout map
+    // (full set always lands in bench_out.json) so the line NEVER outgrows
+    // the window no matter how large the registry gets.
+    def compactTop(n: Int) = {
+      val top = samples.toSeq.map { case (k, v) => k -> v.map(_._2).min }
+        .sortBy(-_._2).take(n)
+        .map { case (k, m) => s"\"" + k + "\":" + f"$m%.2f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,"sf":"$sfDir"}"""
+    }
+    val compact = {
+      val c3 = compactAt(3)
+      if (c3.length <= 1900) c3
+      else { val c2 = compactAt(2); if (c2.length <= 1900) c2 else compactTop(40) }
+    }
     val qsFull = obj(v => v.map(_._2).min.toString)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repArrays,"starts":$startArrays,"sf":"$sfDir"}"""

@@ -106,6 +106,9 @@ object SparkEntry {
     Q("q_ops_landing_csv", // explicit-schema CSV landing reader, end-to-end
       (s, d) => OperatorQueries.landingCsv(s, d),
       Some(OperatorQueries.landingCsvOracle)),
+    Q("q_ops_landing_jsonl", // explicit-schema JSON-lines landing reader
+      (s, d) => OperatorQueries.landingJsonl(s, d),
+      Some(OperatorQueries.landingJsonlOracle)),
     Q("q_ops_minmax_array",
       (s, d) => OperatorQueries.minMaxArray(s, d, cfg),
       Some(OperatorQueries.minMaxArrayOracle(cfg))),

@@ -328,4 +328,26 @@ object OperatorQueries {
        |  MIN(CAST(o_orderdate AS DATE)) AS primeira,
        |  MAX(CAST(o_orderdate AS DATE)) AS ultima
        |FROM orders GROUP BY 1""".stripMargin
+
+  /** S1 landing path, JSON-lines flavor — same contract as
+    * [[landingCsv]] (stage, explicit-schema read-back, aggregate vs the
+    * parquet-truth oracle), proving the JSONL round-trip for the types it
+    * carries.  Distinct aggregate key so the two landing queries aren't
+    * plan-identical. */
+  def landingJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Sources.orders(spark, dir)
+    val landing =
+      s"/tmp/graft_landing/${new java.io.File(dir).getName}/orders_jsonl"
+    truth.write.mode("overwrite").json(landing)
+    Sources.jsonLines(spark, landing, truth.schema)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"))
+  }
+
+  val landingJsonlOracle: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
+       |FROM orders GROUP BY 1""".stripMargin
 }
