@@ -130,15 +130,59 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Incremental near-dup detection — the daily-batch shape of
+    * [[minhashCandidates]]: candidate pairs that TOUCH the new batch
+    * (`source = newSource`) against the whole corpus, never pairing
+    * corpus × corpus.  At 100 TB the history's signatures/bands are a
+    * persisted table (here recomputed — the testdata ships no signature
+    * store); today's bands equi-join the full band index, so the shuffle
+    * is |new bands| × bucket size, independent of |history|².  The output
+    * is EXACTLY the full-dedup pair set restricted to pairs with ≥ 1 new
+    * member (identity proven in DedupSpec), so running it daily over
+    * arriving batches accumulates the same pair set as re-running the
+    * full dedup — without the quadratic re-scoring of history. */
+  def minhashIncremental(spark: SparkSession, dir: String,
+      newSource: String = "src7", minEstJaccard: Double = 0.2): DataFrame = {
+    graft.functions.MinHashSignature.register(spark)
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val sigs = docs.select(col("doc_id"), col("source"),
+        expr("minhash_signature(split(text, ' '))").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(df: DataFrame) = df.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${NumBands - 1}),
+             |  b -> struct(b AS band_id,
+             |              ${bandHashExpr(s"slice(sig, b * $BandRows + 1, $BandRows)")} AS band_hash))""".stripMargin))
+          .as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val newBands = bandsOf(sigs.filter(col("source") === newSource))
+      .withColumnRenamed("doc_id", "doc_new")
+    val allBands = bandsOf(sigs).withColumnRenamed("doc_id", "doc_other")
+    val pairs = newBands.join(allBands, Seq("band_id", "band_hash"))
+      .filter(col("doc_new") =!= col("doc_other"))
+      // Normalize orientation (two new docs collide twice, once per side).
+      .select(least(col("doc_new"), col("doc_other")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_other")).as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))
+                | / CAST($NumHashes AS DOUBLE)""".stripMargin).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** DuckDB mirror of the FULL minhash pipeline — signatures
     * ([[graft.functions.MinHashSignature]]: char-polynomial token hash,
     * seeded 3-shingle mix, 64 affine permutations, all mod 2^31-1), band
     * bucketing ([[bandHashExpr]]), distinct ordered pairs, and the
     * estimated Jaccard (agreeing positions / 64, an exact multiple of
     * 1/64 in both engines). */
-  def minhashOracle(minEstJaccard: Double = 0.2): String = {
+  private def minhashBandCtes: String = {
     val P = graft.functions.MinHashSignature.Prime
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS T FROM documents),
        |th AS (
        |  SELECT doc_id, len(T) AS n,
@@ -169,13 +213,13 @@ object Dedup {
        |      list_prepend(CAST(0 AS BIGINT),
        |        list_slice(sig, r.b * $BandRows + 1, r.b * $BandRows + $BandRows)),
        |      (acc, x) -> (acc * 131 + x) % $BandMixPrime) AS band_hash
-       |  FROM sig CROSS JOIN range(0, $NumBands) r(b)),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bands a JOIN bands b2
-       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
-       |    AND a.doc_id < b2.doc_id)
-       |SELECT doc_a, doc_b,
+       |  FROM sig CROSS JOIN range(0, $NumBands) r(b))""".stripMargin
+  }
+
+  /** Scoring tail shared by the full and incremental oracles: joins the
+    * signature CTE back onto whatever `pairs` CTE precedes it. */
+  private def minhashScoreTail(minEstJaccard: Double): String =
+    s"""SELECT doc_a, doc_b,
        |  list_sum(list_transform(generate_series(1, $NumHashes),
        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
        |    / CAST($NumHashes AS DOUBLE) AS est_jaccard
@@ -185,7 +229,31 @@ object Dedup {
        |WHERE list_sum(list_transform(generate_series(1, $NumHashes),
        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
        |    / CAST($NumHashes AS DOUBLE) >= $minEstJaccard""".stripMargin
-  }
+
+  def minhashOracle(minEstJaccard: Double = 0.2): String =
+    s"""WITH $minhashBandCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id)
+       |${minhashScoreTail(minEstJaccard)}""".stripMargin
+
+  /** The incremental pairs CTE restricts one join side to the new batch
+    * (source looked up from `documents` — doc_id is unique there), so the
+    * oracle pairs corpus × corpus exactly never, mirroring
+    * [[minhashIncremental]]'s join shape. */
+  def minhashIncrementalOracle(newSource: String = "src7",
+      minEstJaccard: Double = 0.2): String =
+    s"""WITH $minhashBandCtes,
+       |pairs AS (
+       |  SELECT DISTINCT least(a.doc_id, c.doc_id) AS doc_a,
+       |    greatest(a.doc_id, c.doc_id) AS doc_b
+       |  FROM (SELECT b.* FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+       |        WHERE d.source = '$newSource') a
+       |  JOIN bands c ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+       |    AND a.doc_id <> c.doc_id)
+       |${minhashScoreTail(minEstJaccard)}""".stripMargin
 
   /** SimHash modulus (prime) and its majority threshold. */
   private val SimP = 1000000007L

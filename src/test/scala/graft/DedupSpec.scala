@@ -121,4 +121,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.distinct.length == pairs.length)
   }
+
+  test("incremental minhash equals the full pair set restricted to the batch") {
+    // The operator's contract: running the incremental form over a new
+    // batch yields EXACTLY the full-dedup pairs touching that batch — so
+    // daily increments accumulate the same pair set as a full re-run.
+    val full = Dedup.minhashCandidates(spark, Sf001)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val srcOf = graft.core.Sources.documents(spark, Sf001)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    // Exercise every source present in the full pair set, plus one that
+    // (usually) isn't — the subset identity must hold for all of them.
+    val sources = full.flatMap(p => Seq(srcOf(p._1), srcOf(p._2))).take(3) + "src19"
+    sources.foreach { src =>
+      val inc = Dedup.minhashIncremental(spark, Sf001, newSource = src)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val expected = full.filter(p =>
+        srcOf(p._1) == src || srcOf(p._2) == src)
+      assert(inc == expected, s"source $src: got $inc expected $expected")
+    }
+  }
 }

@@ -94,6 +94,17 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed packing shuffles once: window partitioning feeds the agg") {
+    // The scale claim in the scaladoc, asserted on the physical plan: the
+    // window's hashpartitioning(lang, bucket) satisfies the follow-up
+    // aggregation's clustered distribution on (lang, bucket, shard_id),
+    // so there is exactly ONE exchange in the whole plan.
+    val plan = Packing.packBucketed(spark, dir, budget)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(shuffles == 1, s"expected exactly one exchange, got $shuffles:\n$plan")
+  }
+
   test("bucketed ≡ plain packing when nBuckets = 1") {
     val plain = Packing.pack(spark, dir, budget)
       .select("lang", "shard_id", "n_docs", "shard_tokens")
