@@ -126,6 +126,9 @@ object SparkEntry {
     Q("q_dedup_incremental", // new batch vs corpus, never corpus x corpus
       (s, d) => llm.Dedup.minhashIncremental(s, d),
       Some(llm.Dedup.minhashIncrementalOracle())),
+    Q("q_dedup_clusters", // connected components -> canonical survivor
+      (s, d) => llm.Dedup.duplicateClusters(s, d),
+      Some(llm.Dedup.clustersOracle())),
     Q("q_dedup_simhash",
       (s, d) => llm.Dedup.simhash(s, d), Some(llm.Dedup.simhashOracle)),
     Q("q_dedup_token_jaccard",

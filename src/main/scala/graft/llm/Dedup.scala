@@ -239,6 +239,74 @@ object Dedup {
        |    AND a.doc_id < b2.doc_id)
        |${minhashScoreTail(minEstJaccard)}""".stripMargin
 
+  /** Duplicate CLUSTERS: connected components over the near-dup pair
+    * graph, each doc labeled with the smallest doc_id reachable from it —
+    * the canonical representative a curation pass keeps (`keep =
+    * doc_id = cluster_id`).  Pairs alone don't dedup a corpus: A≈B and
+    * B≈C must collapse to ONE survivor even when A≈C never scored.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * min of its own and its neighbors' labels (one shuffle per round), a
+    * scalar count checks convergence, and `localCheckpoint` truncates the
+    * iterative lineage.  The driver loop iterates ROUNDS (bounded by
+    * cluster diameter), never rows — the standard Spark shape for
+    * iterative graph algorithms (GraphX Pregel does exactly this).
+    * Near-dup components are shallow (dup clusters are near-cliques), so
+    * rounds ≈ 2-4; a corpus whose dup graph has pathological diameter
+    * would switch this to the large-star/small-star contraction, which
+    * converges in O(log diameter) rounds with the same per-round shape.
+    * DuckDB checks the fixpoint itself via a recursive transitive-closure
+    * CTE ([[clustersOracle]]). */
+  def duplicateClusters(spark: SparkSession, dir: String,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val edges = minhashCandidates(spark, dir, minEstJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbMin = sym
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("nb")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nb")).as("nb_min"))
+        .withColumnRenamed("doc_a", "doc_id")
+      val next = labels.join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(
+          labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
+  def clustersOracle(minEstJaccard: Double = 0.2): String =
+    s"""WITH RECURSIVE $minhashBandCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id),
+       |edges AS (SELECT doc_a, doc_b FROM (${minhashScoreTail(minEstJaccard)}) e),
+       |sym AS (SELECT doc_a, doc_b FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  SELECT DISTINCT doc_a AS doc_id, doc_a AS other FROM sym
+       |  UNION
+       |  SELECT r.doc_id, s.doc_b AS other
+       |  FROM reach r JOIN sym s ON r.other = s.doc_a)
+       |SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+
   /** The incremental pairs CTE restricts one join side to the new batch
     * (source looked up from `documents` — doc_id is unique there), so the
     * oracle pairs corpus × corpus exactly never, mirroring

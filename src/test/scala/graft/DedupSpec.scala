@@ -122,6 +122,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("duplicate clusters equal union-find over the pair graph") {
+    val pairs = Dedup.minhashCandidates(spark, Sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // Reference union-find on the driver (test scale only).
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+    val got = Dedup.duplicateClusters(spark, Sf001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // Canonical representative is the cluster min: every cluster_id is a
+    // member of its own cluster.
+    assert(got.values.toSet.forall(c => got(c) == c))
+  }
+
   test("incremental minhash equals the full pair set restricted to the batch") {
     // The operator's contract: running the incremental form over a new
     // batch yields EXACTLY the full-dedup pairs touching that batch — so
