@@ -84,9 +84,12 @@ object Bench {
     // doubles (~2.45 KB at 64 queries) head-truncated the r5 line; ms
     // precision keeps it ~1.8 KB, with a 10 ms fallback should the
     // registry ever outgrow even that.
+    // Basename only ("sf0.1") in the compact line: the full path costs 15
+    // chars of the 2000-char window; bench_out.json keeps it complete.
+    val sfName = new java.io.File(sfDir).getName
     def compactAt(dec: Int) = {
       val qs = obj(v => s"%.${dec}f".format(v.map(_._2).min))
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // Last-resort tier: keep only the slowest queries in the stdout map
     // (full set always lands in bench_out.json) so the line NEVER outgrows
@@ -96,7 +99,7 @@ object Bench {
         .sortBy(-_._2).take(n)
         .map { case (k, m) => s"\"" + k + "\":" + f"$m%.2f" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,"sf":"$sfName"}"""
     }
     val compact = {
       val c3 = compactAt(3)

@@ -129,6 +129,9 @@ object SparkEntry {
     Q("q_dedup_clusters", // connected components -> canonical survivor
       (s, d) => llm.Dedup.duplicateClusters(s, d),
       Some(llm.Dedup.clustersOracle())),
+    Q("q_text_decontaminate", // benchmark 8-gram leakage gate
+      (s, d) => llm.Dedup.decontaminate(s, d),
+      Some(llm.Dedup.decontaminateOracle())),
     Q("q_dedup_simhash",
       (s, d) => llm.Dedup.simhash(s, d), Some(llm.Dedup.simhashOracle)),
     Q("q_dedup_token_jaccard",

@@ -530,6 +530,46 @@ object Dedup {
     * [[graft.functions.WordNgramShingles]] kernel, and
     * WordNgramShinglesSpec asserts element-for-element equality between the
     * two; DedupSpec's naive-identity tests also build sets through here. */
+  /** Benchmark DECONTAMINATION: flag corpus documents that share any
+    * n-token shingle with a held-out evaluation set (here the documents
+    * of `benchSource` stand in for the benchmark).  This is the standard
+    * test-set-leakage gate a training pipeline runs before shipping
+    * shards — deliberately asymmetric and containment-based, unlike the
+    * Jaccard near-dup family: ONE verbatim 8-gram from a benchmark
+    * question is contamination even when the documents are otherwise
+    * unrelated.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (benchmarks are MBs against 100 TB), so the distinct bench shingles
+    * broadcast and the corpus side — a scan-fused explode — never
+    * shuffles for the join; the only shuffle is the final per-doc count.
+    * Exact string shingles via the proven [[ngramSetExpr]] /
+    * [[ngramSetOracleExpr]] pair, so the whole output hash-matches
+    * DuckDB ([[decontaminateOracle]]). */
+  def decontaminate(spark: SparkSession, dir: String,
+      benchSource: String = "src5", n: Int = 8): DataFrame = {
+    val shingled = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr(ngramSetExpr("text", n))).as("shingle"))
+    val benchShingles = shingled.filter(col("source") === benchSource)
+      .select("shingle").distinct()
+    shingled.filter(col("source") =!= benchSource)
+      .join(benchShingles, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("hits"))
+  }
+
+  def decontaminateOracle(benchSource: String = "src5", n: Int = 8): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    UNNEST(${ngramSetOracleExpr("text", n)}) AS shingle
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '$benchSource')
+       |SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS hits
+       |FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |WHERE s.source <> '$benchSource'
+       |GROUP BY 1""".stripMargin
+
   private[graft] def ngramSetExpr(textCol: String, n: Int): String =
     if (n == 1) s"array_distinct(split($textCol, ' '))"
     else

@@ -122,6 +122,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("decontamination equals brute-force shingle intersection") {
+    val n = 8
+    val src = "src5"
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .select(col("doc_id"), col("source"),
+        expr(Dedup.ngramSetExpr("text", n)).as("sh"))
+      .as[(Long, String, Seq[String])].collect()
+    val bench = docs.filter(_._2 == src).flatMap(_._3).toSet
+    val expected = docs.filterNot(_._2 == src)
+      .map { case (id, _, sh) => id -> sh.toSet.intersect(bench).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = Dedup.decontaminate(spark, Sf001, src, n)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty) // src5/n=8 is known-contaminated in the testdata
+  }
+
   test("duplicate clusters equal union-find over the pair graph") {
     val pairs = Dedup.minhashCandidates(spark, Sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
