@@ -91,20 +91,28 @@ object Bench {
       val qs = obj(v => s"%.${dec}f".format(v.map(_._2).min))
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    // Last-resort tier: keep only the slowest queries in the stdout map
-    // (full set always lands in bench_out.json) so the line NEVER outgrows
-    // the window no matter how large the registry gets.
-    def compactTop(n: Int) = {
-      val top = samples.toSeq.map { case (k, v) => k -> v.map(_._2).min }
-        .sortBy(-_._2).take(n)
+    // Last-resort tier: greedily keep the SLOWEST queries that still fit
+    // the window (full set always lands in bench_out.json), so the line
+    // NEVER outgrows the window no matter how large the registry gets and
+    // the driver always sees the queries that dominate the total.
+    def compactFit() = {
+      val sorted = samples.toSeq.map { case (k, v) => k -> v.map(_._2).min }
+        .sortBy { case (k, m) => (-m, k) }
         .map { case (k, m) => s"\"" + k + "\":" + f"$m%.2f" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,"sf":"$sfName"}"""
+      val shell = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"sf":"$sfName"}"""
+      var budget = 1900 - shell.length
+      val kept = sorted.takeWhile { e =>
+        val cost = e.length + 1
+        val ok = budget >= cost
+        if (ok) budget -= cost
+        ok
+      }
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfName"}"""
     }
     val compact = {
       val c3 = compactAt(3)
       if (c3.length <= 1900) c3
-      else { val c2 = compactAt(2); if (c2.length <= 1900) c2 else compactTop(40) }
+      else { val c2 = compactAt(2); if (c2.length <= 1900) c2 else compactFit() }
     }
     val qsFull = obj(v => v.map(_._2).min.toString)
     val full =

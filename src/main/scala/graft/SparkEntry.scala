@@ -156,6 +156,24 @@ object SparkEntry {
     Q("q_text_fingerprint",
       (s, d) => llm.TextAnalysis.fingerprint(s, d),
       Some(llm.TextAnalysis.fingerprintOracle)),
+    Q("q_text_repetition", // Gopher/C4 repetition quality filters
+      (s, d) => llm.TextAnalysis.repetition(s, d),
+      Some(llm.TextAnalysis.repetitionOracle)),
+    Q("q_text_vocab", // tokenizer prep: global top-K vocab + coverage curve
+      (s, d) => llm.Vocab.topK(s, d),
+      Some(llm.Vocab.topKOracle())),
+    Q("q_llm_mixture", // domain-mixture reweighting to a target token share
+      (s, d) => llm.Sampling.mixtureWeights(s, d),
+      Some(llm.Sampling.mixtureWeightsOracle())),
+    Q("q_llm_kmeans", // integer-exact distributed Lloyd's over embeddings
+      (s, d) => llm.Clustering.kmeans(s, d),
+      Some(llm.Clustering.kmeansOracle())),
+    Q("q_dedup_semantic", // SemDeDup: cosine near-dups within k-means clusters
+      (s, d) => llm.Clustering.semanticDedup(s, d),
+      Some(llm.Clustering.semanticDedupOracle())),
+    Q("q_ops_landing_orc", // explicit-schema ORC landing reader
+      (s, d) => OperatorQueries.landingOrc(s, d),
+      Some(OperatorQueries.landingOrcOracle)),
     Q("q_multimodal_metadata",
       (s, d) => llm.Multimodal.metadata(s, d), Some(llm.Multimodal.metadataOracle)),
     Q("q_multimodal_features",

@@ -68,6 +68,15 @@ object Sources {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
+  /** ORC landing reader — the third columnar interchange format after
+    * parquet and the text formats above.  ORC files carry their own types,
+    * but the explicit schema still pins the read to the expected contract
+    * (a landing file with a drifted column type fails loudly at plan time
+    * instead of poisoning downstream arithmetic). */
+  def orc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** JDBC table source — the deployment shape the reference actually runs
     * (`pd.read_sql` against Postgres, one driver-side cursor).  Here the
     * read is Spark's JDBC relation: predicates and column pruning push

@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** Distributed k-means over the embeddings table, and the semantic
+  * deduplication built on top of it (the SemDeDup recipe: cluster the
+  * corpus, then look for near-duplicates only WITHIN a cluster — the
+  * cluster assignment is the candidate bound that replaces an all-pairs
+  * cosine scan).  Beyond the reference surface, per the LLM-pipeline brief;
+  * the reference has no clustering operator of any kind.
+  *
+  * Determinism is the whole design (the oracle must reproduce every
+  * centroid bit-for-bit):
+  *
+  *   - Embeddings are quantized once to exact integers
+  *     (`round(x * 1000)` per element — max |x| is ~0.53 in this corpus, so
+  *     values stay ≪ overflow and the quantization error is bounded at
+  *     5e-4 per element).  All distances are then exact BIGINT sums of
+  *     squares, and cross-row aggregation (the centroid update) sums exact
+  *     integers — partition-order independent, unlike a float sum.
+  *   - Initial centroids are the `k` lowest vec_ids (the [[Similarity]]
+  *     IVF convention), not an RNG draw.
+  *   - The centroid update is the ROUNDED INTEGER MEAN: `round(sum/count)`
+  *     with the sum and count exact, the division an IEEE double op on
+  *     integers ≪ 2^53, and both engines rounding half away from zero —
+  *     so the next iteration's centroids are again exact integers.
+  *   - Assignment ties break on (dist ASC, cid ASC); empty clusters simply
+  *     drop (both engines derive the same survivor set).
+  *
+  * Scale shape (100 TB): per iteration, the assignment is a BROADCAST of
+  * k×dim integers against a scan (no shuffle of the corpus side), and the
+  * update is one groupBy(cid, pos) with map-side partial sums — k×dim
+  * groups regardless of data size.  The iteration count is a constant.  A
+  * production run would persist the quantized vectors and checkpoint each
+  * iteration's assignment; at this testbed's plan depth (3 iterations) the
+  * single lazy plan is fine.  Pair generation in [[semanticDedup]] is
+  * bounded by Σ cluster_size² — k is chosen so clusters stay ~corpus/k;
+  * at 100 TB one raises k (clusters of a few thousand docs), keeping the
+  * per-cluster pair work constant — and the pair join shuffles ids only.
+  */
+object Clustering {
+
+  val DefaultK = 8
+  val DefaultIters = 3
+
+  /** `round(x*1000)` quantization, Spark spelling (FLOAT[] → BIGINT[]). */
+  private val quantSpark =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Same quantization, DuckDB spelling (DOUBLE[] → BIGINT[]). */
+  private val quantDuck =
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000) AS BIGINT))"
+
+  /** Exact integer squared L2 distance, Spark HOF fold. */
+  private def distSpark(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
+
+  /** DuckDB mirror of [[distSpark]] — same exact integer arithmetic. */
+  private def distDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, len($a)),
+       |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |    (acc, v) -> acc + v)""".stripMargin
+
+  /** Final Lloyd's-iteration assignment: (vec_id, qv, cid, dist). */
+  private[graft] def assignments(spark: SparkSession, dir: String,
+      k: Int = DefaultK, iters: Int = DefaultIters): DataFrame = {
+    val q = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantSpark).as("qv"))
+    var centroids = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      // k×dim integers: a legitimate bounded broadcast (the IVF pattern).
+      assigned = q.crossJoin(broadcast(centroids))
+        .withColumn("dist", expr(distSpark("qv", "cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select("vec_id", "qv", "cid", "dist")
+      if (it < iters)
+        // Rounded integer mean per (cid, pos): exact int sums (map-side
+        // partials, k×dim groups), then ONE deterministic double division.
+        centroids = assigned
+          .select(col("cid"), posexplode(col("qv")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS BIGINT)")
+            .as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+            .as("cv"))
+    }
+    assigned
+  }
+
+  /** Per-cluster summary of the converged assignment — sizes and EXACT
+    * integer inertia (so the whole output hash-checks). */
+  def kmeans(spark: SparkSession, dir: String,
+      k: Int = DefaultK, iters: Int = DefaultIters): DataFrame =
+    assignments(spark, dir, k, iters)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist")).as("inertia"),
+        min(col("vec_id")).as("first_member"))
+
+  /** CTE chain `q, c0, d1, a1, c1, d2, a2, …` ending at `a$iters` — the
+    * DuckDB mirror of [[assignments]], iterations unrolled. */
+  private def assignCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (
+       |  SELECT vec_id, $quantDuck AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $k)""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++= s""",
+         |d$it AS (
+         |  SELECT q.vec_id, q.qv, c.cid, ${distDuck("q.qv", "c.cv")} AS dist
+         |  FROM q CROSS JOIN c${it - 1} c),
+         |a$it AS (
+         |  SELECT vec_id, qv, cid, dist FROM (
+         |    SELECT vec_id, qv, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM d$it) t
+         |  WHERE rn = 1)""".stripMargin
+      if (it < iters)
+        sb ++= s""",
+           |c$it AS (
+           |  SELECT cid, list(m ORDER BY pos) AS cv
+           |  FROM (SELECT cid, u.p AS pos,
+           |          CAST(round(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           |        FROM (SELECT cid,
+           |                UNNEST(list_transform(generate_series(1, len(qv)),
+           |                  i -> {'p': i - 1, 'v': qv[i]})) AS u
+           |              FROM a$it) px
+           |        GROUP BY cid, u.p) s
+           |  GROUP BY cid)""".stripMargin
+    }
+    sb.toString
+  }
+
+  def kmeansOracle(k: Int = DefaultK, iters: Int = DefaultIters): String =
+    s"""${assignCtes(k, iters)}
+       |SELECT cid, COUNT(*) AS n_members,
+       |  CAST(SUM(dist) AS BIGINT) AS inertia,
+       |  MIN(vec_id) AS first_member
+       |FROM a$iters GROUP BY cid""".stripMargin
+
+  /** SemDeDup: exact-cosine near-duplicate pairs, candidates bounded to
+    * same-cluster pairs of the converged k-means assignment.  The cosine
+    * kernel and its determinism story are [[Dedup.embeddingCosine]]'s
+    * (per-row left fold over the ORIGINAL double vectors — cluster ids
+    * bound candidates; they never touch the score). */
+  def semanticDedup(spark: SparkSession, dir: String,
+      minCosine: Double = 0.35, k: Int = DefaultK,
+      iters: Int = DefaultIters): DataFrame = {
+    val asg = assignments(spark, dir, k, iters).select("vec_id", "cid")
+    val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
+      .join(asg, "vec_id")
+    val pairs = emb.select(col("cid"), col("vec_id").as("vec_a"),
+        col("embedding").as("q_embedding"), col("norm").as("q_norm"))
+      .join(emb.select(col("cid"), col("vec_id").as("vec_b"),
+        col("embedding"), col("norm")), Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+    pairs
+      .withColumn("cosine", expr(s"${Similarity.dot} / (norm * q_norm)"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  def semanticDedupOracle(minCosine: Double = 0.35, k: Int = DefaultK,
+      iters: Int = DefaultIters): String =
+    s"""${assignCtes(k, iters)},
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |        sqrt(${Similarity.dotOracle("emb", "emb")}) AS norm FROM e),
+       |m AS (SELECT a.vec_id, a.cid, n.emb, n.norm
+       |      FROM a$iters a JOIN n ON n.vec_id = a.vec_id),
+       |scored AS (
+       |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${Similarity.dotOracle("b.emb", "a.emb")} / (b.norm * a.norm) AS cos
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT cid, vec_a, vec_b, ROUND(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $minCosine""".stripMargin
+}

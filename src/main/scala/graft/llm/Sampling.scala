@@ -76,6 +76,59 @@ object Sampling {
         round(col("sampled_docs") * lit(10000.0) / col("total_docs"), 4))
   }
 
+  /** Uniform default: every language targeted at 20% of the token budget. */
+  val DefaultTargets: Seq[(String, Int)] = Seq(
+    "en" -> 2000, "zh" -> 2000, "de" -> 2000, "fr" -> 2000, "es" -> 2000)
+
+  /** Domain-mixture reweighting (the DoReMi-style knob, statically
+    * solved): given a TARGET token share per language (basis points) and
+    * the corpus's ACTUAL per-language token mass, emit the sampling-weight
+    * multiplier that moves the mixture to the target
+    * (`mix_weight = target_share / actual_share`; >1 up-samples a scarce
+    * domain, <1 down-samples a dominant one).  The weights feed
+    * [[stratifiedSample]]'s rate table — together they are the
+    * measure-then-rebalance loop of a training-mixture pipeline.
+    *
+    * Shape: one scan with map-side partial SUMs into ≤ #languages groups,
+    * a broadcast target dim, and a 1-row broadcast total; token counts are
+    * exact integer sums, the shares/weights single IEEE divisions —
+    * deterministic across engines at any scale. */
+  def mixtureWeights(spark: SparkSession, dir: String,
+      targets: Seq[(String, Int)] = DefaultTargets): DataFrame = {
+    import spark.implicits._
+    val targetDim = targets.toDF("lang", "target_bp")
+    val perLang = Sources.documents(spark, dir)
+      .withColumn("n_tok", expr("size(split(text, ' '))").cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    perLang.join(broadcast(targetDim), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("actual_share",
+        col("n_tokens") / col("total_tokens").cast("double"))
+      .withColumn("mix_weight",
+        (col("target_bp") / lit(10000.0)) /
+          (col("n_tokens") / col("total_tokens").cast("double")))
+      .select("lang", "target_bp", "n_docs", "n_tokens",
+        "actual_share", "mix_weight")
+  }
+
+  def mixtureWeightsOracle(
+      targets: Seq[(String, Int)] = DefaultTargets): String = {
+    val dim = targets.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""WITH t(lang, target_bp) AS (VALUES $dim),
+       |p AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM p)
+       |SELECT p.lang, t.target_bp, p.n_docs, p.n_tokens,
+       |  p.n_tokens / CAST(tot.total_tokens AS DOUBLE) AS actual_share,
+       |  (t.target_bp / 10000.0)
+       |    / (p.n_tokens / CAST(tot.total_tokens AS DOUBLE)) AS mix_weight
+       |FROM p JOIN t ON p.lang = t.lang, tot""".stripMargin
+  }
+
   def stratifiedSampleOracle(
       rates: Seq[(String, Int)] = DefaultRates): String = {
     val dim = rates.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")

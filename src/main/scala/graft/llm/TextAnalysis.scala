@@ -113,4 +113,60 @@ object TextAnalysis {
       |        t -> CAST(ascii(t) * length(t) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
+
+  /** Word-bigram list WITH multiplicity (unlike [[Dedup.ngramSetExpr]]'s
+    * distinct sets — repetition measures need the duplicates).  A 1-token
+    * document contributes its single token (the length-capped `slice`
+    * convention). */
+  private val bigramsSpark =
+    """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+      |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin
+
+  private val bigramsDuck =
+    """list_transform(
+      |  generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |  j -> array_to_string(list_slice(string_split(text, ' '), j, j + 1), ' '))""".stripMargin
+
+  /** Repetition metrics (the Gopher/C4 quality-filter family): how much of
+    * a document is its most-repeated word bigram (`top_fraction`), and how
+    * much sits in ANY repeated bigram (`dup_fraction`).  Degenerate
+    * machine-generated or boilerplate text scores high on both and gets
+    * filtered before training.
+    *
+    * Shape: explode → two-level aggregation, both with map-side partial
+    * combine; all counts are exact integers and the two fractions are
+    * single IEEE divisions — deterministic across engines.  At 100 TB this
+    * is the same scan-plus-agg shape as [[quality]], keyed by doc_id. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(bigramsSpark)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("distinct_bigrams"),
+        sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_count"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
+          .as("dup_bigram_tokens"))
+      .withColumn("top_fraction",
+        col("top_count") / col("n_bigrams").cast("double"))
+      .withColumn("dup_fraction",
+        col("dup_bigram_tokens") / col("n_bigrams").cast("double"))
+
+  /** DuckDB mirror of [[repetition]] (SUM(BIGINT) widens to HUGEINT there,
+    * so every sum is cast back — the [[Sampling]] driver-gate rule). */
+  val repetitionOracle: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, UNNEST($bigramsDuck) AS bigram FROM documents),
+       |c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  COUNT(*) AS distinct_bigrams,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |  MAX(cnt) AS top_count,
+       |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS dup_bigram_tokens,
+       |  MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS top_fraction,
+       |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |    / CAST(SUM(cnt) AS DOUBLE) AS dup_fraction
+       |FROM c GROUP BY doc_id""".stripMargin
 }

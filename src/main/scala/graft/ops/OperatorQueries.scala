@@ -350,4 +350,28 @@ object OperatorQueries {
        |  COUNT(*) AS n_orders,
        |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
        |FROM orders GROUP BY 1""".stripMargin
+
+  /** S1 landing path, ORC flavor — same stage / explicit-schema read-back /
+    * aggregate-vs-parquet-truth contract as [[landingCsv]], proving the
+    * typed columnar round-trip (DECIMAL-precision doubles, dates,
+    * strings).  Keyed by clerk so the three landing queries aren't
+    * plan-identical. */
+  def landingOrc(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Sources.orders(spark, dir)
+    val landing =
+      s"/tmp/graft_landing/${new java.io.File(dir).getName}/orders_orc"
+    truth.write.mode("overwrite").orc(landing)
+    Sources.orc(spark, landing, truth.schema)
+      .groupBy(year(to_date(col("o_orderdate"))).cast("int").as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        max(to_date(col("o_orderdate"))).as("ultima"))
+  }
+
+  val landingOrcOracle: String =
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+       |  COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  MAX(CAST(o_orderdate AS DATE)) AS ultima
+       |FROM orders GROUP BY 1""".stripMargin
 }

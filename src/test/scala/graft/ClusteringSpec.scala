@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Clustering
+
+class ClusteringSpec extends SparkSpec {
+
+  private val dir = Sf001
+  private def docs = graft.core.Sources.embeddings(spark, dir)
+
+  test("k-means assignment partitions the corpus exactly once") {
+    val asg = Clustering.assignments(spark, dir).cache()
+    try {
+      assert(asg.count() == docs.count())
+      assert(asg.select("vec_id").distinct().count() == asg.count())
+      assert(asg.select("cid").distinct().count() <= Clustering.DefaultK)
+      // Every surviving centroid id came from the init set (lowest ids).
+      val badCid = asg.filter(col("cid") >= Clustering.DefaultK).count()
+      assert(badCid == 0)
+    } finally asg.unpersist()
+  }
+
+  test("assignment is deterministic under re-evaluation and repartitioning") {
+    val a = Clustering.assignments(spark, dir).select("vec_id", "cid", "dist")
+    val b = Clustering.assignments(spark, dir).repartition(13)
+      .withColumnsRenamed(Map("cid" -> "cid2", "dist" -> "dist2"))
+      .select("vec_id", "cid2", "dist2")
+    val disagree = a.join(b, "vec_id")
+      .filter(col("cid") =!= col("cid2") || col("dist") =!= col("dist2"))
+      .count()
+    assert(disagree == 0)
+  }
+
+  test("more Lloyd iterations never raise the exact integer inertia") {
+    // With rounded-integer centroid means the classic monotone-descent
+    // proof bends by at most the rounding, but on real data each extra
+    // iteration should still (weakly) improve the fit.
+    val i1 = Clustering.kmeans(spark, dir, iters = 1)
+      .agg(sum("inertia")).collect().head.getLong(0)
+    val i3 = Clustering.kmeans(spark, dir, iters = 3)
+      .agg(sum("inertia")).collect().head.getLong(0)
+    assert(i3 <= i1, s"inertia rose across iterations: $i1 -> $i3")
+  }
+
+  test("semantic dedup equals brute-force cosine restricted to clusters") {
+    val minCos = 0.3
+    val pairs = Clustering.semanticDedup(spark, dir, minCosine = minCos)
+      .select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // Naive recomputation: same-cluster membership via assignments, exact
+    // cosine via a double fold over the raw vectors.
+    val asg = Clustering.assignments(spark, dir)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = docs.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && asg(a) == asg(b)
+      c = cos(vecs(a), vecs(b)) if c >= minCos
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+    // Compare pair identity exactly; cosines to 1e-6 (the fold order in
+    // the naive loop differs from the registered kernel's).
+    assert(pairs.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
+      s"pair sets differ: ${pairs.size} vs ${expected.size}")
+    val byPair = expected.map(p => (p._1, p._2) -> p._3).toMap
+    pairs.foreach { case (a, b, c) =>
+      assert(math.abs(c - byPair((a, b))) < 2e-6, s"cosine drift on ($a,$b)")
+    }
+  }
+
+  test("every semantic-dedup pair lives inside one cluster") {
+    val asg = Clustering.assignments(spark, dir).select("vec_id", "cid")
+    val pairs = Clustering.semanticDedup(spark, dir)
+    val crossCluster = pairs
+      .join(asg.withColumnsRenamed(Map("vec_id" -> "vec_a", "cid" -> "cid_a")), "vec_a")
+      .join(asg.withColumnsRenamed(Map("vec_id" -> "vec_b", "cid" -> "cid_b")), "vec_b")
+      .filter(col("cid_a") =!= col("cid_b") || col("cid_a") =!= col("cid"))
+      .count()
+    assert(crossCluster == 0)
+  }
+}

@@ -49,6 +49,25 @@ class SamplingSpec extends SparkSpec {
     assert(loN < hiN)
   }
 
+  test("mixture weights move the mixture exactly onto the target") {
+    val m = Sampling.mixtureWeights(spark, dir).collect()
+    assert(m.length == Sampling.DefaultTargets.length)
+    m.foreach { r =>
+      val w = r.getAs[Double]("mix_weight")
+      val share = r.getAs[Double]("actual_share")
+      val target = r.getAs[Int]("target_bp") / 10000.0
+      // By construction weight * actual_share = target share (one IEEE
+      // division apart).
+      assert(math.abs(w * share - target) < 1e-12, s"$r")
+      assert(w > 0.0)
+    }
+    // Shares partition the corpus.
+    assert(math.abs(m.map(_.getAs[Double]("actual_share")).sum - 1.0) < 1e-9)
+    // The dominant language (en) must be down-weighted under uniform targets.
+    val en = m.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Double]("mix_weight") < 1.0)
+  }
+
   test("observed rate tracks the target rate per language") {
     val rows = Sampling.stratifiedSample(spark, dir).collect()
     rows.foreach { r =>

@@ -30,4 +30,42 @@ class TextAnalysisSpec extends SparkSpec {
     val t = TextAnalysis.tokenCount(spark, Sf001)
     assert(t.filter($"bpe_ish_tokens" < $"ws_tokens").count() == 0)
   }
+
+  test("repetition metrics obey their arithmetic bounds") {
+    val r = TextAnalysis.repetition(spark, Sf001).cache()
+    try {
+      // n_bigrams = tokens - 1 (or 1 for a single-token doc), so it must
+      // match the quality query's token counts exactly.
+      val q = TextAnalysis.quality(spark, Sf001).select("doc_id", "n_tokens")
+      val mismatched = r.join(q, "doc_id")
+        .filter($"n_bigrams" !==
+          org.apache.spark.sql.functions.greatest($"n_tokens" - 1,
+            org.apache.spark.sql.functions.lit(1L)))
+        .count()
+      assert(mismatched == 0)
+      assert(r.filter($"top_count" > $"n_bigrams").count() == 0)
+      assert(r.filter($"distinct_bigrams" > $"n_bigrams").count() == 0)
+      assert(r.filter($"top_fraction" <= 0.0 || $"top_fraction" > 1.0).count() == 0)
+      assert(r.filter($"dup_fraction" < 0.0 || $"dup_fraction" > 1.0).count() == 0)
+      // dup covers at least the top bigram whenever the top repeats.
+      assert(r.filter($"top_count" > 1 &&
+        $"dup_bigram_tokens" < $"top_count").count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("repetition agrees with a naive single-document recount") {
+    val row = graft.core.Sources.documents(spark, Sf001)
+      .orderBy($"doc_id").select("doc_id", "text").head()
+    val (docId, text) = (row.getLong(0), row.getString(1))
+    val toks = text.split(" ", -1)
+    val bigrams =
+      if (toks.length < 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size)
+    val got = TextAnalysis.repetition(spark, Sf001)
+      .filter($"doc_id" === docId).head()
+    assert(got.getAs[Long]("n_bigrams") == bigrams.size.toLong)
+    assert(got.getAs[Long]("distinct_bigrams") == counts.size.toLong)
+    assert(got.getAs[Long]("top_count") == counts.values.max.toLong)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Vocab
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top-K vocab is ranked, contiguous, and coverage-monotone") {
+    val v = Vocab.topK(spark, Sf001, k = 20).cache()
+    try {
+      val rows = v.orderBy($"rank").collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+      val cnts = rows.map(_.getAs[Long]("cnt"))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        "counts must be non-increasing down the ranking")
+      val cov = rows.map(_.getAs[Double]("coverage"))
+      assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+      assert(cov.last <= 1.0 && cov.head > 0.0)
+      // cum_tokens really is the running sum of cnt.
+      val cum = rows.map(_.getAs[Long]("cum_tokens"))
+      assert(cum.toSeq == cnts.scanLeft(0L)(_ + _).tail.toSeq)
+    } finally v.unpersist()
+  }
+
+  test("a K beyond the vocabulary returns the whole vocabulary, coverage 1") {
+    // The synthetic corpus has a ~31-word vocabulary: K larger than that
+    // must clamp (LIMIT semantics, identical in both engines) and the last
+    // row's running coverage must close at exactly 1.0 — the integer
+    // running sum equals the integer total, so the division is exact.
+    val v = Vocab.topK(spark, Sf001, k = 10000)
+      .orderBy($"rank".desc).cache()
+    try {
+      val vocabSize = graft.core.Sources.documents(spark, Sf001)
+        .select(explode(split($"text", " ")).as("word"))
+        .distinct().count()
+      assert(v.count() == vocabSize)
+      assert(v.head().getAs[Double]("coverage") == 1.0)
+    } finally v.unpersist()
+  }
+
+  test("rank 1 is the corpus's true most frequent token") {
+    val naive = graft.core.Sources.documents(spark, Sf001)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy("word").count()
+      .orderBy($"count".desc, $"word".asc).head()
+    val top = Vocab.topK(spark, Sf001, k = 1).head()
+    assert(top.getAs[String]("word") == naive.getAs[String]("word"))
+    assert(top.getAs[Long]("cnt") == naive.getAs[Long]("count"))
+  }
+}
