@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{HllSketch, HyperplaneBuckets, MinHashSignature, SimHashBands, WordNgramShingles}
+import graft.functions.{DotProduct, HllSketch, HyperplaneBuckets, MinHashSignature, SimHashBands, SquaredL2, WordNgramShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * functions available to ANY session (including plain `spark-sql` /
@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(HyperplaneBuckets.description)
     ext.injectFunction(HllSketch.description)
     ext.injectFunction(WordNgramShingles.description)
+    ext.injectFunction(DotProduct.description)
+    ext.injectFunction(SquaredL2.description)
   }
 }

@@ -44,7 +44,11 @@ import graft.core.Sources
   */
 object Clustering {
 
-  val DefaultK = 8
+  // SemDeDup wants MANY SMALL clusters (the pair bound is Σ cluster_size²,
+  // so per-corpus pair work scales with N²/k — at 100 TB one raises k to
+  // keep cluster sizes roughly constant).  16 keeps sf0.001's clusters
+  // non-trivial while quartering sf0.1's pair volume vs k = 8.
+  val DefaultK = 16
   val DefaultIters = 3
 
   /** `round(x*1000)` quantization, Spark spelling (FLOAT[] → BIGINT[]). */
@@ -55,8 +59,15 @@ object Clustering {
   private val quantDuck =
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000) AS BIGINT))"
 
-  /** Exact integer squared L2 distance, Spark HOF fold. */
-  private def distSpark(a: String, b: String): String =
+  /** Exact integer squared L2 distance: the codegen'd
+    * [[graft.functions.SquaredL2]] kernel ([[assignments]] registers it).
+    * Exact integers have no summation-order contract, so the declarative
+    * fold spec ([[distSpec]], asserted ≡ in ClusteringSpec) and the DuckDB
+    * `list_reduce` oracle agree with it unconditionally. */
+  private def distSpark(a: String, b: String): String = s"vec_dist2($a, $b)"
+
+  /** Declarative HOF spelling — the SPEC for [[graft.functions.SquaredL2]]. */
+  private[graft] def distSpec(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
        |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
 
@@ -70,6 +81,7 @@ object Clustering {
   /** Final Lloyd's-iteration assignment: (vec_id, qv, cid, dist). */
   private[graft] def assignments(spark: SparkSession, dir: String,
       k: Int = DefaultK, iters: Int = DefaultIters): DataFrame = {
+    graft.functions.SquaredL2.register(spark)
     val q = Sources.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantSpark).as("qv"))
     var centroids = q.filter(col("vec_id") < k)
@@ -159,8 +171,13 @@ object Clustering {
       minCosine: Double = 0.35, k: Int = DefaultK,
       iters: Int = DefaultIters): DataFrame = {
     val asg = assignments(spark, dir, k, iters).select("vec_id", "cid")
+    // Both sides of the pair join read this table; materialize it once so
+    // the 3-iteration k-means lineage isn't executed twice (the
+    // [[Dedup.ngramJaccard]] signature-table pattern — cache lifecycle is
+    // caller-owned, Bench/Verify clearCache() between queries).
     val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
       .join(asg, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = emb.select(col("cid"), col("vec_id").as("vec_a"),
         col("embedding").as("q_embedding"), col("norm").as("q_norm"))
       .join(emb.select(col("cid"), col("vec_id").as("vec_b"),

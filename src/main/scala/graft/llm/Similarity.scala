@@ -34,13 +34,25 @@ import graft.core.Sources
   */
 object Similarity {
 
-  /** L2 norm + raw vector, precomputed once per side. */
-  private[llm] def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm",
-      expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+  /** L2 norm + raw vector, precomputed once per side.  The norm is the
+    * self-dot through the codegen'd [[graft.functions.DotProduct]] kernel
+    * (bit-identical to the declarative fold — see [[dotSpec]]). */
+  private[graft] def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(df.sparkSession)
+    df.withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
+  }
 
-  private[llm] val dot =
-    "aggregate(zip_with(embedding, q_embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  /** Pair-scoring dot product: the codegen'd kernel (registered by
+    * [[withNorm]], which every call site goes through first). */
+  private[graft] val dot = "vec_dot(embedding, q_embedding)"
+
+  /** The declarative HOF spelling is the SPEC for the codegen'd kernel —
+    * two lambda-interpreted vector walks per pair, outside whole-stage
+    * codegen, which dominated pair scoring once candidates grew;
+    * SimilaritySpec asserts `vec_dot` ≡ this fold bit-for-bit on real
+    * data, so the two can never drift apart. */
+  private[graft] def dotSpec(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 
   /** Exact cosine top-k of every candidate for each query vector. */
   def bruteForceTopK(spark: SparkSession, dir: String,

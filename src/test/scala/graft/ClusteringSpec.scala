@@ -81,6 +81,25 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd vec_dist2 equals the declarative fold spec exactly") {
+    import org.apache.spark.sql.functions.expr
+    graft.functions.SquaredL2.register(spark)
+    val quant =
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val q = docs.select(col("vec_id"), expr(quant).as("qv"))
+    val pairs = q.crossJoin(
+      q.select(col("qv").as("cv")).filter(col("vec_id") < 4).drop("vec_id"))
+    val mismatches = pairs.select(
+        expr("vec_dist2(qv, cv)").as("nat"),
+        expr(Clustering.distSpec("qv", "cv")).as("sql"))
+      .filter("nat <> sql").count()
+    assert(mismatches == 0L)
+    val nulls = spark.sql(
+      """SELECT vec_dist2(array(1L, NULL), array(1L, 2L)) AS a,
+        |       vec_dist2(array(1L), array(1L, 2L)) AS b""".stripMargin).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("every semantic-dedup pair lives inside one cluster") {
     val asg = Clustering.assignments(spark, dir).select("vec_id", "cid")
     val pairs = Clustering.semanticDedup(spark, dir)

@@ -58,6 +58,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen'd vec_dot is bit-identical to the declarative fold spec") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.DotProduct.register(spark)
+    val emb = graft.core.Sources.embeddings(spark, Sf001)
+    // Self-dot (the norm path) and cross-dot against a shifted copy (the
+    // pair-scoring path), both on the raw FLOAT[] column.  Bitwise compare:
+    // <> on doubles — any ULP drift from the spec fold fails.
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("vec_id").as("vid2"),
+        col("embedding").as("q_embedding")).filter(col("vid2") < 8))
+    val mismatches = pairs.select(
+        expr("vec_dot(embedding, embedding)").as("self_nat"),
+        expr(graft.llm.Similarity.dotSpec("embedding", "embedding")).as("self_sql"),
+        expr("vec_dot(embedding, q_embedding)").as("cross_nat"),
+        expr(graft.llm.Similarity.dotSpec("embedding", "q_embedding")).as("cross_sql"))
+      .filter("self_nat <> self_sql OR cross_nat <> cross_sql")
+      .count()
+    assert(mismatches == 0L)
+    // NULL algebra mirrors zip_with/aggregate: NULL element or length
+    // mismatch poisons the sum to NULL.
+    val df = spark.sql(
+      """SELECT vec_dot(array(1.0D, NULL), array(1.0D, 2.0D)) AS a,
+        |       vec_dot(array(1.0D), array(1.0D, 2.0D)) AS b,
+        |       vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c""".stripMargin)
+      .head()
+    assert(df.isNullAt(0) && df.isNullAt(1) && df.isNullAt(2))
+  }
+
   test("LSH top-k neighbors are a subset of candidates sharing the query bucket, ranked consistently") {
     val out = Similarity.lshTopK(spark, Sf001, numQueries = 4, k = 3)
       .as[(Long, Int, Long, Double)].collect()
