@@ -33,8 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash pipeline (reference analogue: the near-dup shingling of
   * `dedup/minhash.rs`, re-expressed Spark-first).
   */
-case class WordNgramShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+case class WordNgramShingles(child: Expression, n: Int,
+    distinct: Boolean = true) extends UnaryExpression {
 
   // Callers guarantee child: string (AbstractDataType/ExpectsInputTypes are
   // private[sql] in Spark 4 — no declarative input-type check).
@@ -42,11 +42,11 @@ case class WordNgramShingles(child: Expression, n: Int)
   override def prettyName: String = "ngram_shingles"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordNgramShingles.shingles(input.asInstanceOf[UTF8String], n)
+    WordNgramShingles.shingles(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordNgramShingles.shingles($c, $n);")
+      s"${ev.value} = graft.functions.WordNgramShingles.shingles($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramShingles =
     copy(child = newChild)
@@ -54,14 +54,21 @@ case class WordNgramShingles(child: Expression, n: Int)
 
 object WordNgramShingles {
 
-  /** Shared kernel for interpreted eval and generated code. */
-  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+  /** Shared kernel for interpreted eval and generated code.  With
+    * `distinct = false` it keeps every occurrence in order — the
+    * multiplicity form repetition metrics need
+    * ([[graft.llm.TextAnalysis.repetition]]), ≡ the same declarative
+    * transform WITHOUT the array_distinct wrapper. */
+  def shingles(text: UTF8String, n: Int,
+      distinct: Boolean = true): GenericArrayData = {
     // Spark's split(text, ' ') is String.split(regex, -1): single-space
     // separators, empty tokens preserved (incl. trailing).
     val toks = text.toString.split(" ", -1)
     val len = toks.length
     val nShingles = math.max(len - n + 1, 1)
-    val seen = new mutable.LinkedHashSet[String]
+    val seen: mutable.Growable[String] with Iterable[String] =
+      if (distinct) new mutable.LinkedHashSet[String]
+      else new mutable.ArrayBuffer[String](nShingles)
     var i = 0
     while (i < nShingles) {
       // slice(arr, i+1, n) caps at the array end.
@@ -73,7 +80,7 @@ object WordNgramShingles {
         sb.append(toks(k))
         k += 1
       }
-      seen.add(sb.toString)
+      seen += sb.toString
       i += 1
     }
     val out = new Array[AnyRef](seen.size)
@@ -89,7 +96,14 @@ object WordNgramShingles {
     (FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[WordNgramShingles].getName, "ngram_shingles"),
       (children: Seq[Expression]) => children(1) match {
-        case Literal(v: Int, _) => WordNgramShingles(children.head, v)
+        case Literal(v: Int, _) =>
+          val distinct = children.lift(2) match {
+            case None                      => true
+            case Some(Literal(b: Boolean, _)) => b
+            case Some(other) => throw new IllegalArgumentException(
+              s"ngram_shingles: distinct must be a boolean literal, got $other")
+          }
+          WordNgramShingles(children.head, v, distinct)
         case other => throw new IllegalArgumentException(
           s"ngram_shingles: n must be an integer literal, got $other")
       })

@@ -117,8 +117,14 @@ object TextAnalysis {
   /** Word-bigram list WITH multiplicity (unlike [[Dedup.ngramSetExpr]]'s
     * distinct sets — repetition measures need the duplicates).  A 1-token
     * document contributes its single token (the length-capped `slice`
-    * convention). */
-  private val bigramsSpark =
+    * convention).  This declarative form is the SPEC; the hot path runs
+    * the codegen'd [[graft.functions.WordNgramShingles]] kernel's
+    * multiplicity variant (`ngram_shingles(text, 2, false)`) — the
+    * declarative lambda re-tokenizes the document for every shingle index,
+    * O(tokens²) interpreted string work per doc, and dominated this
+    * query's first benchmark read (WordNgramShinglesSpec asserts kernel ≡
+    * spec element-for-element). */
+  private[graft] val bigramsSpec =
     """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
       |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin
 
@@ -137,9 +143,11 @@ object TextAnalysis {
     * combine; all counts are exact integers and the two fractions are
     * single IEEE divisions — deterministic across engines.  At 100 TB this
     * is the same scan-plus-agg shape as [[quality]], keyed by doc_id. */
-  def repetition(spark: SparkSession, dir: String): DataFrame =
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
     Sources.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(bigramsSpark)).as("bigram"))
+      .select(col("doc_id"),
+        explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -152,6 +160,7 @@ object TextAnalysis {
         col("top_count") / col("n_bigrams").cast("double"))
       .withColumn("dup_fraction",
         col("dup_bigram_tokens") / col("n_bigrams").cast("double"))
+  }
 
   /** DuckDB mirror of [[repetition]] (SUM(BIGINT) widens to HUGEINT there,
     * so every sum is cast back — the [[Sampling]] driver-gate rule). */

@@ -37,6 +37,22 @@ class WordNgramShinglesSpec extends SparkSpec {
     }
   }
 
+  test("multiplicity variant equals the no-distinct declarative spec") {
+    WordNgramShingles.register(spark)
+    // Synthetic edge cases AND the real corpus: every occurrence, in order.
+    texts.select(
+        expr("ngram_shingles(text, 2, false)").as("fast"),
+        expr(graft.llm.TextAnalysis.bigramsSpec).as("spec")).collect()
+      .foreach { r => assert(r.getSeq[String](0) == r.getSeq[String](1)) }
+    val diff = graft.core.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        expr("ngram_shingles(text, 2, false)").as("fast"),
+        expr(graft.llm.TextAnalysis.bigramsSpec).as("spec"))
+      .filter(not(col("fast") === col("spec")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("kernel equals the spec on the real documents corpus (sf0.001)") {
     WordNgramShingles.register(spark)
     val diff = graft.core.Sources.documents(spark, "/root/testdata/sf0.001")
