@@ -156,6 +156,15 @@ object SparkEntry {
     Q("q_text_fingerprint",
       (s, d) => llm.TextAnalysis.fingerprint(s, d),
       Some(llm.TextAnalysis.fingerprintOracle)),
+    Q("q_dedup_verbatim", // corpus-internal exact-substring span dedup
+      (s, d) => llm.Dedup.verbatimSpans(s, d),
+      Some(llm.Dedup.verbatimSpansOracle())),
+    Q("q_text_chunks", // fixed-context window chunking with overlap
+      (s, d) => llm.TextAnalysis.chunks(s, d),
+      Some(llm.TextAnalysis.chunksOracle())),
+    Q("q_an_corr", // Pearson r from exact decimal moments
+      (s, d) => graft.ops.AnalyticsQueries.correlation(s, d),
+      Some(graft.ops.AnalyticsQueries.correlationOracle)),
     Q("q_text_repetition", // Gopher/C4 repetition quality filters
       (s, d) => llm.TextAnalysis.repetition(s, d),
       Some(llm.TextAnalysis.repetitionOracle)),

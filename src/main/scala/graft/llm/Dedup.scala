@@ -570,6 +570,50 @@ object Dedup {
        |WHERE s.source <> '$benchSource'
        |GROUP BY 1""".stripMargin
 
+  /** Corpus-INTERNAL verbatim-span dedup (the exact-substring recipe of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): a span is duplicated when the
+    * same verbatim `n`-token shingle already occurs in a LOWER-doc_id
+    * document — the stable id order stands in for corpus position, so
+    * exactly one owner survives per span and flagging is asymmetric,
+    * unlike the symmetric Jaccard family.  Emits per-doc span counts and
+    * the duplicated fraction (the signal used to drop or trim documents).
+    *
+    * Distinct from [[decontaminate]]: that gates the corpus against a
+    * HELD-OUT set (tiny, broadcast); this one dedups the corpus against
+    * itself — the owner table is corpus-sized, so the shingle groupBy and
+    * join shuffle on the shingle key (posting-list bounded, the same
+    * shape as the prefix-filter pipeline).  Shingles stay exact strings
+    * because the oracle checks exact counts; at 100 TB one would shuffle
+    * 8-byte shingle hashes instead and accept that a collision can merge
+    * two spans (the [[ngramJaccard]] hashing note — there collisions only
+    * add rejected candidates, here they'd alter a count, so the exact
+    * form is the oracle-checkable one). */
+  def verbatimSpans(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
+    val sh = Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
+    val owner = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owner, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("owner") < col("doc_id"), 1)).as("dup_spans"))
+      .withColumn("dup_fraction",
+        col("dup_spans") / col("n_spans").cast("double"))
+  }
+
+  def verbatimSpansOracle(n: Int = 15): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, UNNEST(${ngramSetOracleExpr("text", n)}) AS shingle
+       |  FROM documents),
+       |o AS (SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY 1)
+       |SELECT s.doc_id, COUNT(*) AS n_spans,
+       |  COUNT(CASE WHEN o.owner < s.doc_id THEN 1 END) AS dup_spans,
+       |  COUNT(CASE WHEN o.owner < s.doc_id THEN 1 END)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+       |FROM sh s JOIN o USING (shingle)
+       |GROUP BY s.doc_id""".stripMargin
+
   private[graft] def ngramSetExpr(textCol: String, n: Int): String =
     if (n == 1) s"array_distinct(split($textCol, ' '))"
     else

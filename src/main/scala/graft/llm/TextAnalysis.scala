@@ -162,6 +162,44 @@ object TextAnalysis {
         col("dup_bigram_tokens") / col("n_bigrams").cast("double"))
   }
 
+  /** Context-window chunking: split each document into token windows of
+    * `size` at stride `stride` (overlap = size − stride) — the standard
+    * prep for fixed-context pretraining and retrieval indexing.  Chunk
+    * starts are `j·stride + 1` for j = 0 .. ⌊(tokens−1)/stride⌋, each
+    * chunk length-capped at the document end (the `slice` convention), so
+    * every token lands in ≥1 chunk and boundaries are a pure function of
+    * the token count — reproducible across engines and partitionings.
+    *
+    * Per-row explode with no shuffle at all: chunking fuses into the scan
+    * and the output is written partition-local.  The lambda re-slices the
+    * token list per chunk (O(chunks · size) string work); chunks per doc
+    * is small by construction (tokens/stride), so unlike the per-shingle
+    * escalations this stays cheap — measured, not assumed. */
+  def chunks(spark: SparkSession, dir: String,
+      size: Int = 64, stride: Int = 48): DataFrame =
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, (greatest(size(split(text, ' ')) - 1, 0)) div $stride),
+             |  j -> concat_ws(' ', slice(split(text, ' '),
+             |                 CAST(j * $stride + 1 AS INT), $size)))""".stripMargin)))
+      .select(col("doc_id"), col("lang"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk_text"))
+      .withColumn("chunk_tokens", expr("size(split(chunk_text, ' '))"))
+
+  def chunksOracle(size: Int = 64, stride: Int = 48): String =
+    s"""SELECT doc_id, lang, CAST(u.j AS INT) AS chunk_id,
+       |  u.t AS chunk_text,
+       |  len(string_split(u.t, ' ')) AS chunk_tokens
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    UNNEST(list_transform(
+       |      generate_series(0, (greatest(len(string_split(text, ' ')) - 1, 0)) // $stride),
+       |      j -> {'j': j, 't': array_to_string(list_slice(string_split(text, ' '),
+       |                        j * $stride + 1, j * $stride + $size), ' ')})) AS u
+       |  FROM documents) x""".stripMargin
+
   /** DuckDB mirror of [[repetition]] (SUM(BIGINT) widens to HUGEINT there,
     * so every sum is cast back — the [[Sampling]] driver-gate rule). */
   val repetitionOracle: String =

@@ -309,4 +309,45 @@ object AnalyticsQueries {
        |  ${Frag.sumMoney(s"CASE WHEN l_returnflag = 'N' THEN ${Frag.money("l_extendedprice")} END")} AS N,
        |  ${Frag.sumMoney(s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_extendedprice")} END")} AS R
        |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Pearson correlation from EXACT decimal sums — the statistics-family
+    * gap §2 marks ABSENT.  Built-in `corr()` accumulates doubles in
+    * partition order (non-deterministic across engines/partitionings, the
+    * same trap as float SUM), so instead the five moments are exact
+    * DECIMAL sums (quantity is integral; price goes through the
+    * [[Frag.money]] cents convention) and the textbook formula runs ONCE
+    * per group on doubles cast from exact decimals — every arithmetic
+    * step deterministic and identical in DuckDB, so the coefficient
+    * hash-matches.  One scan, map-side partial sums, 3 groups. */
+  private val corrFormula: String = {
+    val (n, sx, sy, sxy, sxx, syy) = (
+      "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    s"""ROUND(($n * $sxy - $sx * $sy) /
+       |  (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy)),
+       |  6)""".stripMargin
+  }
+
+  private val corrSums: Seq[(String, String)] = {
+    val x = "CAST(l_quantity AS DECIMAL(18,0))"
+    val y = Frag.money("l_extendedprice")
+    Seq("n" -> "COUNT(*)", "sx" -> s"SUM($x)", "sy" -> s"SUM($y)",
+      "sxy" -> s"SUM($x * $y)", "sxx" -> s"SUM($x * $x)",
+      "syy" -> s"SUM($y * $y)")
+  }
+
+  def correlation(spark: SparkSession, dir: String): DataFrame =
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(corrSums.head._2).as(corrSums.head._1),
+        corrSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+      .selectExpr("l_returnflag", "n",
+        s"$corrFormula AS corr_qty_price")
+
+  val correlationOracle: String =
+    s"""SELECT l_returnflag, n, $corrFormula AS corr_qty_price
+       |FROM (
+       |  SELECT l_returnflag,
+       |    ${corrSums.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")}
+       |  FROM lineitem GROUP BY 1) t""".stripMargin
 }

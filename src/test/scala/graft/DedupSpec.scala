@@ -139,6 +139,32 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // src5/n=8 is known-contaminated in the testdata
   }
 
+  test("verbatim-span dedup equals the naive owner scan") {
+    val n = 15
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .select(col("doc_id"), expr(Dedup.ngramSetExpr("text", n)).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val owner = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, sh) =>
+      sh.toSet.foreach { s: String =>
+        if (!owner.contains(s) || owner(s) > id) owner(s) = id
+      }
+    }
+    val expected = docs.map { case (id, sh) =>
+      val set = sh.toSet
+      (id, set.size.toLong, set.count(s => owner(s) < id).toLong)
+    }.toSet
+    val got = Dedup.verbatimSpans(spark, Sf001, n)
+      .select("doc_id", "n_spans", "dup_spans")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // The lowest doc_id can never be flagged; something must be flagged in
+    // the synthetic corpus (near-identical docs share 15-token spans).
+    val lowest = docs.map(_._1).min
+    assert(got.find(_._1 == lowest).get._3 == 0L)
+    assert(got.exists(_._3 > 0L))
+  }
+
   test("duplicate clusters equal union-find over the pair graph") {
     val pairs = Dedup.minhashCandidates(spark, Sf001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

@@ -53,6 +53,34 @@ class TextAnalysisSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("chunking covers every token and reconstructs the document head") {
+    val S = 48; val C = 64
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextAnalysis.chunks(spark, Sf001, size = C, stride = S)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, rows) =>
+      val toks = docs(id).split(" ", -1)
+      val byId = rows.sortBy(_.getAs[Int]("chunk_id"))
+      // Contiguous chunk ids from 0; count is a pure function of length.
+      assert(byId.map(_.getAs[Int]("chunk_id")).toSeq ==
+        (0 to math.max(toks.length - 1, 0) / S))
+      // Chunk 0 is the document's head verbatim.
+      assert(byId.head.getAs[String]("chunk_text") ==
+        toks.take(C).mkString(" "))
+      // Every chunk is the exact slice at its offset (so the union covers
+      // every token and overlaps are exactly size - stride).
+      byId.foreach { r =>
+        val j = r.getAs[Int]("chunk_id")
+        assert(r.getAs[String]("chunk_text") ==
+          toks.slice(j * S, math.min(j * S + C, toks.length)).mkString(" "))
+      }
+    }
+  }
+
   test("repetition agrees with a naive single-document recount") {
     val row = graft.core.Sources.documents(spark, Sf001)
       .orderBy($"doc_id").select("doc_id", "text").head()
