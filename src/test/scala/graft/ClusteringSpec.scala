@@ -100,6 +100,19 @@ class ClusteringSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("k-means never shuffles or sort-merge-joins the corpus side") {
+    // The per-iteration assignment must be a BROADCAST of k×dim centroid
+    // rows against the scan (BroadcastNestedLoopJoin is the intentional
+    // bounded cross-join shape, as with the IVF centroids) — a
+    // SortMergeJoin or corpus-keyed Exchange before the argmin would mean
+    // Spark decided to shuffle the corpus per iteration.
+    val plan = Clustering.kmeans(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("every semantic-dedup pair lives inside one cluster") {
     val asg = Clustering.assignments(spark, dir).select("vec_id", "cid")
     val pairs = Clustering.semanticDedup(spark, dir)
