@@ -221,6 +221,10 @@ object SparkEntry {
       (s, d) => streaming.EventsStream
         .conversionsFromEvents(graft.core.Sources.events(s, d)),
       Some(streaming.EventsStream.conversionsOracle())),
+    Q("q_stream_enrich", // stream-static broadcast dim join, batch-evaluated
+      (s, d) => streaming.EventsStream.enrichBySegment(
+        graft.core.Sources.events(s, d), graft.core.Sources.customer(s, d)),
+      Some(streaming.EventsStream.enrichOracle)),
     Q("q_ann_ivf",
       (s, d) => llm.Similarity.ivfTopK(s, d),
       Some(llm.Similarity.ivfOracle())),
@@ -279,7 +283,13 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.groupingSetsOracle)),
     Q("q_an_moving_window",
       (s, d) => graft.ops.AnalyticsQueries.movingWindow(s, d),
-      Some(graft.ops.AnalyticsQueries.movingWindowOracle)))
+      Some(graft.ops.AnalyticsQueries.movingWindowOracle)),
+    Q("q_an_histogram", // one-scan equi-width histogram
+      (s, d) => graft.ops.AnalyticsQueries.histogram(s, d),
+      Some(graft.ops.AnalyticsQueries.histogramOracle())),
+    Q("q_an_like", // LIKE/regex predicate family, pushed to the scan
+      (s, d) => graft.ops.AnalyticsQueries.likeFilter(s, d),
+      Some(graft.ops.AnalyticsQueries.likeFilterOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -310,6 +310,52 @@ object AnalyticsQueries {
        |  ${Frag.sumMoney(s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_extendedprice")} END")} AS R
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Equi-width histogram in ONE scan: bin = ⌊value / width⌋ as an exact
+    * integer key, per-bin count and decimal-exact mass.  The single-pass
+    * profile primitive for distribution monitoring at scale — map-side
+    * partial counts into #bins groups, no second pass for bounds (unlike
+    * equi-DEPTH, which needs quantiles first — see [[percentiles]]).
+    * The double division and floor are per-row IEEE ops both engines
+    * evaluate identically. */
+  def histogram(spark: SparkSession, dir: String,
+      width: Int = 5000): DataFrame =
+    Sources.orders(spark, dir)
+      .groupBy(expr(s"CAST(floor(o_totalprice / $width) AS BIGINT)").as("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("massa"))
+      .withColumn("bin_lo", col("bin") * width)
+
+  def histogramOracle(width: Int = 5000): String =
+    s"""SELECT bin, COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS massa,
+       |  bin * $width AS bin_lo
+       |FROM (SELECT o_totalprice,
+       |        CAST(floor(o_totalprice / $width) AS BIGINT) AS bin
+       |      FROM orders) t
+       |GROUP BY bin""".stripMargin
+
+  /** LIKE/regex predicate coverage (§2 marks the whole string-matching
+    * family ABSENT in the reference): infix LIKE on the scan (pushed to
+    * the parquet reader as a StringContains filter) + a regex extraction
+    * aggregated per brand.  Both engines share the regex subset used
+    * (a literal word alternation). */
+  def likeFilter(spark: SparkSession, dir: String): DataFrame =
+    Sources.part(spark, dir)
+      .filter(col("p_name").like("%red%"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        count(when(expr("p_type LIKE '%large%'"), 1)).as("n_large"),
+        expr("COUNT(CASE WHEN regexp_extract(p_name, 'red (widget|bolt)', 1) <> '' THEN 1 END)")
+          .as("n_widget_bolt"))
+
+  val likeFilterOracle: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  COUNT(CASE WHEN p_type LIKE '%large%' THEN 1 END) AS n_large,
+      |  COUNT(CASE WHEN COALESCE(regexp_extract(p_name, 'red (widget|bolt)', 1), '') <> ''
+      |             THEN 1 END) AS n_widget_bolt
+      |FROM part WHERE p_name LIKE '%red%'
+      |GROUP BY 1""".stripMargin
+
   /** Pearson correlation from EXACT decimal sums — the statistics-family
     * gap §2 marks ABSENT.  Built-in `corr()` accumulates doubles in
     * partition order (non-deterministic across engines/partitionings, the

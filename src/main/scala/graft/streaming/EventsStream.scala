@@ -247,6 +247,40 @@ object EventsStream {
        |  ${Frag.sumMoney(Frag.money("value"))} AS valor
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Stream-static dimension enrichment — the remaining Structured
+    * Streaming join mode after the stream-stream interval join
+    * ([[conversionsFromEvents]]): each micro-batch hash-joins the STATIC
+    * customer dimension, re-read per trigger (so a slowly-changing dim is
+    * picked up at the next batch) — no state store involved, unlike the
+    * stream-stream case.  The dim side is an explicit broadcast: at 100 TB
+    * of stream the customers table is dwarfed by the fact stream, so the
+    * join is map-side and the only stream-side shuffle is the windowed
+    * aggregation's own exchange.  Batch-evaluated for the driver gate like
+    * every streaming entry; StreamingSpec proves streaming ≡ batch through
+    * MemoryStream. */
+  def enrichBySegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segmento"))), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("segmento"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(Frag.sumMoney(Frag.money("value"))).as("valor"))
+      .select(to_date(col("w.start")).as("dia"), col("segmento"),
+        col("n_events"), col("valor"))
+
+  /** Streaming form: watermarked stream side, same plan otherwise. */
+  def enrichBySegmentStream(events: DataFrame,
+      customers: DataFrame): DataFrame =
+    enrichBySegment(events.withWatermark("ts", "1 day"), customers)
+
+  val enrichOracle: String =
+    s"""SELECT CAST(DATE_TRUNC('day', e.ts) AS DATE) AS dia,
+       |  c.c_mktsegment AS segmento,
+       |  COUNT(*) AS n_events,
+       |  ${Frag.sumMoney(Frag.money("e.value"))} AS valor
+       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB mirror of [[dailyDistinct]] — the
     * [[graft.functions.HllSketch]] register math per day (same spelling as
     * `AnalyticsQueries.hllDistinctOracle`, grouped by the window day). */

@@ -43,6 +43,40 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.forall(_.user_id == 1L))
   }
 
+  test("stream-static enrichment joins the dim per micro-batch: streaming equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "n10", 1, 0.0, "BUILDING"), (20L, "n20", 2, 0.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "click", 1.5),
+      (2L, ts("2024-01-01 11:00:00"), 20L, "click", 2.5),
+      (3L, ts("2024-01-02 09:00:00"), 10L, "view", 4.0),
+      (4L, ts("2024-01-02 10:00:00"), 99L, "view", 8.0)) // no dim row → NULL segment
+    def toEv(s: Seq[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventsStream.enrichBySegment(toEv(evRows), dim)
+      .orderBy("dia", "segmento").collect().map(_.toString)
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    // Two micro-batches split mid-day: the per-batch dim join must not
+    // care where the cut lands.
+    stream.addData(evRows.take(2): _*)
+    val q = EventsStream
+      .enrichBySegmentStream(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(evRows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .orderBy("dia", "segmento").collect().map(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("foreachBatch lands micro-batches through the idempotent keyed sink") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
