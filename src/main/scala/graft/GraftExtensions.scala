@@ -11,7 +11,11 @@ import graft.functions.{DotProduct, HllSketch, HyperplaneBuckets, MinHashSignatu
   *
   * Library call sites don't depend on this — they register on their own
   * session ([[MinHashSignature.register]]) — but a cluster deployment
-  * injects once here instead of per-job.
+  * injects once here instead of per-job.  Besides the function registry
+  * entries, it injects the [[graft.plans.VecDotRewrite]] optimizer rule,
+  * so even users writing the declarative
+  * `aggregate(zip_with(...), 0D, +)` dot product get the codegen'd
+  * kernel transparently.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(WordNgramShingles.description)
     ext.injectFunction(DotProduct.description)
     ext.injectFunction(SquaredL2.description)
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
   }
 }
