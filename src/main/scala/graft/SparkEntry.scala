@@ -289,7 +289,19 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.histogramOracle())),
     Q("q_an_like", // LIKE/regex predicate family, pushed to the scan
       (s, d) => graft.ops.AnalyticsQueries.likeFilter(s, d),
-      Some(graft.ops.AnalyticsQueries.likeFilterOracle)))
+      Some(graft.ops.AnalyticsQueries.likeFilterOracle)),
+    Q("q_an_funnel", // sequential conversion funnel, one shuffle
+      (s, d) => graft.ops.AnalyticsQueries.funnel(s, d),
+      Some(graft.ops.AnalyticsQueries.funnelOracle)),
+    Q("q_an_retention", // cohort retention matrix over events
+      (s, d) => graft.ops.AnalyticsQueries.retention(s, d),
+      Some(graft.ops.AnalyticsQueries.retentionOracle)),
+    Q("q_an_cube", // CUBE completes the grouping-sets family
+      (s, d) => graft.ops.AnalyticsQueries.cube(s, d),
+      Some(graft.ops.AnalyticsQueries.cubeOracle)),
+    Q("q_an_window_ranks", // NTILE / PERCENT_RANK / CUME_DIST
+      (s, d) => graft.ops.AnalyticsQueries.windowRanks(s, d),
+      Some(graft.ops.AnalyticsQueries.windowRanksOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

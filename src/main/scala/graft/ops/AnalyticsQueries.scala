@@ -396,4 +396,159 @@ object AnalyticsQueries {
        |  SELECT l_returnflag,
        |    ${corrSums.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")}
        |  FROM lineitem GROUP BY 1) t""".stripMargin
+
+  /** Sequential conversion funnel (view → click → purchase, each stage
+    * strictly after the previous) in ONE shuffle: conditional per-user
+    * event-time lists are collected in a single `groupBy(user_id)` and the
+    * strict-ordering walk runs as array expressions on the grouped row —
+    * no join cascade, no second shuffle, per-user state bounded by that
+    * user's event count.  The oracle spells the same semantics as the
+    * textbook three-stage join cascade, so the two independent formulations
+    * checking bit-equal is also a test of the sequencing logic itself.
+    * Scale: one hash partial + one exchange on user_id; the final 3-row
+    * unpivot is a single-row aggregate. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Sources.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", col("ts")))).as("clicks"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("ts")))).as("buys"))
+      .withColumn("t_click",
+        array_min(filter(col("clicks"), c => c > col("t_view"))))
+      .withColumn("t_buy",
+        array_min(filter(col("buys"), c => c > col("t_click"))))
+    perUser
+      .agg(count(col("t_view")).as("nv"), count(col("t_click")).as("nc"),
+        count(col("t_buy")).as("np"))
+      .selectExpr(
+        """stack(3,
+          |  1, 'view',                CAST(nv AS BIGINT),
+          |  2, 'view>click',          CAST(nc AS BIGINT),
+          |  3, 'view>click>purchase', CAST(np AS BIGINT))
+          |  AS (stage_idx, stage, n_users)""".stripMargin,
+        "CAST(nv AS BIGINT) AS top_users")
+      .selectExpr("stage_idx", "stage", "n_users",
+        """CASE WHEN top_users = 0 THEN NULL
+          |  ELSE CAST(n_users AS DOUBLE) / CAST(top_users AS DOUBLE)
+          |END AS pct_of_top""".stripMargin)
+  }
+
+  /** Oracle = the independent join-cascade formulation of the same funnel
+    * (each stage joins the previous stage's first-completion time and takes
+    * the min strictly-later event). */
+  val funnelOracle: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1),
+      |n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+      |             (SELECT COUNT(*) FROM c) AS nc,
+      |             (SELECT COUNT(*) FROM p) AS np)
+      |SELECT stage_idx, stage, n_users,
+      |  CASE WHEN nv = 0 THEN NULL
+      |       ELSE CAST(n_users AS DOUBLE) / CAST(nv AS DOUBLE)
+      |  END AS pct_of_top
+      |FROM (
+      |  SELECT 1 AS stage_idx, 'view' AS stage,
+      |    CAST(nv AS BIGINT) AS n_users, nv FROM n
+      |  UNION ALL SELECT 2, 'view>click', CAST(nc AS BIGINT), nv FROM n
+      |  UNION ALL SELECT 3, 'view>click>purchase',
+      |    CAST(np AS BIGINT), nv FROM n) t""".stripMargin
+
+  /** Cohort retention matrix: cohort = ISO week of a user's FIRST signup,
+    * retention cell = distinct users of that cohort active (any event) in
+    * cohort-week + k.  The classic product-analytics query the reference
+    * cannot express (no window/cohort surface).  Two aggregations and one
+    * equi-join, all hash-partitioned by user_id before the final small
+    * (cohort, k) rollup; the week distance is an exact integer day-diff
+    * div 7 (both engines truncate weeks to Monday, so the diff is always a
+    * multiple of 7).  Weekly grain because the synthetic events span ~one
+    * month — monthly cohorts would collapse to a single cell. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date")
+        .as("cohort_week"))
+    val active = ev
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("active_week"))
+      .distinct()
+    cohort.join(active, Seq("user_id"))
+      .filter(col("active_week") >= col("cohort_week"))
+      .withColumn("weeks_since",
+        expr("datediff(active_week, cohort_week) div 7").cast("int"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionOracle: String =
+    """WITH cohort AS (
+      |  SELECT user_id,
+      |    CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(DATE_TRUNC('week', ts) AS DATE) AS active_week
+      |  FROM events)
+      |SELECT cohort_week,
+      |  CAST(DATE_DIFF('day', cohort_week, active_week) // 7 AS INT)
+      |    AS weeks_since,
+      |  COUNT(DISTINCT c.user_id) AS n_users
+      |FROM cohort c JOIN active a ON c.user_id = a.user_id
+      |WHERE active_week >= cohort_week
+      |GROUP BY 1, 2""".stripMargin
+
+  /** CUBE — the third member of the grouping-sets family next to
+    * [[rollup]] and [[groupingSets]]: all 4 subtotal combinations of
+    * (priority, order year) in one pass.  Spark expands the cube in the
+    * aggregate (map-side partials per grouping id), not by re-scanning per
+    * subtotal. */
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    Sources.orders(spark, dir)
+      .cube(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("int").as("ano"))
+      .agg(expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        count(lit(1)).as("n"))
+
+  val cubeOracle: String =
+    s"""SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INT) AS ano,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  COUNT(*) AS n
+       |FROM orders
+       |GROUP BY CUBE (o_orderpriority, CAST(YEAR(o_orderdate) AS INT))""".stripMargin
+
+  /** Distribution-rank window family (NTILE / PERCENT_RANK / CUME_DIST) —
+    * completes §2.5 beyond row_number/rank/dense_rank.  The order key
+    * (acctbal, custkey) is total, so NTILE's tie-split is deterministic;
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers/n divide the SAME
+    * small integers in both engines, so the doubles are bit-identical. */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Sources.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr(Frag.money("c_acctbal")).as("saldo"),
+        ntile(4).over(w).cast("int").as("quartil"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+  }
+
+  val windowRanksOracle: String =
+    s"""SELECT c_custkey, c_mktsegment, ${Frag.money("c_acctbal")} AS saldo,
+       |  CAST(NTILE(4) OVER w AS INT) AS quartil,
+       |  PERCENT_RANK() OVER w AS pct_rank,
+       |  CUME_DIST() OVER w AS cum_dist
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_mktsegment
+       |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 }
