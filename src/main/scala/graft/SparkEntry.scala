@@ -301,7 +301,16 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.cubeOracle)),
     Q("q_an_window_ranks", // NTILE / PERCENT_RANK / CUME_DIST
       (s, d) => graft.ops.AnalyticsQueries.windowRanks(s, d),
-      Some(graft.ops.AnalyticsQueries.windowRanksOracle)))
+      Some(graft.ops.AnalyticsQueries.windowRanksOracle)),
+    Q("q_ops_keep_latest", // CDC change-log compaction, map-side combining
+      (s, d) => OperatorQueries.keepLatest(s, d),
+      Some(OperatorQueries.keepLatestOracle)),
+    Q("q_text_pii", // regex PII scrub + audit count, scan-fused
+      (s, d) => llm.TextAnalysis.piiRedact(s, d),
+      Some(llm.TextAnalysis.piiRedactOracle)),
+    Q("q_llm_shuffle", // deterministic sharded corpus shuffle
+      (s, d) => llm.Sampling.shuffleOrder(s, d),
+      Some(llm.Sampling.shuffleOrderOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

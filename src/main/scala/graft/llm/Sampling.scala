@@ -145,4 +145,35 @@ object Sampling {
        |        / COUNT(*), 4) AS observed_bp
        |FROM d GROUP BY lang, rate_bp""".stripMargin
   }
+
+  /** Deterministic corpus shuffle for reproducible training order: sort
+    * key = mix31(doc_id) — a fixed pseudo-random permutation ANY engine
+    * can replay — sharded so the ordering work parallelizes: shard =
+    * key mod nShards, position = row offset within the shard under
+    * (key, doc_id).  Consumers read shards in id order and rows in pos
+    * order for ONE well-defined global order, but no task ever sorts more
+    * than 1/nShards of the corpus (each shard's window sorts
+    * independently; at 100 TB raise nShards with the corpus).  This is
+    * what `orderBy(rand())` cannot give a training pipeline: the same
+    * corpus always shuffles into the same order, regardless of engine,
+    * partitioning, or cluster size. */
+  def shuffleOrder(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(Mix31.sparkSql("doc_id")).as("skey"))
+      .withColumn("shard", (col("skey") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  def shuffleOrderOracle(nShards: Int = 16): String =
+    s"""SELECT doc_id, lang, skey, CAST(skey % $nShards AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % $nShards
+       |                          ORDER BY skey, doc_id) - 1 AS BIGINT)
+       |    AS pos
+       |FROM (SELECT doc_id, lang, ${Mix31.duckSql("doc_id")} AS skey
+       |      FROM documents) t""".stripMargin
 }

@@ -216,4 +216,45 @@ object TextAnalysis {
        |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
        |    / CAST(SUM(cnt) AS DOUBLE) AS dup_fraction
        |FROM c GROUP BY doc_id""".stripMargin
+
+  /** PII redaction patterns, applied in order — RE2-compatible (no
+    * lookaround, no backreferences) so Spark's Java regex and DuckDB's RE2
+    * find the exact same matches.  Emails go first (their local part may
+    * contain digits), then phone-shaped runs (≥8 chars of digits and
+    * separators), then bare digit runs; the replacement tokens contain no
+    * digits, so later patterns never re-match inside an earlier
+    * redaction.  The synthetic corpus only carries digit runs — the
+    * email/phone paths are proven on literals in TextAnalysisSpec, the
+    * digit path cross-engine by the driver gate. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "<PHONE>",
+    "[0-9]+" -> "<NUM>")
+
+  /** The full redaction chain as a single codegen'd column expression —
+    * scan speed, no UDF. */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
+  /** PII scrub over the events props payload (the corpus's only
+    * digit-bearing free text): redacted text plus the redaction count —
+    * the audit column a compliance pipeline wants next to the scrub. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(col("event_id"), col("props"),
+        redactPii(col("props")).as("props_redacted"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)"))
+          .cast("int").as("n_redacted"))
+
+  val piiRedactOracle: String = {
+    val chain = PiiPatterns.foldLeft("props") { case (acc, (pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+    s"""SELECT event_id, props, $chain AS props_redacted,
+       |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+       |    AS n_redacted
+       |FROM events""".stripMargin
+  }
 }

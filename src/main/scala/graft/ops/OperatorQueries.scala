@@ -374,4 +374,32 @@ object OperatorQueries {
        |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
        |  MAX(CAST(o_orderdate AS DATE)) AS ultima
        |FROM orders GROUP BY 1""".stripMargin
+
+  /** CDC "keep latest" compaction (change-log → current state): one row
+    * per (user_id, event_type), the lexicographically greatest
+    * (ts, event_id) observation.  Implemented as MAX over a comparison
+    * struct, NOT a ROW_NUMBER window: the aggregate combines map-side, so
+    * the exchange carries one candidate per key per input partition
+    * instead of every log row — at 100 TB of change-log that is the
+    * difference between shuffling the log and shuffling the keys.
+    * event_id is unique, so the struct order is total and the trailing
+    * `value` field never decides a comparison — it just rides along.
+    * The oracle spells the SAME semantics as the textbook
+    * ROW_NUMBER() = 1 window, so the aggregate and window formulations
+    * hash-matching is itself a check of the tie-break logic. */
+  def keepLatest(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("event_id"), col("last.ts").as("ts"),
+        col("last.value").as("value"))
+
+  val keepLatestOracle: String =
+    """SELECT user_id, event_type, event_id, ts, value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin
 }

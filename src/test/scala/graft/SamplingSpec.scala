@@ -77,4 +77,24 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(obs - target) < 2500, s"$r")
     }
   }
+
+  test("shuffleOrder is a sharded permutation with contiguous positions") {
+    val rows = Sampling.shuffleOrder(spark, dir, nShards = 4).collect()
+    val docs = graft.core.Sources.documents(spark, dir).count()
+    assert(rows.length.toLong == docs, "every doc gets a slot")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, part) =>
+      // Positions are exactly 0..n-1 within the shard and follow the
+      // (skey, doc_id) order — the reader contract.
+      val sorted = part.sortBy(r =>
+        (r.getAs[Long]("skey"), r.getAs[Long]("doc_id")))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq ===
+        (0L until part.length.toLong))
+      // skey is the engine-wide mix31 of the id — replayable anywhere.
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("skey") ==
+          graft.functions.Mix31.mix(r.getAs[Long]("doc_id")))
+      }
+    }
+  }
 }

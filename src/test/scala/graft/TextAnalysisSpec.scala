@@ -96,4 +96,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getAs[Long]("distinct_bigrams") == counts.size.toLong)
     assert(got.getAs[Long]("top_count") == counts.values.max.toLong)
   }
+
+  test("redactPii masks emails, phones, and digit runs on literals") {
+    // The driver gate only sees digit runs (the synthetic corpus has no
+    // emails/phones) — this is where the other two patterns are proven.
+    val cases = Seq(
+      "write to jane.doe+x@corp.example.org now" -> "write to <EMAIL> now",
+      "call +1 (555) 123-4567 today" -> "call <PHONE> today",
+      "id 12345 and 9" -> "id <NUM> and <NUM>",
+      "a@b.co or 555-123-9876" -> "<EMAIL> or <PHONE>",
+      "clean text stays clean" -> "clean text stays clean")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.redactPii($"t").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+    // Idempotence: redaction tokens contain no redactable substrings.
+    val twice = cases.map(_._2).toDF("t")
+      .select(TextAnalysis.redactPii($"t").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice === cases.map(_._2))
+  }
 }
