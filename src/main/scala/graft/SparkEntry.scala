@@ -310,7 +310,13 @@ object SparkEntry {
       Some(llm.TextAnalysis.piiRedactOracle)),
     Q("q_llm_shuffle", // deterministic sharded corpus shuffle
       (s, d) => llm.Sampling.shuffleOrder(s, d),
-      Some(llm.Sampling.shuffleOrderOracle())))
+      Some(llm.Sampling.shuffleOrderOracle())),
+    Q("q_an_heavy_hitters", // own Misra-Gries sketch, exact regime oracled
+      (s, d) => llm.Vocab.heavyHitters(s, d),
+      Some(llm.Vocab.heavyHittersOracle())),
+    Q("q_an_quantile_sketch", // own mergeable quantile sketch, exact regime
+      (s, d) => graft.ops.AnalyticsQueries.quantileSketch(s, d),
+      Some(graft.ops.AnalyticsQueries.quantileSketchOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

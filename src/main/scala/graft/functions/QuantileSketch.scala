@@ -1,0 +1,192 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile sketch over BIGINT values: `q_sketch(v, p, cap)`
+  * returns the discrete p-quantile (smallest value whose cumulative weight
+  * reaches ⌈p·n⌉).
+  *
+  * KLL-shaped level structure with DETERMINISTIC compaction: level i holds
+  * items that each stand for 2^i originals; when a level's buffer exceeds
+  * `cap` it is sorted and every second item (starting at offset i mod 2,
+  * so the keep-low/keep-high bias alternates by level) is promoted to
+  * level i+1.  Memory is O(cap · log(n/cap)) per group regardless of n,
+  * and [[merge]] is per-level concatenation + the same compaction — so
+  * Spark runs the sketch map-side and the shuffle carries one bounded
+  * sketch per (partition, group) where exact percentiles
+  * ([[graft.ops.AnalyticsQueries.percentiles]]) must move every row into
+  * a full distributed sort.  That bounded-merge path is the 100 TB story;
+  * the trade is the error band below.
+  *
+  * Exactness contract: until the first compaction (group size ≤ cap) the
+  * sketch IS the sorted data and the answer is the exact discrete
+  * quantile — deterministic regardless of partitioning, because levels
+  * only concatenate and [[eval]] sorts.  The registered query
+  * ([[graft.ops.AnalyticsQueries.quantileSketch]]) sizes cap above the
+  * sf0.01 group sizes, so the driver gate hash-checks the sketch output
+  * against an explicit rank-walk oracle (the [[HllSketch]] precedent:
+  * prove the sketch machinery exact where exactness is defined, document
+  * the band beyond).  Past cap, each compaction at level i displaces a
+  * value's rank by at most 2^i, giving the usual deterministic-KLL
+  * ε ≈ log²(n/cap)/cap rank error; QuantileSketchSpec measures ≤ 2% rank
+  * error at n = 64·cap and proves the guarantee survives merge order.
+  */
+case class QuantileSketch(
+    child: Expression,
+    p: Double,
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch.State] {
+
+  require(p > 0.0 && p <= 1.0, "q_sketch p must be in (0, 1]")
+  require(cap >= 8, "q_sketch capacity must be >= 8")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "q_sketch"
+
+  override def createAggregationBuffer(): QuantileSketch.State =
+    new QuantileSketch.State(ArrayBuffer(ArrayBuffer.empty[Long]))
+
+  override def update(buf: QuantileSketch.State,
+      input: InternalRow): QuantileSketch.State = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], cap)
+    buf
+  }
+
+  override def merge(a: QuantileSketch.State,
+      b: QuantileSketch.State): QuantileSketch.State = {
+    a.mergeIn(b, cap); a
+  }
+
+  override def eval(buf: QuantileSketch.State): Any = buf.quantile(p)
+
+  override def serialize(buf: QuantileSketch.State): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.length); lvl.foreach(out.writeLong)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketch.State = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val nLevels = in.readInt()
+    val levels = ArrayBuffer.tabulate(nLevels) { _ =>
+      val n = in.readInt()
+      val b = new ArrayBuffer[Long](n)
+      var i = 0
+      while (i < n) { b += in.readLong(); i += 1 }
+      b
+    }
+    new QuantileSketch.State(levels)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketch =
+    copy(child = newChildren.head)
+}
+
+object QuantileSketch {
+
+  /** Level i's items each stand for 2^i original values. */
+  final class State(val levels: ArrayBuffer[ArrayBuffer[Long]]) {
+
+    def add(v: Long, cap: Int): Unit = {
+      levels(0) += v
+      if (levels(0).length > cap) cascade(cap)
+    }
+
+    def mergeIn(other: State, cap: Int): Unit = {
+      var i = 0
+      while (i < other.levels.length) {
+        if (i >= levels.length) levels += ArrayBuffer.empty[Long]
+        levels(i) ++= other.levels(i)
+        i += 1
+      }
+      cascade(cap)
+    }
+
+    /** Compact every overfull level upward.  Deterministic: sort, keep
+      * every second item starting at offset (level mod 2) — the kept
+      * half's weight doubles at level+1. */
+    private def cascade(cap: Int): Unit = {
+      var i = 0
+      while (i < levels.length) {
+        if (levels(i).length > cap) {
+          val sorted = levels(i).sorted
+          if (i + 1 >= levels.length) levels += ArrayBuffer.empty[Long]
+          var j = i % 2
+          while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
+          levels(i).clear()
+        }
+        i += 1
+      }
+    }
+
+    def totalWeight: Long =
+      levels.iterator.zipWithIndex
+        .map { case (lvl, i) => lvl.length.toLong << i }.sum
+
+    /** Discrete quantile: smallest value whose cumulative weight reaches
+      * ⌈p·n⌉ in the weighted sorted multiset. */
+    def quantile(p: Double): Any = {
+      val n = totalWeight
+      if (n == 0L) return null
+      val items = levels.iterator.zipWithIndex
+        .flatMap { case (lvl, i) => lvl.iterator.map(v => (v, 1L << i)) }
+        .toArray.sortBy(_._1)
+      val rank = math.max(1L, math.ceil(p * n).toLong)
+      var cum = 0L
+      var idx = 0
+      while (idx < items.length) {
+        cum += items(idx)._2
+        if (cum >= rank) return items(idx)._1
+        idx += 1
+      }
+      items.last._1
+    }
+  }
+
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("q_sketch"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "q_sketch"),
+      (children: Seq[Expression]) => {
+        val p = children(1) match {
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"q_sketch p must be a DOUBLE literal, got $other")
+        }
+        val cap = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"q_sketch capacity must be an INT literal, got $other")
+        }
+        QuantileSketch(children.head, p, cap)
+      })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      description._1, description._2, description._3)
+}

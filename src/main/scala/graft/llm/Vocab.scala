@@ -59,4 +59,30 @@ object Vocab {
        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
        |    / CAST(tot.total_tokens AS DOUBLE) AS coverage
        |FROM top, tot""".stripMargin
+
+  /** Per-language frequent tokens via the engine's own Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters]]) — the fixed-memory, mergeable
+    * alternative to [[topK]]'s exact global count: at 100 TB the exchange
+    * carries ≤ k counters per (partition, lang) instead of every distinct
+    * token.  k = 64 exceeds the synthetic vocabulary, so the sketch sits
+    * in its exact regime and the driver gate hash-checks its output
+    * against DuckDB's exact counts; the approximate regime's n/(k+1)
+    * guarantee band is property-tested in HeavyHittersSpec. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    graft.functions.HeavyHitters.register(spark)
+    Sources.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"))
+      .agg(expr(s"mg_topk(token, $k)").as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.token").as("token"),
+        col("e.est").as("est_count"))
+  }
+
+  def heavyHittersOracle(k: Int = 64): String =
+    s"""SELECT lang, token, COUNT(*) AS est_count
+       |FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+       |      FROM documents) t
+       |GROUP BY 1, 2""".stripMargin
 }

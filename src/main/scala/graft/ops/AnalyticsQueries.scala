@@ -551,4 +551,49 @@ object AnalyticsQueries {
        |FROM customer
        |WINDOW w AS (PARTITION BY c_mktsegment
        |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
+  /** Percentiles via the engine's own mergeable quantile sketch
+    * ([[graft.functions.QuantileSketch]]) — the bounded-memory companion
+    * to [[percentiles]]' exact distributed sort-rank: the sketch merges
+    * map-side (one O(cap·log) buffer per partition × group crosses the
+    * exchange, never the rows), which is what survives a 100 TB group.
+    * Values go through the exact cents convention (DECIMAL(18,2)·100 →
+    * BIGINT) so the sketch operates on integers; cap = 4096 exceeds the
+    * sf0.01 group sizes, so the sketch is in its exact regime and the
+    * estimates hash-match the oracle's explicit rank-walk (the
+    * [[hllDistinct]] precedent — prove the machinery where exactness is
+    * defined, property-test the band beyond in QuantileSketchSpec). */
+  def quantileSketch(spark: SparkSession, dir: String,
+      cap: Int = 4096): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    def q(p: String, alias: String) =
+      expr(s"q_sketch(cents, $p, $cap)").as(alias)
+    Sources.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), q("0.25D", "p25_cents"),
+        q("0.5D", "p50_cents"), q("0.75D", "p75_cents"))
+  }
+
+  /** The discrete-quantile definition spelled out as a rank walk: the
+    * smallest value whose 1-based rank reaches ⌈p·n⌉. */
+  val quantileSketchOracle: String = {
+    def pick(p: String, alias: String) =
+      s"MIN(CASE WHEN rn >= CEIL($p * n) THEN cents END) AS $alias"
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    CAST(${Frag.money("value")} * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM s)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       |  ${pick("0.25", "p25_cents")},
+       |  ${pick("0.50", "p50_cents")},
+       |  ${pick("0.75", "p75_cents")}
+       |FROM r GROUP BY 1""".stripMargin
+  }
 }
