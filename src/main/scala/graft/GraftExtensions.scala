@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProduct.description)
     ext.injectFunction(SquaredL2.description)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.VecDist2Rewrite)
   }
 }
