@@ -316,7 +316,16 @@ object SparkEntry {
       Some(llm.Vocab.heavyHittersOracle())),
     Q("q_an_quantile_sketch", // own mergeable quantile sketch, exact regime
       (s, d) => graft.ops.AnalyticsQueries.quantileSketch(s, d),
-      Some(graft.ops.AnalyticsQueries.quantileSketchOracle)))
+      Some(graft.ops.AnalyticsQueries.quantileSketchOracle)),
+    Q("q_ops_manifest_skip", // file-level min/max manifest skipping, E2E
+      (s, d) => graft.core.Manifest.prunedAgg(s, d),
+      Some(graft.core.Manifest.prunedAggOracle())),
+    Q("q_an_outliers", // exact-integer IQR fences per group
+      (s, d) => graft.ops.AnalyticsQueries.outliers(s, d),
+      Some(graft.ops.AnalyticsQueries.outliersOracle)),
+    Q("q_an_interpolate", // spine gap-fill with linear interpolation
+      (s, d) => graft.ops.AnalyticsQueries.interpolate(s, d),
+      Some(graft.ops.AnalyticsQueries.interpolateOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -576,6 +576,155 @@ object AnalyticsQueries {
         q("0.5D", "p50_cents"), q("0.75D", "p75_cents"))
   }
 
+  /** IQR outlier fences per group, in EXACT integer arithmetic: q1/q3 are
+    * discrete ⌈p·n⌉-rank quantiles of the cents-integer price, and the
+    * Tukey fences are compared through the doubled inequality
+    * `2·x < 2·q1 − 3·IQR` (so the 1.5×IQR factor never leaves ℤ — no
+    * float fence, no rounding disagreement cross-engine).  One ranked
+    * window + a per-group constant join-back, then a single aggregation;
+    * the rank window is the same distributed sort [[percentiles]] uses. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val ranked = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    // The sketch/oracle quantile definition: the smallest value whose
+    // rank reaches ⌈p·n⌉ = MIN over rows at/after that rank.
+    def pick(p: String, alias: String) =
+      min(expr(s"CASE WHEN rn >= CEIL($p * n) THEN cents END")).as(alias)
+    val fences = ranked.groupBy(col("l_returnflag"))
+      .agg(pick("0.25", "q1_cents"), pick("0.75", "q3_cents"))
+    ranked.join(broadcast(fences), Seq("l_returnflag"))
+      .withColumn("is_outlier",
+        expr("2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents) OR " +
+          "2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        min(when(col("is_outlier"), col("cents"))).as("min_outlier_cents"),
+        max(when(col("is_outlier"), col("cents"))).as("max_outlier_cents"),
+        max(col("q1_cents")).as("q1_cents"),
+        max(col("q3_cents")).as("q3_cents"))
+  }
+
+  val outliersOracle: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag,
+       |    CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT) AS cents
+       |  FROM lineitem),
+       |rk AS (
+       |  SELECT l_returnflag, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM r),
+       |f AS (
+       |  SELECT l_returnflag,
+       |    MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN cents END) AS q1_cents,
+       |    MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN cents END) AS q3_cents
+       |  FROM rk GROUP BY 1)
+       |SELECT rk.l_returnflag, COUNT(*) AS n_rows,
+       |  COUNT(CASE WHEN 2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)
+       |               OR 2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)
+       |             THEN 1 END) AS n_outliers,
+       |  MIN(CASE WHEN 2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)
+       |             OR 2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)
+       |           THEN cents END) AS min_outlier_cents,
+       |  MAX(CASE WHEN 2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)
+       |             OR 2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)
+       |           THEN cents END) AS max_outlier_cents,
+       |  MAX(q1_cents) AS q1_cents, MAX(q3_cents) AS q3_cents
+       |FROM rk JOIN f ON rk.l_returnflag = f.l_returnflag
+       |GROUP BY 1""".stripMargin
+
+  /** Time-series gap filling with linear interpolation: the sparse daily
+    * revenue series (only days where a sale cleared the threshold) is
+    * completed onto the full day × event_type spine, and missing cells
+    * interpolate linearly between the nearest present neighbors
+    * (IGNORE-NULLS window walk both directions — no self-join per gap).
+    * Edges (no neighbor on one side) stay NULL.  The division's operands
+    * are exact integers (cents and day distances), so the interpolated
+    * doubles are bit-identical cross-engine.  Scale: two sequential
+    * windows per series key, partitioned by event_type — the same
+    * parallelism story as any per-key ordered walk; the spine is a
+    * broadcast-sized dimension. */
+  def interpolate(spark: SparkSession, dir: String,
+      threshold: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Sources.events(spark, dir)
+    val sparse = ev.filter(col("value") > threshold)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("dia"),
+        col("event_type"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("cents"))
+    val days = ev.agg(
+        min(date_trunc("day", col("ts")).cast("date")).as("d0"),
+        max(date_trunc("day", col("ts")).cast("date")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("dia"))
+    val spine = days.crossJoin(
+      ev.select(col("event_type")).distinct())
+    val wBack = Window.partitionBy(col("event_type")).orderBy(col("dia"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("event_type")).orderBy(col("dia"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(sparse, Seq("dia", "event_type"), "left")
+      .withColumn("prev_c", last(col("cents"), ignoreNulls = true).over(wBack))
+      .withColumn("prev_d", last(when(col("cents").isNotNull, col("dia")),
+        ignoreNulls = true).over(wBack))
+      .withColumn("next_c", first(col("cents"), ignoreNulls = true).over(wFwd))
+      .withColumn("next_d", first(when(col("cents").isNotNull, col("dia")),
+        ignoreNulls = true).over(wFwd))
+      .select(col("dia"), col("event_type"), col("cents"),
+        expr("""CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+               | WHEN prev_c IS NULL OR next_c IS NULL THEN NULL
+               | ELSE prev_c + (next_c - prev_c)
+               |   * (CAST(datediff(dia, prev_d) AS DOUBLE)
+               |      / CAST(datediff(next_d, prev_d) AS DOUBLE))
+               |END""".stripMargin).as("filled"))
+  }
+
+  def interpolateOracle(threshold: Int = 200): String =
+    s"""WITH sparse AS (
+       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS dia, event_type,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE value > $threshold GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) AS d0,
+       |         MAX(CAST(DATE_TRUNC('day', ts) AS DATE)) AS d1
+       |  FROM events),
+       |spine AS (
+       |  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dia,
+       |    et.event_type
+       |  FROM bounds, (SELECT DISTINCT event_type FROM events) et),
+       |j AS (
+       |  SELECT s.dia, s.event_type, sp.cents FROM spine s
+       |  LEFT JOIN sparse sp
+       |    ON s.dia = sp.dia AND s.event_type = sp.event_type),
+       |w AS (
+       |  SELECT dia, event_type, cents,
+       |    LAST_VALUE(cents IGNORE NULLS) OVER wb AS prev_c,
+       |    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN dia END IGNORE NULLS)
+       |      OVER wb AS prev_d,
+       |    FIRST_VALUE(cents IGNORE NULLS) OVER wf AS next_c,
+       |    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN dia END IGNORE NULLS)
+       |      OVER wf AS next_d
+       |  FROM j
+       |  WINDOW wb AS (PARTITION BY event_type ORDER BY dia
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wf AS (PARTITION BY event_type ORDER BY dia
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT dia, event_type, cents,
+       |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+       |       WHEN prev_c IS NULL OR next_c IS NULL THEN NULL
+       |       ELSE prev_c + (next_c - prev_c)
+       |         * (CAST(DATE_DIFF('day', prev_d, dia) AS DOUBLE)
+       |            / CAST(DATE_DIFF('day', prev_d, next_d) AS DOUBLE))
+       |  END AS filled
+       |FROM w""".stripMargin
+
   /** The discrete-quantile definition spelled out as a rank walk: the
     * smallest value whose 1-based rank reaches ⌈p·n⌉. */
   val quantileSketchOracle: String = {

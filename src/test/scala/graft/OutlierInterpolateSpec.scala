@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.AnalyticsQueries
+
+/** Brute-force recomputations for the IQR-outlier and gap-interpolation
+  * operators (the gate proves cross-engine equality; this proves the
+  * semantics themselves). */
+class OutlierInterpolateSpec extends SparkSpec {
+
+  test("outliers match a brute-force fence computation") {
+    val rows = graft.core.Sources.lineitem(spark, Sf001)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = AnalyticsQueries.outliers(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      def pick(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      val (q1, q3) = (pick(0.25), pick(0.75))
+      val out = sorted.filter(c =>
+        2 * c < 2 * q1 - 3 * (q3 - q1) || 2 * c > 2 * q3 + 3 * (q3 - q1))
+      val r = got(flag)
+      assert(r.getAs[Long]("n_rows") === n.toLong)
+      assert(r.getAs[Long]("q1_cents") === q1)
+      assert(r.getAs[Long]("q3_cents") === q3)
+      assert(r.getAs[Long]("n_outliers") === out.length.toLong)
+      if (out.nonEmpty) {
+        assert(r.getAs[Long]("min_outlier_cents") === out.min)
+        assert(r.getAs[Long]("max_outlier_cents") === out.max)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("min_outlier_cents")))
+      }
+    }
+  }
+
+  test("interpolation fills gaps linearly and leaves edges null") {
+    val rows = AnalyticsQueries.interpolate(spark, Sf001).collect()
+    val series = rows.groupBy(_.getString(1)).view.mapValues(
+      _.sortBy(_.getDate(0).toString))
+    var checkedGap = false
+    series.foreach { case (_, cells) =>
+      val centsIdx = cells.head.fieldIndex("cents")
+      val filledIdx = cells.head.fieldIndex("filled")
+      // Present cells pass through exactly.
+      cells.filterNot(_.isNullAt(centsIdx)).foreach { c =>
+        assert(c.getDouble(filledIdx) === c.getLong(centsIdx).toDouble)
+      }
+      // Gap cells: recompute from the nearest present neighbors.
+      val present = cells.zipWithIndex.filterNot(_._1.isNullAt(centsIdx))
+      cells.zipWithIndex.filter(_._1.isNullAt(centsIdx)).foreach {
+        case (c, i) =>
+          val prev = present.filter(_._2 < i).lastOption
+          val next = present.find(_._2 > i)
+          (prev, next) match {
+            case (Some((p, pi)), Some((nx, ni))) =>
+              val pc = p.getLong(centsIdx).toDouble
+              val nc = nx.getLong(centsIdx).toDouble
+              val want = pc + (nc - pc) * ((i - pi).toDouble / (ni - pi))
+              assert(c.getDouble(filledIdx) === want)
+              checkedGap = true
+            case _ =>
+              assert(c.isNullAt(filledIdx), "edge gaps must stay null")
+          }
+      }
+    }
+    assert(checkedGap, "sf0.001 must actually exercise interior gaps")
+  }
+}
