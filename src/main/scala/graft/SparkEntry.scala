@@ -325,7 +325,10 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.outliersOracle)),
     Q("q_an_interpolate", // spine gap-fill with linear interpolation
       (s, d) => graft.ops.AnalyticsQueries.interpolate(s, d),
-      Some(graft.ops.AnalyticsQueries.interpolateOracle())))
+      Some(graft.ops.AnalyticsQueries.interpolateOracle())),
+    Q("q_an_rolling_distinct", // stored-sketch merge: 7-day rolling uniques
+      (s, d) => graft.ops.AnalyticsQueries.rollingDistinct(s, d),
+      Some(graft.ops.AnalyticsQueries.rollingDistinctOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

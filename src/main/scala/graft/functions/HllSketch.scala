@@ -133,3 +133,126 @@ object HllSketch {
     spark.sessionState.functionRegistry.registerFunction(
       description._1, description._2, description._3)
 }
+
+/** `hll_sketch_bytes(bigint) → BINARY`: the same registers as
+  * [[HllSketch]], returned as the 64-byte register array instead of the
+  * estimate — the PERSISTABLE half of the sketch API.  A warehouse stores
+  * one sketch per (day, dimension) cell and answers any later
+  * distinct-count question over any cell UNION by merging sketches
+  * ([[HllMergeEst]]) without revisiting raw data — the pattern behind
+  * every "rolling 7-day uniques" dashboard at 100 TB. */
+case class HllSketchBytes(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch._
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "hll_sketch_bytes"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchBytes =
+    copy(child = newChildren.head)
+}
+
+object HllSketchBytes {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hll_sketch_bytes"),
+      new ExpressionInfo(classOf[HllSketchBytes].getName, "hll_sketch_bytes"),
+      (children: Seq[Expression]) => HllSketchBytes(children.head))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      description._1, description._2, description._3)
+}
+
+/** `hll_merge_est(binary) → DOUBLE`: merge stored [[HllSketchBytes]]
+  * sketches (elementwise register max — lossless union) and return the
+  * [[HllSketch.estimate]] of the merged state.  Merging N sketches costs
+  * O(N·64) bytes of work regardless of the raw cardinalities underneath —
+  * re-aggregation without re-scanning. */
+case class HllMergeEst(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllSketch._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "hll_merge_est"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == M,
+        s"hll_merge_est expects a $M-byte hll_sketch_bytes payload")
+      var j = 0
+      while (j < M) { if (regs(j) > buf(j)) buf(j) = regs(j); j += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeEst =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeEst =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeEst =
+    copy(child = newChildren.head)
+}
+
+object HllMergeEst {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hll_merge_est"),
+      new ExpressionInfo(classOf[HllMergeEst].getName, "hll_merge_est"),
+      (children: Seq[Expression]) => HllMergeEst(children.head))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      description._1, description._2, description._3)
+}

@@ -725,6 +725,54 @@ object AnalyticsQueries {
        |  END AS filled
        |FROM w""".stripMargin
 
+  /** Rolling 7-day distinct users from STORED sketches — the two-step
+    * warehouse sketch pattern: (1) one raw scan builds a 64-byte
+    * [[graft.functions.HllSketchBytes]] sketch per day; (2) every rolling
+    * window answers by MERGING the stored sketches
+    * ([[graft.functions.HllMergeEst]] — elementwise register max, a
+    * lossless union), never re-reading events.  At 100 TB step 2 touches
+    * #days × 64 bytes; an exact rolling COUNT(DISTINCT) would re-shuffle
+    * a week of raw keys per day.  The register spec is exact integer math
+    * (see [[hllDistinct]]), so the merged ESTIMATES hash-match a DuckDB
+    * mirror that recomputes the windowed registers from raw rows —
+    * proving sketch(day-union) ≡ sketch-merge, i.e. the losslessness of
+    * the union, cross-engine. */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllSketchBytes.register(spark)
+    graft.functions.HllMergeEst.register(spark)
+    val daily = Sources.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("dia"))
+      .agg(expr("hll_sketch_bytes(user_id)").as("sk"))
+    val days = daily.select(col("dia").as("d"))
+    days.join(daily,
+        col("dia") >= date_sub(col("d"), 6) && col("dia") <= col("d"))
+      .groupBy(col("d").as("dia"))
+      .agg(round(expr("hll_merge_est(sk)"), 4).as("users_hll_7d"))
+      .select(col("dia"), col("users_hll_7d"))
+  }
+
+  val rollingDistinctOracle: String = {
+    val mix = graft.functions.Mix31.duckSql("user_id")
+    s"""WITH h AS (
+       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS dia, $mix AS h
+       |  FROM events),
+       |days AS (SELECT DISTINCT dia FROM h),
+       |win AS (
+       |  SELECT d.dia, h.h FROM days d
+       |  JOIN h ON h.dia >= d.dia - 6 AND h.dia <= d.dia),
+       |rw AS (SELECT dia, h & 63 AS reg, h >> 6 AS w FROM win),
+       |regs AS (
+       |  SELECT dia, reg,
+       |    MAX(CASE WHEN w = 0 THEN 26
+       |             ELSE 1 + bit_count((w & -w) - 1) END) AS rho
+       |  FROM rw GROUP BY dia, reg)
+       |SELECT dia,
+       |  ROUND(0.709::DOUBLE * 64 * 64 /
+       |    (64 - COUNT(*) + SUM(1.0::DOUBLE / (1::BIGINT << rho))), 4)
+       |    AS users_hll_7d
+       |FROM regs GROUP BY dia""".stripMargin
+  }
+
   /** The discrete-quantile definition spelled out as a rank walk: the
     * smallest value whose 1-based rank reaches ⌈p·n⌉. */
   val quantileSketchOracle: String = {

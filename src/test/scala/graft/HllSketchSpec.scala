@@ -46,4 +46,23 @@ class HllSketchSpec extends SparkSpec {
     // raw for cross-engine exactness, see HllSketch scaladoc).
     assert(est == HllSketch.estimate(new Array[Byte](HllSketch.M)))
   }
+
+  test("stored-sketch merge is lossless: merge(sketch(A), sketch(B)) == sketch(A ∪ B)") {
+    graft.functions.HllSketchBytes.register(spark)
+    graft.functions.HllMergeEst.register(spark)
+    val df = (1L to 5000L).map(k => (k % 7, k)).toDF("g", "k")
+    // Per-group stored sketches, then merged across groups...
+    val merged = df.groupBy($"g").agg(expr("hll_sketch_bytes(k)").as("sk"))
+      .agg(expr("hll_merge_est(sk)")).collect().head.getDouble(0)
+    // ...must equal the single-pass estimate over the union.
+    val direct = df.agg(expr("hll_distinct(k)")).collect().head.getDouble(0)
+    assert(merged == direct,
+      "register union must be indistinguishable from one-pass sketching")
+    // And the merge-of-one roundtrips the bytes faithfully.
+    val one = df.filter($"g" === 0)
+    val viaBytes = one.agg(expr("hll_sketch_bytes(k)").as("sk"))
+      .agg(expr("hll_merge_est(sk)")).collect().head.getDouble(0)
+    val plain = one.agg(expr("hll_distinct(k)")).collect().head.getDouble(0)
+    assert(viaBytes == plain)
+  }
 }
