@@ -328,7 +328,10 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.interpolateOracle())),
     Q("q_an_rolling_distinct", // stored-sketch merge: 7-day rolling uniques
       (s, d) => graft.ops.AnalyticsQueries.rollingDistinct(s, d),
-      Some(graft.ops.AnalyticsQueries.rollingDistinctOracle)))
+      Some(graft.ops.AnalyticsQueries.rollingDistinctOracle)),
+    Q("q_llm_resample", // mixture weights → concrete epochs + mix31 tail
+      (s, d) => llm.Sampling.resamplePlan(s, d),
+      Some(llm.Sampling.resamplePlanOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

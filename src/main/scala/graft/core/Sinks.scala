@@ -118,6 +118,37 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Row-level MERGE (upsert): rows of `updates` replace existing rows
+    * with the same key; existing rows with unmatched keys survive; new
+    * keys insert.  The missing member of the reload family above — S5–S7
+    * replace whole PARTITIONS, but a CDC feed
+    * ([[graft.ops.OperatorQueries.keepLatest]] compacts one) changes
+    * individual keys across partitions.  Relationally it is one
+    * anti-join + union:
+    *
+    *   target := (target ⟕̸ updates.keys) ∪ updates
+    *
+    * written through a tmp-directory swap (the [[compact]] pattern — the
+    * source table is an input of its own rewrite, so an in-place
+    * overwrite would corrupt the read).  At 100 TB the anti-join
+    * broadcast-prunes when the update batch is small, and a table format
+    * with transactional commit replaces the rename for crash-atomicity —
+    * same caveat as [[compact]].  Run-twice ≡ run-once (idempotent for a
+    * fixed batch) is property-tested in SinksSpec. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(table.getParent, table.getName + ".merge-tmp")
+    fs.delete(tmp, true)
+    val existing = spark.read.parquet(path)
+    existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(table, true)
+    fs.rename(tmp, table)
+  }
+
   /** Parquet data files under a table directory (recursive, metadata
     * excluded) — compaction sizing and spec assertions. */
   def dataFiles(spark: SparkSession, path: String): Seq[Path] = {

@@ -146,6 +146,70 @@ object Sampling {
        |FROM d GROUP BY lang, rate_bp""".stripMargin
   }
 
+  /** Materialize [[mixtureWeights]] into an actual resampling plan — the
+    * step that turns "en should be 0.6× weighted, zh 2.3×" into a
+    * concrete dataset: every document of a language appears
+    * `floor(weight)` times (full epochs), and the fractional remainder is
+    * a deterministic mix31 sample (`mix31(doc_id) mod 10000 <
+    * floor(frac·10000)`), so the effective corpus hits the target mixture
+    * while staying reproducible doc-by-doc — no RNG stream to replay.
+    * Summarized per language: full epochs, fractional basis points, the
+    * sampled extra-doc count, and the effective total.  The doubled
+    * arithmetic runs on the SAME IEEE doubles in both engines and the
+    * threshold goes through floor (never round — half-up vs half-even
+    * would disagree on exact .5s).  One scan + broadcast dims; the
+    * per-doc sample is scan-fused, the summary ≤ #languages rows. */
+  def resamplePlan(spark: SparkSession, dir: String,
+      targets: Seq[(String, Int)] = DefaultTargets): DataFrame = {
+    val w = mixtureWeights(spark, dir, targets)
+      .select(col("lang"), col("n_docs"), col("mix_weight"),
+        floor(col("mix_weight")).cast("long").as("epochs_full"),
+        floor((col("mix_weight") - floor(col("mix_weight"))) * 10000)
+          .cast("int").as("frac_bp"))
+    Sources.documents(spark, dir)
+      .join(broadcast(w), Seq("lang"))
+      .withColumn("extra",
+        expr(s"${Mix31.sparkSql("doc_id")} % 10000").cast("int")
+          < col("frac_bp"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("epochs_full")).as("epochs_full"),
+        max(col("frac_bp")).as("frac_bp"),
+        count(when(col("extra"), 1)).as("docs_extra"))
+      .withColumn("effective_docs",
+        col("epochs_full") * col("n_docs") + col("docs_extra"))
+  }
+
+  def resamplePlanOracle(
+      targets: Seq[(String, Int)] = DefaultTargets): String = {
+    val dim = targets.map { case (l, bp) => s"('$l', $bp)" }.mkString(", ")
+    s"""WITH t(lang, target_bp) AS (VALUES $dim),
+       |p AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM p),
+       |w AS (
+       |  SELECT p.lang, p.n_docs,
+       |    (t.target_bp / 10000.0)
+       |      / (p.n_tokens / CAST(tot.total_tokens AS DOUBLE)) AS mw
+       |  FROM p JOIN t ON p.lang = t.lang, tot),
+       |w2 AS (
+       |  SELECT lang, n_docs, mw,
+       |    CAST(FLOOR(mw) AS BIGINT) AS epochs_full,
+       |    CAST(FLOOR((mw - FLOOR(mw)) * 10000) AS INT) AS frac_bp
+       |  FROM w)
+       |SELECT d.lang, MAX(w2.n_docs) AS n_docs,
+       |  MAX(w2.epochs_full) AS epochs_full, MAX(w2.frac_bp) AS frac_bp,
+       |  COUNT(CASE WHEN ${Mix31.duckSql("d.doc_id")} % 10000 < w2.frac_bp
+       |             THEN 1 END) AS docs_extra,
+       |  MAX(w2.epochs_full) * MAX(w2.n_docs)
+       |    + COUNT(CASE WHEN ${Mix31.duckSql("d.doc_id")} % 10000 < w2.frac_bp
+       |                 THEN 1 END) AS effective_docs
+       |FROM documents d JOIN w2 ON d.lang = w2.lang
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Deterministic corpus shuffle for reproducible training order: sort
     * key = mix31(doc_id) — a fixed pseudo-random permutation ANY engine
     * can replay — sharded so the ordering work parallelizes: shard =

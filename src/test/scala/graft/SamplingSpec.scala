@@ -78,6 +78,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("resamplePlan hits the mixture weight within sampling resolution") {
+    val rows = Sampling.resamplePlan(spark, dir).collect()
+    val weights = Sampling.mixtureWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("mix_weight"))
+      .toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val n = r.getAs[Long]("n_docs")
+      val eff = r.getAs[Long]("effective_docs")
+      val w = weights(lang)
+      // floor(w) epochs are exact; the fractional tail is a mix31 sample,
+      // so effective/n tracks w within the small-stratum band plus the
+      // 1bp floor truncation.
+      assert(eff >= r.getAs[Long]("epochs_full") * n)
+      assert(math.abs(eff.toDouble / n - w) < 0.35, s"$lang eff=$eff n=$n w=$w")
+    }
+  }
+
   test("shuffleOrder is a sharded permutation with contiguous positions") {
     val rows = Sampling.shuffleOrder(spark, dir, nShards = 4).collect()
     val docs = graft.core.Sources.documents(spark, dir).count()

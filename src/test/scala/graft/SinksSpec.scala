@@ -73,6 +73,26 @@ class SinksSpec extends SparkSpec {
       Set("mes", "v", "extra"))
   }
 
+  test("merge upserts matched keys, inserts new ones, preserves the rest") {
+    val path = tmp() + "/t"
+    Sinks.overwriteAll(
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "x"), path)
+    val updates = Seq((2, "B", 21), (4, "d", 40)).toDF("k", "v", "x")
+    Sinks.merge(spark, path, updates, Seq("k"))
+    val got = spark.read.parquet(path).as[(Int, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "d", 40)))
+    // Run-twice ≡ run-once for a fixed batch.
+    Sinks.merge(spark, path, updates, Seq("k"))
+    val again = spark.read.parquet(path).as[(Int, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(again == got)
+    // Column order of the update frame must not matter.
+    Sinks.merge(spark, path,
+      Seq((100, "zz", 5)).toDF("x", "v", "k").select("k", "v", "x"), Seq("k"))
+    assert(spark.read.parquet(path).count() == 5)
+  }
+
   test("compact merges a small-file table without changing its rows") {
     val path = tmp()
     val rows = (1 to 1000).map(i => (i, s"v$i"))
