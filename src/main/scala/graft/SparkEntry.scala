@@ -331,7 +331,13 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.rollingDistinctOracle)),
     Q("q_llm_resample", // mixture weights → concrete epochs + mix31 tail
       (s, d) => llm.Sampling.resamplePlan(s, d),
-      Some(llm.Sampling.resamplePlanOracle())))
+      Some(llm.Sampling.resamplePlanOracle())),
+    Q("q_ops_join_types", // LEFT SEMI + LEFT + FULL OUTER in one plan
+      (s, d) => OperatorQueries.joinTypes(s, d),
+      Some(OperatorQueries.joinTypesOracle)),
+    Q("q_an_share", // percent-of-total over pre-aggregated rows
+      (s, d) => graft.ops.AnalyticsQueries.shareOfTotal(s, d),
+      Some(graft.ops.AnalyticsQueries.shareOfTotalOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

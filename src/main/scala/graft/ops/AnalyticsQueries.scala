@@ -743,12 +743,20 @@ object AnalyticsQueries {
     val daily = Sources.events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).cast("date").as("dia"))
       .agg(expr("hll_sketch_bytes(user_id)").as("sk"))
-    val days = daily.select(col("dia").as("d"))
-    days.join(daily,
-        col("dia") >= date_sub(col("d"), 6) && col("dia") <= col("d"))
-      .groupBy(col("d").as("dia"))
+    // Each day's sketch CONTRIBUTES to the 7 windows ending on
+    // dia..dia+6: a scan-fused explode + hash merge — strictly linear in
+    // #days, where the equivalent `d BETWEEN dia AND dia+6` range join
+    // would nested-loop #days² (harmless at 365 days, pointless at 10
+    // years of them).  The semi-join pins the output to OBSERVED window
+    // ends (a broadcast against the day list), matching the oracle's
+    // day-table semantics exactly even if the calendar has gaps.
+    daily
+      .select(explode(expr("sequence(dia, dia + interval 6 day)"))
+        .as("target"), col("sk"))
+      .join(broadcast(daily.select(col("dia").as("target"))),
+        Seq("target"), "left_semi")
+      .groupBy(col("target").cast("date").as("dia"))
       .agg(round(expr("hll_merge_est(sk)"), 4).as("users_hll_7d"))
-      .select(col("dia"), col("users_hll_7d"))
   }
 
   val rollingDistinctOracle: String = {
@@ -772,6 +780,38 @@ object AnalyticsQueries {
        |    AS users_hll_7d
        |FROM regs GROUP BY dia""".stripMargin
   }
+
+  /** Percent-of-total (ratio_to_report): each segment's revenue share of
+    * the grand total via an unpartitioned window SUM over the ALREADY
+    * AGGREGATED per-segment rows — the window sees #segments rows, never
+    * the fact table, so the "global window" is a metadata-sized
+    * operation.  Share = exact-decimal cents divided as identical
+    * integers → bit-identical doubles. */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSeg = Sources.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr(s"CAST(SUM(${Frag.money("c_acctbal")}) * 100 AS BIGINT)")
+        .as("cents"))
+    perSeg
+      .withColumn("total_cents",
+        sum(col("cents")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("c_mktsegment"), col("cents"),
+        (col("cents").cast("double") / col("total_cents").cast("double"))
+          .as("share"))
+  }
+
+  val shareOfTotalOracle: String =
+    s"""WITH s AS (
+       |  SELECT c_mktsegment,
+       |    CAST(SUM(${Frag.money("c_acctbal")}) * 100 AS BIGINT) AS cents
+       |  FROM customer GROUP BY 1)
+       |SELECT c_mktsegment, cents,
+       |  CAST(cents AS DOUBLE)
+       |    / CAST(SUM(cents) OVER () AS DOUBLE) AS share
+       |FROM s""".stripMargin
 
   /** The discrete-quantile definition spelled out as a rank walk: the
     * smallest value whose 1-based rank reaches ⌈p·n⌉. */

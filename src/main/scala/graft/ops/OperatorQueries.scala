@@ -402,4 +402,50 @@ object OperatorQueries {
       |                               ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) t
       |WHERE rn = 1""".stripMargin
+
+  /** The remaining §2.3 join types in one query: LEFT SEMI (nations with
+    * any high-balance customer), FULL OUTER against per-nation supplier
+    * counts (so nations with customers but no suppliers AND vice versa
+    * both surface with NULL-filled sides), coalesced into one row per
+    * nation key.  All equi-joins on n_nationkey — broadcastable dims. */
+  def joinTypes(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Sources.nation(spark, dir)
+    val richNations = nat.join(
+      Sources.customer(spark, dir).filter(col("c_acctbal") > 5000),
+      nat("n_nationkey") === col("c_nationkey"), "left_semi")
+    val custCounts = Sources.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppCounts = Sources.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    richNations.select(col("n_nationkey"), col("n_name"))
+      .join(custCounts, col("n_nationkey") === custCounts("nk"), "left")
+      .drop("nk")
+      .join(suppCounts, col("n_nationkey") === suppCounts("nk"),
+        "full_outer")
+      .select(
+        coalesce(col("n_nationkey"), col("nk")).as("nation_key"),
+        col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val joinTypesOracle: String =
+    """WITH rich AS (
+      |  SELECT n_nationkey, n_name FROM nation n
+      |  WHERE EXISTS (SELECT 1 FROM customer c
+      |                WHERE c.c_nationkey = n.n_nationkey
+      |                  AND c.c_acctbal > 5000)),
+      |cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      |       FROM customer GROUP BY 1),
+      |sc AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |       FROM supplier GROUP BY 1),
+      |l AS (
+      |  SELECT r.n_nationkey, r.n_name, cc.n_cust
+      |  FROM rich r LEFT JOIN cc ON r.n_nationkey = cc.nk)
+      |SELECT COALESCE(l.n_nationkey, sc.nk) AS nation_key, l.n_name,
+      |  COALESCE(l.n_cust, 0) AS n_cust,
+      |  COALESCE(sc.n_supp, 0) AS n_supp
+      |FROM l FULL OUTER JOIN sc ON l.n_nationkey = sc.nk""".stripMargin
 }
