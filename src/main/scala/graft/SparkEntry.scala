@@ -337,7 +337,13 @@ object SparkEntry {
       Some(OperatorQueries.joinTypesOracle)),
     Q("q_an_share", // percent-of-total over pre-aggregated rows
       (s, d) => graft.ops.AnalyticsQueries.shareOfTotal(s, d),
-      Some(graft.ops.AnalyticsQueries.shareOfTotalOracle)))
+      Some(graft.ops.AnalyticsQueries.shareOfTotalOracle)),
+    Q("q_ops_mjoin_topk", // TPC-H Q3 shape: fact-fact join + top-k
+      (s, d) => OperatorQueries.mjoinTopK(s, d),
+      Some(OperatorQueries.mjoinTopKOracle())),
+    Q("q_ops_snowflake_agg", // TPC-H Q5 shape: 6-table snowflake
+      (s, d) => OperatorQueries.snowflakeAgg(s, d),
+      Some(OperatorQueries.snowflakeAggOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

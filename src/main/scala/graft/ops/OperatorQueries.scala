@@ -448,4 +448,92 @@ object OperatorQueries {
       |  COALESCE(l.n_cust, 0) AS n_cust,
       |  COALESCE(sc.n_supp, 0) AS n_supp
       |FROM l FULL OUTER JOIN sc ON l.n_nationkey = sc.nk""".stripMargin
+
+  private val q3Revenue =
+    s"${Frag.money("l_extendedprice")} * (1 - ${Frag.rate("l_discount")})"
+
+  /** TPC-H Q3 shape — the classic 3-way fact join + top-k: highest-value
+    * orders of one segment, ordered before the cutoff but (partly)
+    * unshipped after it.  What it exercises at scale: Catalyst joins the
+    * two FACT tables on orderkey (shuffle/SMJ territory) while the
+    * filtered customer dim broadcasts; both date predicates reach their
+    * parquet scans; the top-10 runs as TakeOrderedAndProject (per-
+    * partition heaps — the full result never sorts globally).  The total
+    * (receita DESC, orderkey ASC) order makes the LIMIT boundary
+    * deterministic, so both engines pick the identical set. */
+  def mjoinTopK(spark: SparkSession, dir: String,
+      segment: String = "BUILDING", cutoff: String = "1998-06-01",
+      k: Int = 10): DataFrame = {
+    val cust = Sources.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+    val ord = Sources.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+    val li = Sources.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit(cutoff)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        to_date(col("o_orderdate")).as("data"), col("o_orderpriority"))
+      .agg(expr(Frag.sumMoney(q3Revenue)).as("receita"))
+      .orderBy(col("receita").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
+  def mjoinTopKOracle(segment: String = "BUILDING",
+      cutoff: String = "1998-06-01", k: Int = 10): String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS data,
+       |  o_orderpriority, ${Frag.sumMoney(q3Revenue)} AS receita
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < TIMESTAMP '$cutoff'
+       |  AND l_shipdate > TIMESTAMP '$cutoff'
+       |GROUP BY 1, 2, 3
+       |ORDER BY receita DESC, l_orderkey ASC
+       |LIMIT $k""".stripMargin
+
+  /** TPC-H Q5 shape — the snowflake: revenue per nation for one region's
+    * customers served by SAME-NATION suppliers in one order-date year.
+    * Six tables; at scale the region→nation→customer spine and the
+    * supplier dim broadcast while orders⋈lineitem is the one real
+    * shuffle — exactly the plan Catalyst's join reordering should find
+    * (the dims are forced broadcastable here by their size, not hints). */
+  def snowflakeAgg(spark: SparkSession, dir: String,
+      region: String = "ASIA", yearStart: String = "1996-01-01"): DataFrame = {
+    val nat = Sources.nation(spark, dir)
+      .join(Sources.region(spark, dir)
+          .filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+    val cust = Sources.customer(spark, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+    val ord = Sources.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(yearStart)) &&
+        col("o_orderdate") < to_timestamp(lit(yearStart)) + expr("interval 1 year"))
+    val li = Sources.lineitem(spark, dir)
+    val supp = Sources.supplier(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(expr(Frag.sumMoney(q3Revenue)).as("receita"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def snowflakeAggOracle(region: String = "ASIA",
+      yearStart: String = "1996-01-01"): String =
+    s"""SELECT n_name, ${Frag.sumMoney(q3Revenue)} AS receita,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |             AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$region'
+       |  AND o_orderdate >= TIMESTAMP '$yearStart'
+       |  AND o_orderdate < TIMESTAMP '$yearStart' + INTERVAL 1 YEAR
+       |GROUP BY 1""".stripMargin
 }
