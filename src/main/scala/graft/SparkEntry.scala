@@ -343,7 +343,10 @@ object SparkEntry {
       Some(OperatorQueries.mjoinTopKOracle())),
     Q("q_ops_snowflake_agg", // TPC-H Q5 shape: 6-table snowflake
       (s, d) => OperatorQueries.snowflakeAgg(s, d),
-      Some(OperatorQueries.snowflakeAggOracle())))
+      Some(OperatorQueries.snowflakeAggOracle())),
+    Q("q_llm_bigram_lm", // KN-style bigram LM count tables
+      (s, d) => llm.Vocab.bigramLm(s, d),
+      Some(llm.Vocab.bigramLmOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -85,4 +85,53 @@ object Vocab {
        |FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
        |      FROM documents) t
        |GROUP BY 1, 2""".stripMargin
+
+  /** Bigram language-model count tables — the statistics a Kneser-Ney /
+    * Stupid-Backoff n-gram LM trains from, computed corpus-wide in one
+    * explode + two aggregations (both with map-side partials):
+    * c(w1,w2) raw bigram counts, c(w1) left-context totals, the
+    * continuation fan-out N1+(w1·) = |{w2 : c(w1,w2) > 0}| that KN
+    * smoothing discounts with, and the ML conditional p(w2|w1) as one
+    * IEEE division of exact counts.  The context totals ride a window
+    * over the ALREADY AGGREGATED (w1, w2) rows — vocabulary-sized, never
+    * corpus-sized — so at 100 TB the only heavy stage is the first
+    * bigram count, a scan-fused explode into a hash aggregate.  Bigrams
+    * come from the same codegen'd multiplicity shingle kernel as
+    * [[graft.llm.TextAnalysis.repetition]], keeping the tokenization
+    * convention engine-wide. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.WordNgramShingles.register(spark)
+    val w = Window.partitionBy(col("w1"))
+    Sources.documents(spark, dir)
+      .select(explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
+      .filter(expr("size(split(bigram, ' ')) = 2")) // drop 1-token docs
+      .select(expr("split(bigram, ' ')[0]").as("w1"),
+        expr("split(bigram, ' ')[1]").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_context", sum(col("c_bigram")).over(w))
+      .withColumn("n_continuations", count(lit(1)).over(w).cast("long"))
+      .withColumn("p_ml",
+        col("c_bigram").cast("double") / col("c_context").cast("double"))
+  }
+
+  val bigramLmOracle: String =
+    """WITH bg AS (
+      |  SELECT UNNEST(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    j -> array_to_string(list_slice(string_split(text, ' '), j, j + 1),
+      |                         ' '))) AS bigram
+      |  FROM documents),
+      |sp AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1,
+      |         string_split(bigram, ' ')[2] AS w2
+      |  FROM bg WHERE len(string_split(bigram, ' ')) = 2),
+      |c AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM sp GROUP BY 1, 2)
+      |SELECT w1, w2, c_bigram,
+      |  CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS BIGINT) AS c_context,
+      |  CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n_continuations,
+      |  CAST(c_bigram AS DOUBLE)
+      |    / CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS DOUBLE) AS p_ml
+      |FROM c""".stripMargin
 }

@@ -50,4 +50,25 @@ class VocabSpec extends SparkSpec {
     assert(top.getAs[String]("word") == naive.getAs[String]("word"))
     assert(top.getAs[Long]("cnt") == naive.getAs[Long]("count"))
   }
+
+  test("bigram LM tables satisfy the probability-model invariants") {
+    val rows = Vocab.bigramLm(spark, Sf001).collect()
+    val byW1 = rows.groupBy(_.getAs[String]("w1"))
+    byW1.foreach { case (w1, rs) =>
+      val ctx = rs.head.getAs[Long]("c_context")
+      // c(w1) = Σ_w2 c(w1, w2), and every row of the context agrees.
+      assert(rs.map(_.getAs[Long]("c_bigram")).sum === ctx, w1)
+      assert(rs.forall(_.getAs[Long]("c_context") == ctx))
+      // Continuation fan-out counts exactly the distinct successors.
+      assert(rs.head.getAs[Long]("n_continuations") === rs.length.toLong)
+      assert(rs.map(_.getAs[String]("w2")).distinct.length === rs.length)
+      // Conditional probabilities sum to 1 per context.
+      assert(math.abs(rs.map(_.getAs[Double]("p_ml")).sum - 1.0) < 1e-9, w1)
+    }
+    // Global mass: Σ c(w1, w2) over all rows = corpus bigram count.
+    val corpusBigrams = graft.core.Sources.documents(spark, Sf001)
+      .selectExpr("greatest(size(split(text, ' ')) - 1, 0) AS n")
+      .agg(org.apache.spark.sql.functions.sum($"n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("c_bigram")).sum === corpusBigrams)
+  }
 }
