@@ -134,6 +134,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("append mode finalizes a window once and drops beyond-watermark stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventsStream.dailyAggStream(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // Day 1 accumulates; nothing can append yet (watermark at origin).
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (2L, ts("2024-01-01 15:00:00"), "click", 2.0))
+      q.processAllAvailable()
+      // A late-but-WITHIN-watermark day-1 event must still count.
+      stream.addData((3L, ts("2024-01-01 11:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").isEmpty, "no window may close early")
+      // Day 3 advances the watermark past day-1's end + 1-day delay:
+      // day 1 finalizes and appends exactly once, with all 3 events.
+      stream.addData((4L, ts("2024-01-03 12:00:00"), "view", 8.0))
+      q.processAllAvailable()
+      val day1 = spark.table("wm_test")
+        .filter($"dia" === "2024-01-01").collect()
+      assert(day1.length == 1)
+      assert(day1.head.getAs[Long]("n_events") == 3L)
+      // A day-1 straggler BEYOND the watermark is dropped: no second
+      // emission, no revision of the closed window.
+      stream.addData((5L, ts("2024-01-01 09:00:00"), "click", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("wm_test")
+        .filter($"dia" === "2024-01-01").collect()
+      assert(after.length == 1)
+      assert(after.head.getAs[Long]("n_events") == 3L,
+        "a beyond-watermark event must never mutate a finalized window")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
