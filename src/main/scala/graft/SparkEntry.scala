@@ -346,7 +346,13 @@ object SparkEntry {
       Some(OperatorQueries.snowflakeAggOracle())),
     Q("q_llm_bigram_lm", // KN-style bigram LM count tables
       (s, d) => llm.Vocab.bigramLm(s, d),
-      Some(llm.Vocab.bigramLmOracle)))
+      Some(llm.Vocab.bigramLmOracle)),
+    Q("q_text_fuzzy_vocab", // edit-distance-1 pairs via lossless length band
+      (s, d) => llm.Vocab.fuzzyVocab(s, d),
+      Some(llm.Vocab.fuzzyVocabOracle())),
+    Q("q_an_mad", // median absolute deviation, exact integer rank walks
+      (s, d) => graft.ops.AnalyticsQueries.mad(s, d),
+      Some(graft.ops.AnalyticsQueries.madOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

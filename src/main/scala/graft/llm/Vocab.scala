@@ -134,4 +134,42 @@ object Vocab {
       |  CAST(c_bigram AS DOUBLE)
       |    / CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS DOUBLE) AS p_ml
       |FROM c""".stripMargin
+
+  /** Fuzzy vocabulary matching: token pairs within edit distance
+    * `maxDist` — typo/variant clustering for tokenizer vocab cleanup
+    * (merge "scan"/"span" classes before assigning merges).  The
+    * candidate generator is a LOSSLESS length band: distance ≤ d implies
+    * |len(a) − len(b)| ≤ d, so each right-side token explodes to its
+    * 2d+1 admissible lengths and the pair join is a plain EQUI join on
+    * the length key — never vocab², and the shape survives a
+    * million-type vocabulary where a cross join would not.  Levenshtein
+    * is the classic DP in both engines — identical integers.  Default
+    * d = 2: the synthetic vocabulary's nearest pairs sit at distance 2. */
+  def fuzzyVocab(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    val vocab = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    val left = vocab.select(col("token").as("a"),
+      length(col("token")).as("len_key"))
+    val right = vocab.select(col("token").as("b"), length(col("token")).as("lb"))
+      .select(col("b"),
+        explode(expr(s"sequence(lb - $maxDist, lb + $maxDist)"))
+          .as("len_key"))
+    left.join(right, Seq("len_key"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+  }
+
+  def fuzzyVocabOracle(maxDist: Int = 2): String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS token
+       |  FROM documents)
+       |SELECT a.token AS a, b.token AS b,
+       |  CAST(levenshtein(a.token, b.token) AS INT) AS dist
+       |FROM v a JOIN v b
+       |  ON a.token < b.token
+       | AND abs(len(a.token) - len(b.token)) <= $maxDist
+       |WHERE levenshtein(a.token, b.token) <= $maxDist""".stripMargin
 }

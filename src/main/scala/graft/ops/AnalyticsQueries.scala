@@ -781,6 +781,63 @@ object AnalyticsQueries {
        |FROM regs GROUP BY dia""".stripMargin
   }
 
+  /** Median absolute deviation — the robust-statistics companion to
+    * [[outliers]]' IQR fences: MAD = median(|x − median(x)|), immune to
+    * the outliers that poison a stddev.  Exact integers end to end: both
+    * medians are discrete ⌈n/2⌉-rank picks of cents values, the absolute
+    * deviations stay in ℤ, and each stage is the same distributed
+    * sort-rank shape as [[percentiles]] (two passes by construction —
+    * the second ranking needs the first median, a broadcast scalar). */
+  def mad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+          .as("cents"))
+    def medianOf(df: DataFrame, valCol: String, alias: String) = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(min(expr(s"CASE WHEN rn >= CEIL(0.5 * n) THEN $valCol END"))
+          .as(alias))
+    }
+    val med = medianOf(cents, "cents", "median_cents")
+    val dev = cents.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("adev", abs(col("cents") - col("median_cents")))
+    medianOf(dev, "adev", "mad_cents")
+      .join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
+  }
+
+  val madOracle: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT) AS cents
+       |  FROM lineitem),
+       |r1 AS (
+       |  SELECT l_returnflag, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM c),
+       |m1 AS (
+       |  SELECT l_returnflag,
+       |    MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN cents END) AS median_cents
+       |  FROM r1 GROUP BY 1),
+       |d AS (
+       |  SELECT c.l_returnflag, abs(c.cents - m1.median_cents) AS adev,
+       |    m1.median_cents
+       |  FROM c JOIN m1 ON c.l_returnflag = m1.l_returnflag),
+       |r2 AS (
+       |  SELECT l_returnflag, adev, median_cents,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY adev) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM d)
+       |SELECT l_returnflag, MAX(median_cents) AS median_cents,
+       |  MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN adev END) AS mad_cents
+       |FROM r2 GROUP BY 1""".stripMargin
+
   /** Percent-of-total (ratio_to_report): each segment's revenue share of
     * the grand total via an unpartitioned window SUM over the ALREADY
     * AGGREGATED per-segment rows — the window sees #segments rows, never

@@ -35,6 +35,25 @@ class OutlierInterpolateSpec extends SparkSpec {
     }
   }
 
+  test("MAD matches the brute-force two-stage median") {
+    val rows = graft.core.Sources.lineitem(spark, Sf001)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(math.ceil(0.5 * s.length).toInt - 1)
+    }
+    val got = AnalyticsQueries.mad(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val m = medianOf(xs.map(_._2))
+      val mad = medianOf(xs.map(x => math.abs(x._2 - m)))
+      assert(got(flag).getAs[Long]("median_cents") === m, flag)
+      assert(got(flag).getAs[Long]("mad_cents") === mad, flag)
+    }
+  }
+
   test("interpolation fills gaps linearly and leaves edges null") {
     val rows = AnalyticsQueries.interpolate(spark, Sf001).collect()
     val series = rows.groupBy(_.getString(1)).view.mapValues(

@@ -71,4 +71,26 @@ class VocabSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum($"n")).head().getLong(0)
     assert(rows.map(_.getAs[Long]("c_bigram")).sum === corpusBigrams)
   }
+
+  test("fuzzy vocab's length band loses no pair vs brute-force all-pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = graft.core.Sources.documents(spark, Sf001)
+      .select(explode(split($"text", " ")).as("t")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    val got = Vocab.fuzzyVocab(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
 }
