@@ -558,13 +558,15 @@ object AnalyticsQueries {
     * map-side (one O(cap·log) buffer per partition × group crosses the
     * exchange, never the rows), which is what survives a 100 TB group.
     * Values go through the exact cents convention (DECIMAL(18,2)·100 →
-    * BIGINT) so the sketch operates on integers; cap = 4096 exceeds the
-    * sf0.01 group sizes, so the sketch is in its exact regime and the
-    * estimates hash-match the oracle's explicit rank-walk (the
-    * [[hllDistinct]] precedent — prove the machinery where exactness is
-    * defined, property-test the band beyond in QuantileSketchSpec). */
+    * BIGINT) so the sketch operates on integers; cap = 32768 (256 KB of
+    * longs per group, still bounded) exceeds the group sizes at BOTH
+    * test scales (sf0.01 ~2k/group, sf0.1 ~20k/group), so the sketch is
+    * in its exact regime and the estimates hash-match the oracle's
+    * explicit rank-walk at either scale (the [[hllDistinct]] precedent —
+    * prove the machinery where exactness is defined, property-test the
+    * compaction band beyond in QuantileSketchSpec). */
   def quantileSketch(spark: SparkSession, dir: String,
-      cap: Int = 4096): DataFrame = {
+      cap: Int = 32768): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
     def q(p: String, alias: String) =
       expr(s"q_sketch(cents, $p, $cap)").as(alias)
