@@ -352,7 +352,10 @@ object SparkEntry {
       Some(llm.Vocab.fuzzyVocabOracle())),
     Q("q_an_mad", // median absolute deviation, exact integer rank walks
       (s, d) => graft.ops.AnalyticsQueries.mad(s, d),
-      Some(graft.ops.AnalyticsQueries.madOracle)))
+      Some(graft.ops.AnalyticsQueries.madOracle)),
+    Q("q_an_histogram_eqdepth", // quantile-boundary buckets, equal mass
+      (s, d) => graft.ops.AnalyticsQueries.histogramEqDepth(s, d),
+      Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -783,6 +783,71 @@ object AnalyticsQueries {
        |FROM regs GROUP BY dia""".stripMargin
   }
 
+  /** Equi-DEPTH histogram — the quantile-bucket companion to
+    * [[histogram]]'s fixed-width bins: boundaries are the exact discrete
+    * k/B quantiles (one rank-walk pass), every row then lands in
+    * `Σ_k [v > b_k]` via a broadcast 1-row boundary struct — a codegen'd
+    * chain of 7 comparisons fused into the second scan, no per-row join.
+    * Ties pile on the lower bucket deterministically (ceil-rank
+    * boundaries + strict >), so masses are equal only up to tie mass —
+    * the honest behavior of a discrete distribution.
+    *
+    * Scale note: the boundary pass is a GLOBAL rank (one-task sort) —
+    * exact on purpose for the cross-engine gate.  At 100 TB swap that
+    * single pass for `q_sketch(cents, k/B, cap)` boundaries
+    * ([[quantileSketch]] — map-side mergeable, bounded memory, ε rank
+    * error) and keep the scan-fused bucket assignment identical; the
+    * second pass is already scale-clean (broadcast 1-row bounds, no
+    * per-row join). */
+  def histogramEqDepth(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Sources.lineitem(spark, dir)
+      .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+        .as("cents"))
+    val w = Window.orderBy(col("cents"))
+    val ranked = cents
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val bs = (1 until buckets)
+    val bounds = ranked.agg(
+      min(expr(s"CASE WHEN rn >= CEIL(${bs.head}.0 * n / $buckets) " +
+        s"THEN cents END")).as(s"b${bs.head}"),
+      bs.tail.map(k =>
+        min(expr(s"CASE WHEN rn >= CEIL($k.0 * n / $buckets) " +
+          s"THEN cents END")).as(s"b$k")): _*)
+    val bucketExpr = bs.map(k => s"CAST(cents > b$k AS INT)").mkString(" + ")
+    cents.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(bucketExpr).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+  }
+
+  def histogramEqDepthOracle(buckets: Int = 8): String = {
+    val bs = (1 until buckets)
+    val boundSel = bs.map(k =>
+      s"MIN(CASE WHEN rn >= CEIL($k.0 * n / $buckets) THEN cents END) AS b$k")
+      .mkString(",\n    ")
+    val bucketExpr = bs.map(k => s"CAST(cents > b$k AS INT)").mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)
+       |    AS cents FROM lineitem),
+       |r AS (
+       |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM c),
+       |b AS (
+       |  SELECT
+       |    $boundSel
+       |  FROM r)
+       |SELECT CAST($bucketExpr AS INT) AS bucket, COUNT(*) AS n_rows,
+       |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+       |FROM c, b GROUP BY 1""".stripMargin
+  }
+
   /** Median absolute deviation — the robust-statistics companion to
     * [[outliers]]' IQR fences: MAD = median(|x − median(x)|), immune to
     * the outliers that poison a stddev.  Exact integers end to end: both

@@ -54,6 +54,25 @@ class OutlierInterpolateSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth buckets cover all rows with near-equal mass") {
+    val rows = AnalyticsQueries.histogramEqDepth(spark, Sf001).collect()
+    val total = graft.core.Sources.lineitem(spark, Sf001).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === total)
+    assert(rows.map(_.getAs[Int]("bucket")).sorted.toSeq === (0 until 8))
+    // Bucket ranges are ordered and non-overlapping.
+    val ordered = rows.sortBy(_.getAs[Int]("bucket"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+    // Near-equal mass up to tie distortion: no bucket more than 2x the
+    // ideal share on this data.
+    val ideal = total.toDouble / 8
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_rows") < 2 * ideal, r.toString))
+  }
+
   test("interpolation fills gaps linearly and leaves edges null") {
     val rows = AnalyticsQueries.interpolate(spark, Sf001).collect()
     val series = rows.groupBy(_.getString(1)).view.mapValues(
