@@ -355,6 +355,9 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.madOracle)),
     Q("q_an_histogram_eqdepth", // quantile-boundary buckets, equal mass
       (s, d) => graft.ops.AnalyticsQueries.histogramEqDepth(s, d),
+      Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())),
+    Q("q_an_histogram_eqdepth_sketch", // the mergeable-boundary scale form
+      (s, d) => graft.ops.AnalyticsQueries.histogramEqDepthSketch(s, d),
       Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

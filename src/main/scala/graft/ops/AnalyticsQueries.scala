@@ -826,6 +826,41 @@ object AnalyticsQueries {
         min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
   }
 
+  /** The SCALE form of [[histogramEqDepth]]: boundaries come from the
+    * mergeable [[graft.functions.QuantileSketch]] instead of a global
+    * rank window — map-side partials, no single-task sort anywhere.  The
+    * sketch's quantile definition (smallest value with cumulative weight
+    * ⌈p·n⌉, p = k/B an exact dyadic) IS the rank-walk boundary
+    * definition, so in the exact regime (cap ≥ n — this is one GLOBAL
+    * group, so cap must cover the whole table: 2^20 holds both test
+    * scales' lineitem at ≤8 MB of longs) this variant is bit-equal to
+    * the exact form and shares its oracle.  Production would keep cap at
+    * 2^15 and take the ε rank error — that trade is the operator's whole
+    * point, and the compaction regime is property-tested in
+    * QuantileSketchSpec; the gate pins the exact regime (the
+    * [[quantileSketch]]/Packing lesson: the scale path exists as CODE
+    * under the gate, not as a scaladoc promise). */
+  def histogramEqDepthSketch(spark: SparkSession, dir: String,
+      buckets: Int = 8, cap: Int = 1 << 20): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val cents = Sources.lineitem(spark, dir)
+      .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+        .as("cents"))
+    val bs = (1 until buckets)
+    val bounds = cents.agg(
+      expr(s"q_sketch(cents, ${bs.head.toDouble / buckets}D, $cap)")
+        .as(s"b${bs.head}"),
+      bs.tail.map(k =>
+        expr(s"q_sketch(cents, ${k.toDouble / buckets}D, $cap)")
+          .as(s"b$k")): _*)
+    val bucketExpr = bs.map(k => s"CAST(cents > b$k AS INT)").mkString(" + ")
+    cents.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(bucketExpr).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+  }
+
   def histogramEqDepthOracle(buckets: Int = 8): String = {
     val bs = (1 until buckets)
     val boundSel = bs.map(k =>
