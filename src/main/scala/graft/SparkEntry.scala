@@ -358,7 +358,10 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())),
     Q("q_an_histogram_eqdepth_sketch", // the mergeable-boundary scale form
       (s, d) => graft.ops.AnalyticsQueries.histogramEqDepthSketch(s, d),
-      Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())))
+      Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())),
+    Q("q_an_mad_sketch", // MAD through mergeable sketch medians
+      (s, d) => graft.ops.AnalyticsQueries.madSketch(s, d),
+      Some(graft.ops.AnalyticsQueries.madOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -913,6 +913,29 @@ object AnalyticsQueries {
       .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
   }
 
+  /** The mergeable-boundary scale form of [[mad]] — both medians through
+    * `q_sketch` group aggregates (map-side partials) instead of per-group
+    * rank windows, which serialize one task per group regardless of group
+    * size.  Bit-equal to [[mad]] in the exact regime (cap ≥ largest
+    * group; 2^20 covers both test scales) and shares its oracle; the
+    * bounded-cap regime is the production trade, property-tested in
+    * QuantileSketchSpec. */
+  def madSketch(spark: SparkSession, dir: String,
+      cap: Int = 1 << 20): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val cents = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+          .as("cents"))
+    val med = cents.groupBy(col("l_returnflag"))
+      .agg(expr(s"q_sketch(cents, 0.5D, $cap)").as("median_cents"))
+    cents.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("adev", abs(col("cents") - col("median_cents")))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("median_cents")).as("median_cents"),
+        expr(s"q_sketch(adev, 0.5D, $cap)").as("mad_cents"))
+  }
+
   val madOracle: String =
     s"""WITH c AS (
        |  SELECT l_returnflag,
