@@ -255,8 +255,14 @@ object SparkEntry {
     Q("q_an_count_distinct",
       (s, d) => graft.ops.AnalyticsQueries.countDistinct(s, d),
       Some(graft.ops.AnalyticsQueries.countDistinctOracle)),
-    Q("q_an_approx_distinct", // rows-only: HLL++ register layout is engine-specific by nature
-      (s, d) => graft.ops.AnalyticsQueries.approxDistinct(s, d), None),
+    Q("q_an_approx_distinct", // HLL++ error-bound contract vs an all-TRUE oracle
+      // The register layout is engine-private so the ESTIMATE can't
+      // hash-match, but the operator's contract can: the plan emits
+      // |approx − exact|/exact ≤ 0.05 per group and the oracle emits
+      // literal TRUE — in-bounds-ness is hash-checked cross-engine
+      // (r6 verdict #1; closes the registry's last rows-only entry).
+      (s, d) => graft.ops.AnalyticsQueries.approxDistinct(s, d),
+      Some(graft.ops.AnalyticsQueries.approxDistinctOracle)),
     Q("q_an_hll_sketch", // the engine's OWN mergeable HLL: estimate itself hash-checked
       (s, d) => graft.ops.AnalyticsQueries.hllDistinct(s, d),
       Some(graft.ops.AnalyticsQueries.hllDistinctOracle)),
@@ -361,7 +367,13 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.histogramEqDepthOracle())),
     Q("q_an_mad_sketch", // MAD through mergeable sketch medians
       (s, d) => graft.ops.AnalyticsQueries.madSketch(s, d),
-      Some(graft.ops.AnalyticsQueries.madOracle)))
+      Some(graft.ops.AnalyticsQueries.madOracle)),
+    Q("q_an_outliers_sketch", // IQR fences via one q_sketch_multi aggregate
+      (s, d) => graft.ops.AnalyticsQueries.outliersSketch(s, d),
+      Some(graft.ops.AnalyticsQueries.outliersOracle)),
+    Q("q_an_quantile_sketch_capped", // production compaction regime: ε-rank bound
+      (s, d) => graft.ops.AnalyticsQueries.quantileSketchCapped(s, d),
+      Some(graft.ops.AnalyticsQueries.quantileSketchCappedOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -168,25 +168,131 @@ object QuantileSketch {
     }
   }
 
+  private[functions] def pLiteral(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn p must be a DOUBLE literal, got $other")
+  }
+
+  private[functions] def capLiteral(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn capacity must be an INT literal, got $other")
+  }
+
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("q_sketch"),
       new ExpressionInfo(classOf[QuantileSketch].getName, "q_sketch"),
-      (children: Seq[Expression]) => {
-        val p = children(1) match {
-          case Literal(v: Double, DoubleType) => v
-          case Literal(v: Decimal, _) => v.toDouble
-          case other => throw new IllegalArgumentException(
-            s"q_sketch p must be a DOUBLE literal, got $other")
-        }
-        val cap = children(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"q_sketch capacity must be an INT literal, got $other")
-        }
-        QuantileSketch(children.head, p, cap)
-      })
+      (children: Seq[Expression]) =>
+        QuantileSketch(children.head,
+          pLiteral(children(1), "q_sketch"),
+          capLiteral(children(2), "q_sketch")))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       description._1, description._2, description._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      QuantileSketchMulti.description._1, QuantileSketchMulti.description._2,
+      QuantileSketchMulti.description._3)
+  }
+}
+
+/** Multi-quantile form of [[QuantileSketch]]:
+  * `q_sketch_multi(v, array(p1, ..., pk), cap)` returns all k discrete
+  * quantiles from ONE sketch buffer — the single-pass answer to a query
+  * that needs several boundaries of the same column (equi-depth histogram
+  * boundaries, IQR fence pairs).  k independent `q_sketch` aggregates each
+  * buffer the input once (k× memory and k× merge traffic for identical
+  * state); this shares one [[QuantileSketch.State]] and one sorted
+  * weighted walk at eval, so the 100 TB shuffle carries one bounded sketch
+  * per (partition, group) regardless of how many probe points ride on it.
+  * Identical level structure and quantile definition — in the exact regime
+  * (cap ≥ n) each element is bit-equal to the corresponding `q_sketch`
+  * call, a contract QuantileSketchSpec asserts. */
+case class QuantileSketchMulti(
+    child: Expression,
+    ps: Seq[Double],
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch.State] {
+
+  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+    "q_sketch_multi probabilities must be in (0, 1]")
+  require(cap >= 8, "q_sketch_multi capacity must be >= 8")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "q_sketch_multi"
+
+  override def createAggregationBuffer(): QuantileSketch.State =
+    new QuantileSketch.State(ArrayBuffer(ArrayBuffer.empty[Long]))
+
+  override def update(buf: QuantileSketch.State,
+      input: InternalRow): QuantileSketch.State = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], cap)
+    buf
+  }
+
+  override def merge(a: QuantileSketch.State,
+      b: QuantileSketch.State): QuantileSketch.State = {
+    a.mergeIn(b, cap); a
+  }
+
+  override def eval(buf: QuantileSketch.State): Any =
+    if (buf.totalWeight == 0L) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ps.map(buf.quantile).toArray)
+
+  override def serialize(buf: QuantileSketch.State): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.length); lvl.foreach(out.writeLong)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketch.State = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val nLevels = in.readInt()
+    val levels = ArrayBuffer.tabulate(nLevels) { _ =>
+      val n = in.readInt()
+      val b = new ArrayBuffer[Long](n)
+      var i = 0
+      while (i < n) { b += in.readLong(); i += 1 }
+      b
+    }
+    new QuantileSketch.State(levels)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMulti =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMulti =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchMulti =
+    copy(child = newChildren.head)
+}
+
+object QuantileSketchMulti {
+
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("q_sketch_multi"),
+      new ExpressionInfo(classOf[QuantileSketchMulti].getName, "q_sketch_multi"),
+      (children: Seq[Expression]) => {
+        val ps = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+            elems.map(QuantileSketch.pLiteral(_, "q_sketch_multi"))
+          case other => throw new IllegalArgumentException(
+            s"q_sketch_multi probabilities must be an array(...) of DOUBLE " +
+              s"literals, got $other")
+        }
+        QuantileSketchMulti(children.head, ps,
+          QuantileSketch.capLiteral(children(2), "q_sketch_multi"))
+      })
 }

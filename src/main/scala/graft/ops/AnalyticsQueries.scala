@@ -42,13 +42,30 @@ object AnalyticsQueries {
 
   /** HLL++ sketch cardinality — the scale path when exact distinct would
     * shuffle every key: the sketch merges map-side in O(registers).
-    * Deterministic (register maxima are order-insensitive) but
-    * engine-specific, so rows-only. */
+    * The ESTIMATE is deterministic (register maxima are order-insensitive)
+    * but engine-specific (Spark's HLL++ register layout has no DuckDB
+    * mirror), so what the gate verifies is the operator's CONTRACT rather
+    * than its registers: the plan computes both the sketch estimate and
+    * the exact distinct per group and emits `approx_ok = |approx − exact|
+    * / exact ≤ 0.05` — the default-precision HLL++ error bound (rsd 0.05)
+    * — alongside the exact count.  The oracle emits the exact count and
+    * literal TRUE, so the hash-compare fails iff the estimate ever leaves
+    * its advertised band (r6 verdict #1: this closes the registry's last
+    * rows-only entry).  The engine's own fully-oracled HLL lives in
+    * [[hllDistinct]]. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= col("exact_parts").cast("double") * 0.05).as("approx_ok"))
+
+  val approxDistinctOracle: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Distinct parts per return flag via the engine's OWN HLL sketch
     * ([[graft.functions.HllSketch]]) — unlike [[approxDistinct]]'s built-in
@@ -578,6 +595,55 @@ object AnalyticsQueries {
         q("0.5D", "p50_cents"), q("0.75D", "p75_cents"))
   }
 
+  /** The BOUNDED-CAP (production) sketch regime under the driver gate —
+    * r6 verdict #2.  [[quantileSketch]] and the `*_sketch` scale variants
+    * register with cap ≥ n so the gate can hash-check exact values; the
+    * regime a 100 TB run actually uses (cap ≪ n, compaction bounding
+    * memory) was property-tested only.  This entry runs `q_sketch_multi`
+    * at cap = 1024 over groups of ~2k (sf0.01) / ~20k (sf0.1) rows —
+    * compaction is GUARANTEED at both gate scales (QuantileSketchSpec
+    * asserts it at this exact cap/scale) — and registers the ε-RANK-BOUND
+    * ITSELF: for each probe p, the sketch boundary's true rank bracket
+    * [#(x < b) + 1, #(x ≤ b)] must intersect ⌈p·n⌉ ± ε·n, ε = 2% (the
+    * band the spec measures at n = 64·cap; here n/cap ≤ 20).  The oracle
+    * computes nothing approximate — it emits the exact per-group count
+    * and literal TRUE per bound — so the hash-compare fails iff the
+    * production regime ever drifts out of its advertised band
+    * cross-engine.  The second pass that ranks the boundaries is gate
+    * scaffolding, not operator cost: production reads the sketch output
+    * directly. */
+  def quantileSketchCapped(spark: SparkSession, dir: String,
+      cap: Int = 1024, eps: Double = 0.02): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val vals = Sources.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+    val psArray = ps.map(p => s"${p}D").mkString(", ")
+    val sk = vals.groupBy(col("event_type"))
+      .agg(expr(s"q_sketch_multi(cents, array($psArray), $cap)").as("qs"))
+      .select(col("event_type") +:
+        ps.indices.map(i => expr(s"qs[$i]").as(s"b$i")): _*)
+    def ok(i: Int, p: Double) = {
+      val target = s"CEIL($p * n)"
+      (expr(s"lt$i + 1 <= $target + $eps * n") &&
+        expr(s"le$i >= $target - $eps * n")).as(s"ok_p${(p * 100).toInt}")
+    }
+    vals.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        ps.indices.flatMap(i => Seq(
+          sum(expr(s"CAST(cents < b$i AS BIGINT)")).as(s"lt$i"),
+          sum(expr(s"CAST(cents <= b$i AS BIGINT)")).as(s"le$i"))): _*)
+      .select(col("event_type") +: col("n") +:
+        ps.zipWithIndex.map { case (p, i) => ok(i, p) }: _*)
+  }
+
+  val quantileSketchCappedOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+      |FROM events GROUP BY 1""".stripMargin
+
   /** IQR outlier fences per group, in EXACT integer arithmetic: q1/q3 are
     * discrete ⌈p·n⌉-rank quantiles of the cents-integer price, and the
     * Tukey fences are compared through the doubled inequality
@@ -641,6 +707,41 @@ object AnalyticsQueries {
        |  MAX(q1_cents) AS q1_cents, MAX(q3_cents) AS q3_cents
        |FROM rk JOIN f ON rk.l_returnflag = f.l_returnflag
        |GROUP BY 1""".stripMargin
+
+  /** The mergeable-boundary scale form of [[outliers]] — the last
+    * rank-walk family member to get its sketch companion (mad and
+    * eqdepth have theirs; r6 verdict #6).  Both IQR fences come from ONE
+    * `q_sketch_multi` group aggregate (map-side partials, one shared
+    * buffer for q1 and q3) instead of the per-group rank window that
+    * serializes one task per group; the fence comparison and final
+    * aggregation are identical.  Bit-equal to [[outliers]] in the exact
+    * regime (cap ≥ largest group; 2^20 covers both test scales) and
+    * shares its oracle; the bounded-cap compaction regime is the
+    * production trade, property-tested in QuantileSketchSpec and
+    * gate-checked via [[quantileSketchCapped]]. */
+  def outliersSketch(spark: SparkSession, dir: String,
+      cap: Int = 1 << 20): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val cents = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+          .as("cents"))
+    val fences = cents.groupBy(col("l_returnflag"))
+      .agg(expr(s"q_sketch_multi(cents, array(0.25D, 0.75D), $cap)").as("qs"))
+      .select(col("l_returnflag"),
+        expr("qs[0]").as("q1_cents"), expr("qs[1]").as("q3_cents"))
+    cents.join(broadcast(fences), Seq("l_returnflag"))
+      .withColumn("is_outlier",
+        expr("2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents) OR " +
+          "2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        min(when(col("is_outlier"), col("cents"))).as("min_outlier_cents"),
+        max(when(col("is_outlier"), col("cents"))).as("max_outlier_cents"),
+        max(col("q1_cents")).as("q1_cents"),
+        max(col("q3_cents")).as("q3_cents"))
+  }
 
   /** Time-series gap filling with linear interpolation: the sparse daily
     * revenue series (only days where a sale cleared the threshold) is
@@ -749,16 +850,22 @@ object AnalyticsQueries {
     // dia..dia+6: a scan-fused explode + hash merge — strictly linear in
     // #days, where the equivalent `d BETWEEN dia AND dia+6` range join
     // would nested-loop #days² (harmless at 365 days, pointless at 10
-    // years of them).  The semi-join pins the output to OBSERVED window
-    // ends (a broadcast against the day list), matching the oracle's
-    // day-table semantics exactly even if the calendar has gaps.
+    // years of them).  Output is pinned to OBSERVED window ends (the
+    // oracle's day-table semantics, even with calendar gaps) by carrying
+    // the source day through the explode and keeping only targets some
+    // contributor landed on exactly — deciding observedness inside the
+    // one merge aggregation instead of semi-joining against a second
+    // `daily` branch, which re-ran the events scan + sketch build twice
+    // (r6 ADVICE #3).
     daily
-      .select(explode(expr("sequence(dia, dia + interval 6 day)"))
-        .as("target"), col("sk"))
-      .join(broadcast(daily.select(col("dia").as("target"))),
-        Seq("target"), "left_semi")
+      .select(col("dia").as("src"),
+        explode(expr("sequence(dia, dia + interval 6 day)")).as("target"),
+        col("sk"))
       .groupBy(col("target").cast("date").as("dia"))
-      .agg(round(expr("hll_merge_est(sk)"), 4).as("users_hll_7d"))
+      .agg(round(expr("hll_merge_est(sk)"), 4).as("users_hll_7d"),
+        max(when(col("src") === col("target").cast("date"), 1)).as("obs"))
+      .filter(col("obs") === 1)
+      .drop("obs")
   }
 
   val rollingDistinctOracle: String = {
@@ -847,12 +954,13 @@ object AnalyticsQueries {
       .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
         .as("cents"))
     val bs = (1 until buckets)
-    val bounds = cents.agg(
-      expr(s"q_sketch(cents, ${bs.head.toDouble / buckets}D, $cap)")
-        .as(s"b${bs.head}"),
-      bs.tail.map(k =>
-        expr(s"q_sketch(cents, ${k.toDouble / buckets}D, $cap)")
-          .as(s"b$k")): _*)
+    // ONE q_sketch_multi aggregate buffers the table once for all B−1
+    // boundaries (r6 verdict #4: seven independent q_sketch aggregates
+    // each carried their own full copy of identical sketch state).
+    val psArray = bs.map(k => s"${k.toDouble / buckets}D").mkString(", ")
+    val bounds = cents
+      .agg(expr(s"q_sketch_multi(cents, array($psArray), $cap)").as("qs"))
+      .select(bs.map(k => expr(s"qs[${k - 1}]").as(s"b$k")): _*)
     val bucketExpr = bs.map(k => s"CAST(cents > b$k AS INT)").mkString(" + ")
     cents.crossJoin(broadcast(bounds))
       .withColumn("bucket", expr(bucketExpr).cast("int"))

@@ -74,6 +74,66 @@ class QuantileSketchSpec extends SparkSpec {
     assert(right.totalWeight === xs.length.toLong)
   }
 
+  test("multi form: each element equals the corresponding q_sketch call") {
+    import spark.implicits._
+    QuantileSketch.register(spark)
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    // Exact regime: multi ≡ single ≡ rank walk, bit-for-bit.
+    val xs = vals(2000)
+    val exact = xs.toDF("v").repartition(8).selectExpr(
+      "q_sketch_multi(v, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D), 4096) AS qs")
+      .head().getSeq[Long](0)
+    assert(exact == ps.map(exactQ(xs, _)))
+    // Compacted regime: multi and single share one State implementation,
+    // so every element must equal the standalone aggregate at the same cap
+    // (single partition pins the update order for both).
+    val big = vals(64 * 256)
+    val both = big.toDF("v").coalesce(1).selectExpr(
+      "q_sketch_multi(v, array(0.25D, 0.75D), 256) AS qs",
+      "q_sketch(v, 0.25D, 256) AS q25",
+      "q_sketch(v, 0.75D, 256) AS q75").head()
+    assert(both.getSeq[Long](0) == Seq(both.getLong(1), both.getLong(2)))
+    val empty = spark.emptyDataset[Long].toDF("v")
+      .selectExpr("q_sketch_multi(v, array(0.5D), 4096) AS qs").head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("multi form: merge order keeps every element in the band") {
+    val cap = 256
+    val xs = vals(32 * cap)
+    val chunks = xs.grouped(xs.length / 8 + 1).toSeq
+    def stateOf(c: Seq[Long]) = {
+      val s = freshState(); c.foreach(s.add(_, cap)); s
+    }
+    val merged = chunks.map(stateOf).reduceLeft { (a, b) => a.mergeIn(b, cap); a }
+    // One state answers all probes — the single-buffer point of the multi
+    // form — and each answer meets the same band as a dedicated sketch.
+    for (p <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val est = merged.quantile(p).asInstanceOf[Long]
+      assert(rankError(xs, est, p) <= 0.02, s"p=$p")
+    }
+  }
+
+  test("registered capped regime (cap=1024, n~2k and ~20k): compaction fires, band holds") {
+    // The q_an_quantile_sketch_capped gate entry runs cap = 1024 over
+    // ~2k-row (sf0.01) and ~20k-row (sf0.1) groups; this pins, at exactly
+    // that configuration, that (a) the sketch genuinely leaves the exact
+    // regime — the driver entry tests compaction, not a big exact buffer —
+    // and (b) the ±2% rank band the entry's boolean asserts actually holds.
+    for (n <- Seq(2000, 20000)) {
+      val cap = 1024
+      val xs = vals(n)
+      val st = freshState()
+      xs.foreach(st.add(_, cap))
+      assert(st.levels.length > 1, s"compaction must fire at n=$n")
+      assert(st.levels(1).nonEmpty, s"promoted items must exist at n=$n")
+      for (p <- Seq(0.25, 0.5, 0.75)) {
+        val est = st.quantile(p).asInstanceOf[Long]
+        assert(rankError(xs, est, p) <= 0.02, s"n=$n p=$p")
+      }
+    }
+  }
+
   test("SQL path: exact regime across partitions, null on empty") {
     import spark.implicits._
     QuantileSketch.register(spark)
