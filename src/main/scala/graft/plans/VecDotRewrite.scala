@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, LambdaFunction, Literal, Multiply, NamedExpression, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, EvalMode, Expression, LambdaFunction, Literal, Multiply, NamedExpression, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -54,6 +54,13 @@ object VecDotRewrite extends Rule[LogicalPlan] {
             LambdaFunction(add: Add, Seq(acc, v), _),
             LambdaFunction(finishBody, Seq(finishArg), _))
           if zero == 0.0 && isFloatArray(a) && isFloatArray(b) &&
+            // Only LEGACY arithmetic: under ANSI mode +/* carry
+            // raise-on-overflow semantics the kernel's plain double loop
+            // does not reproduce (r6 ADVICE #1).  Double ops can't
+            // actually overflow to an error, but the guard keeps the
+            // rewrite a pure evaluation-strategy change by construction.
+            mul.evalMode == EvalMode.LEGACY &&
+            add.evalMode == EvalMode.LEGACY &&
             castOfVar(mul.left, x) && castOfVar(mul.right, y) &&
             sameVar(add.left, acc) && sameVar(add.right, v) &&
             sameVar(finishBody, finishArg) =>

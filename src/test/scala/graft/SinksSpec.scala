@@ -93,6 +93,24 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 5)
   }
 
+  test("merge rejects an updates batch with duplicate keys") {
+    val path = tmp() + "/t"
+    Sinks.overwriteAll(Seq((1, "a", 10)).toDF("k", "v", "x"), path)
+    // Both copies of k=2 would survive the anti-join+union, silently
+    // violating the one-row-per-key contract (r6 ADVICE #4) — the write
+    // must fail loudly instead.
+    val dup = Seq((2, "B", 21), (2, "B2", 22)).toDF("k", "v", "x")
+    val e = intercept[Exception] {
+      Sinks.merge(spark, path, dup, Seq("k"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate keys")))
+    // The failed merge must not have corrupted the target.
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("compact merges a small-file table without changing its rows") {
     val path = tmp()
     val rows = (1 to 1000).map(i => (i, s"v$i"))

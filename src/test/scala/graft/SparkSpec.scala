@@ -15,4 +15,15 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val Sf001 = "/root/testdata/sf0.001"
+
+  /** Build-and-restore around `spark.sql.ansi.enabled`: evalMode is
+    * captured at ANALYSIS time, so the conf must hold while the plan
+    * under test is constructed (the kernel rewrite rules fire only on
+    * LEGACY arithmetic — see VecDotRewrite/VecDist2Rewrite). */
+  def withAnsi[T](on: Boolean)(f: => T): T = {
+    val key = "spark.sql.ansi.enabled"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, on.toString)
+    try f finally spark.conf.set(key, before)
+  }
 }

@@ -28,7 +28,9 @@ class VecDist2RewriteSpec extends SparkSpec {
     // optimizedPlan, not analyzed: the spec spells the zero as
     // CAST(0 AS BIGINT), which only folds to Literal(0L) — the shape the
     // rule matches — during optimization, where the rule actually runs.
-    val analyzed = pairs.select(expr(spec).as("d")).queryExecution.optimizedPlan
+    val analyzed = withAnsi(on = false) {
+      pairs.select(expr(spec).as("d")).queryExecution.optimizedPlan
+    }
     val rewritten = VecDist2Rewrite(analyzed)
     val hits = rewritten.expressions.flatMap(_.collect {
       case d: graft.functions.SquaredL2 => d
@@ -37,6 +39,19 @@ class VecDist2RewriteSpec extends SparkSpec {
     assert(!rewritten.expressions.exists(_.collectFirst {
       case a: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => a
     }.isDefined), "the HOF aggregate should be gone")
+  }
+
+  test("ANSI-mode arithmetic is left untouched (r6 ADVICE #1)") {
+    // ANSI subtraction/multiplication raise on long overflow where the
+    // kernel's wrapping loop would not — the guard must leave the ANSI
+    // shape to the HOF evaluator.
+    val analyzed = withAnsi(on = true) {
+      pairs.select(expr(spec).as("d")).queryExecution.optimizedPlan
+    }
+    val rewritten = VecDist2Rewrite(analyzed)
+    assert(rewritten.expressions.forall(_.collectFirst {
+      case d: graft.functions.SquaredL2 => d
+    }.isEmpty), "rule must not fire on ANSI arithmetic")
   }
 
   test("asymmetric folds are left untouched") {
@@ -58,7 +73,7 @@ class VecDist2RewriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ VecDist2Rewrite
-    try {
+    try withAnsi(on = false) {
       val df = pairs.select(col("vec_id"), col("cid"), expr(spec).as("d"))
       assert(df.queryExecution.executedPlan.toString.contains("vec_dist2"),
         "optimized plan should run the kernel")

@@ -18,7 +18,9 @@ class VecDotRewriteSpec extends SparkSpec {
       .select(col("embedding").as("q_embedding")))
 
   test("the declarative fold rewrites to the DotProduct expression") {
-    val analyzed = pairs.select(expr(dotSpec).as("d")).queryExecution.analyzed
+    val analyzed = withAnsi(on = false) {
+      pairs.select(expr(dotSpec).as("d")).queryExecution.analyzed
+    }
     val rewritten = VecDotRewrite(analyzed)
     val hits = rewritten.expressions.flatMap(_.collect {
       case d: graft.functions.DotProduct => d
@@ -27,6 +29,19 @@ class VecDotRewriteSpec extends SparkSpec {
     assert(!rewritten.expressions.exists(_.collectFirst {
       case a: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => a
     }.isDefined), "the HOF aggregate should be gone")
+  }
+
+  test("ANSI-mode arithmetic is left untouched (r6 ADVICE #1)") {
+    // Under spark.sql.ansi.enabled the fold's +/* carry raise-on-error
+    // semantics the kernel does not reproduce; the guard must keep the
+    // rule from substituting it.
+    val analyzed = withAnsi(on = true) {
+      pairs.select(expr(dotSpec).as("d")).queryExecution.analyzed
+    }
+    val rewritten = VecDotRewrite(analyzed)
+    assert(rewritten.expressions.forall(_.collectFirst {
+      case d: graft.functions.DotProduct => d
+    }.isEmpty), "rule must not fire on ANSI arithmetic")
   }
 
   test("non-dot folds are left untouched") {
@@ -49,7 +64,7 @@ class VecDotRewriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ VecDotRewrite
-    try {
+    try withAnsi(on = false) {
       val df = pairs.select(col("vec_id"), expr(dotSpec).as("d"))
       assert(df.queryExecution.executedPlan.toString.contains("vec_dot"),
         "optimized plan should run the kernel")

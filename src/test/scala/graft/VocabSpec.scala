@@ -51,6 +51,22 @@ class VocabSpec extends SparkSpec {
     assert(top.getAs[Long]("cnt") == naive.getAs[Long]("count"))
   }
 
+  test("heavyHitters raises when a lang's vocabulary reaches k (exact-regime guard)") {
+    // k far below the ~30-token-per-lang synthetic vocabulary: the sketch
+    // would fill its counters and est_count would silently turn
+    // approximate while the oracle stays exact (r6 ADVICE #5) — the
+    // in-plan assert must fail the query loudly instead.
+    val e = intercept[Exception] {
+      Vocab.heavyHitters(spark, Sf001, k = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exact regime")))
+    // The registered k = 64 stays comfortably above it — still green.
+    assert(Vocab.heavyHitters(spark, Sf001).count() > 0)
+  }
+
   test("bigram LM tables satisfy the probability-model invariants") {
     val rows = Vocab.bigramLm(spark, Sf001).collect()
     val byW1 = rows.groupBy(_.getAs[String]("w1"))
