@@ -111,6 +111,97 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  // The reference's real load path — keyed delete-then-insert on a
+  // database transaction — proven against embedded in-memory Derby (the
+  // Sources JDBC-read counterpart; no sockets on this sandbox).
+  private val jdbcUrl = "jdbc:derby:memory:graftsinkdb;create=true"
+
+  private def dropJdbc(table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => } finally st.close()
+    } finally conn.close()
+  }
+
+  private def readJdbc(table: String) =
+    graft.core.Sources.jdbc(spark, jdbcUrl, table)
+      .select("farmer_id", "mes", "receita")
+      .as[(Long, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("JDBC keyed overwrite replaces only the batch's keys (Derby)") {
+    dropJdbc("kpi_farmer")
+    val v1 = Seq((1L, "2024-01", 10.0), (2L, "2024-01", 20.0))
+      .toDF("farmer_id", "mes", "receita")
+    // First load bootstraps the target, then loads through staging.
+    Sinks.overwriteByKeyJdbc(v1, jdbcUrl, "kpi_farmer", Seq("farmer_id"))
+    assert(readJdbc("kpi_farmer") ==
+      Seq((1L, "2024-01", 10.0), (2L, "2024-01", 20.0)))
+    // Reload farmer 2 with new content + a new farmer; farmer 1 must
+    // survive (the reference's DELETE WHERE farmer_id=%s semantics).
+    val v2 = Seq((2L, "2024-01", 21.0), (3L, "2024-01", 30.0))
+      .toDF("farmer_id", "mes", "receita")
+    Sinks.overwriteByKeyJdbc(v2, jdbcUrl, "kpi_farmer", Seq("farmer_id"))
+    val expected = Seq((1L, "2024-01", 10.0), (2L, "2024-01", 21.0),
+      (3L, "2024-01", 30.0))
+    assert(readJdbc("kpi_farmer") == expected)
+    // Run-twice ≡ run-once.
+    Sinks.overwriteByKeyJdbc(v2, jdbcUrl, "kpi_farmer", Seq("farmer_id"))
+    assert(readJdbc("kpi_farmer") == expected)
+  }
+
+  test("JDBC keyed overwrite on composite keys (S7 month+flag semantics)") {
+    dropJdbc("kpi_fech")
+    val v1 = Seq((1L, "2024-01", 10.0), (1L, "2024-02", 11.0),
+      (2L, "2024-01", 20.0)).toDF("farmer_id", "mes", "receita")
+    Sinks.overwriteByKeyJdbc(v1, jdbcUrl, "kpi_fech", Seq("farmer_id", "mes"))
+    // Reload only (1, 2024-02): the farmer's OTHER month and the other
+    // farmer both survive.
+    Sinks.overwriteByKeyJdbc(
+      Seq((1L, "2024-02", 12.0)).toDF("farmer_id", "mes", "receita"),
+      jdbcUrl, "kpi_fech", Seq("farmer_id", "mes"))
+    assert(graft.core.Sources.jdbc(spark, jdbcUrl, "kpi_fech")
+      .select("farmer_id", "mes", "receita")
+      .as[(Long, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq ==
+      Seq((1L, "2024-01", 10.0), (1L, "2024-02", 12.0), (2L, "2024-01", 20.0)))
+  }
+
+  test("JDBC keyed overwrite rolls back atomically on failure") {
+    dropJdbc("kpi_pk")
+    // Target with a PRIMARY KEY, created with Spark-writer-style quoted
+    // columns so the sink's SQL resolves them.
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("CREATE TABLE kpi_pk " +
+          "(\"farmer_id\" BIGINT PRIMARY KEY, \"mes\" VARCHAR(16), " +
+          "\"receita\" DOUBLE)")
+        st.executeUpdate(
+          "INSERT INTO kpi_pk VALUES (1, '2024-01', 10.0)")
+      } finally st.close()
+    } finally conn.close()
+    // A batch violating the PK mid-insert: the delete already ran inside
+    // the same transaction, so without rollback the target would lose
+    // rows; with it, the target must be bit-for-bit untouched.
+    val bad = Seq((1L, "2024-01", 11.0), (2L, "2024-01", 20.0),
+      (2L, "2024-01", 21.0)).toDF("farmer_id", "mes", "receita")
+    intercept[Exception] {
+      Sinks.overwriteByKeyJdbc(bad, jdbcUrl, "kpi_pk", Seq("farmer_id"))
+    }
+    assert(readJdbc("kpi_pk") == Seq((1L, "2024-01", 10.0)))
+    // And the per-call staging table was dropped on the failure path.
+    val c2 = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'KPI_PK_STG%' " +
+          "OR TABLENAME LIKE 'kpi_pk_stg%'")
+      rs.next()
+      assert(rs.getInt(1) == 0, "staging table must not leak")
+    } finally c2.close()
+  }
+
   test("compact merges a small-file table without changing its rows") {
     val path = tmp()
     val rows = (1 to 1000).map(i => (i, s"v$i"))
