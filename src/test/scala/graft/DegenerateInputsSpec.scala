@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Systematic degenerate-input sweep across the KPI and sketch surface
+  * (r6 verdict, next-round #8): empty tables, all-NULL measure columns,
+  * single-row tables, and a current month with zero snapshot rows, driven
+  * through the REGISTERED queries (the same entry points the driver gate
+  * runs).  The pinned contract per input class:
+  *
+  *   - no query throws (degenerate data is an operational reality —
+  *     a fresh tenant, a table mid-backfill, a dead month);
+  *   - the output SCHEMA is identical to the healthy-input schema (a
+  *     downstream consumer's contract does not change because a month is
+  *     empty);
+  *   - empty input ⇒ empty output for grouped queries (no phantom
+  *     groups), and ≤1 all-degenerate row for global aggregates.
+  */
+class DegenerateInputsSpec extends SparkSpec {
+
+  // Every table the KPI + sketch + heavy-hitter queries read.  `events`
+  // passes through RAW (ts stays a nanos LONG, the layout Sources.events
+  // expects to find in a dir).
+  private val tables = Seq("lineitem", "orders", "customer", "nation",
+    "supplier", "part", "region", "events", "documents")
+
+  private def stage(tag: String)(xf: (String, DataFrame) => DataFrame): String = {
+    val dir = Files.createTempDirectory(s"graft_degen_$tag").toString
+    tables.foreach { t =>
+      val raw = graft.core.Sources.table(spark, Sf001, t)
+      xf(t, raw).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def nullify(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, lit(null).cast(d.schema(c).dataType)))
+
+  private lazy val emptyDir = stage("empty")((_, df) => df.limit(0))
+
+  private lazy val nullMeasureDir = stage("nulls") {
+    case ("lineitem", df) =>
+      nullify(df, "l_extendedprice", "l_quantity", "l_discount")
+    case ("orders", df) => nullify(df, "o_totalprice")
+    case ("events", df) => nullify(df, "value")
+    case ("customer", df) => nullify(df, "c_acctbal")
+    case (_, df) => df
+  }
+
+  private lazy val singleRowDir = stage("single")((_, df) => df.limit(1))
+
+  // The anchor month (2001-08, the P6 target) AND the month before it
+  // (2001-07, the P5 target) stripped from orders: each pipeline's
+  // snapshot logic (MAX order day per month) finds a month with zero
+  // snapshots.
+  private lazy val deadMonthDir = stage("deadmonth") {
+    case ("orders", df) => df.filter(col("o_orderdate") < lit("2001-07-01"))
+    case (_, df) => df
+  }
+
+  private val kpiQueries = Seq(
+    "q_p1_receita_farmer", "q_p2_receita_presente", "q_p3_receita_cliente",
+    "q_p4_receita_produto", "q_p5_fechamento_passado", "q_p5_fechamento_range",
+    "q_p6_fechamento_presente", "q_p6_fechamento_periodo_array")
+
+  private val sketchQueries = Seq(
+    "q_an_quantile_sketch", "q_an_quantile_sketch_capped", "q_an_mad_sketch",
+    "q_an_histogram_eqdepth_sketch", "q_an_outliers_sketch", "q_an_hll_sketch",
+    "q_an_heavy_hitters")
+
+  private val sweep = kpiQueries ++ sketchQueries
+
+  /** Healthy-input schemas, the contract every degenerate run must keep. */
+  private lazy val healthySchemas: Map[String, Seq[(String, String)]] =
+    sweep.map { name =>
+      name -> SparkEntry.queries(name)(spark, Sf001).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString))
+    }.toMap
+
+  private def run(name: String, dir: String) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    (df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString)),
+      df.collect())
+  }
+
+  test("empty tables: no throw, stable schema, no phantom groups") {
+    sweep.foreach { name =>
+      val (schema, rows) = run(name, emptyDir)
+      assert(schema == healthySchemas(name), s"$name schema drifted on empty")
+      // Global aggregates legitimately emit one all-degenerate row
+      // (SQL semantics: agg over zero rows); grouped queries must not
+      // invent groups.
+      assert(rows.length <= 1, s"$name emitted ${rows.length} rows on empty")
+    }
+  }
+
+  test("all-NULL measure columns: no throw, stable schema") {
+    sweep.foreach { name =>
+      val (schema, _) = run(name, nullMeasureDir)
+      assert(schema == healthySchemas(name), s"$name schema drifted on nulls")
+    }
+  }
+
+  test("single-row tables: no throw, stable schema") {
+    sweep.foreach { name =>
+      val (schema, _) = run(name, singleRowDir)
+      assert(schema == healthySchemas(name),
+        s"$name schema drifted on single-row")
+    }
+  }
+
+  test("a month with zero snapshots: fechamento family stays sane") {
+    // Designed semantics (the reference's closing report likewise lists
+    // every farmer): a month with no sales still emits one row per
+    // farmer — zero revenue is a statement, a missing farmer is a bug.
+    // What must NOT happen: a responsibility period claiming a sale day
+    // that never existed.
+    Seq("q_p5_fechamento_passado", "q_p6_fechamento_presente",
+      "q_p6_fechamento_periodo_array").foreach { name =>
+      val (schema, rows) = run(name, deadMonthDir)
+      assert(schema == healthySchemas(name), s"$name schema drifted")
+      val healthyCount = SparkEntry.queries(name)(spark, Sf001).count()
+      assert(rows.length.toLong == healthyCount,
+        s"$name must keep one row per farmer on a dead month")
+      val inicioIdx = schema.indexWhere(_._1 == "periodo_responsabilidade_inicio")
+      if (inicioIdx >= 0) {
+        assert(rows.forall(_.isNullAt(inicioIdx)),
+          s"$name fabricated a first-sale day in a month with no sales")
+      }
+    }
+  }
+
+  test("sketch aggregates on empty and all-NULL input evaluate to NULL, not garbage") {
+    import spark.implicits._
+    graft.functions.QuantileSketch.register(spark)
+    val empty = spark.emptyDataset[Long].toDF("v")
+    val row = empty.selectExpr(
+      "q_sketch(v, 0.5D, 64) AS a",
+      "q_sketch_multi(v, array(0.25D, 0.75D), 64) AS b").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    val allNull = Seq[Option[Long]](None, None).toDF("v")
+    val row2 = allNull.selectExpr(
+      "q_sketch(v, 0.5D, 64) AS a",
+      "q_sketch_multi(v, array(0.25D, 0.75D), 64) AS b").head()
+    assert(row2.isNullAt(0) && row2.isNullAt(1))
+    // Mixed: nulls are skipped, the surviving value is the answer.
+    val mixed = Seq[Option[Long]](None, Some(42L), None).toDF("v")
+    val row3 = mixed.selectExpr(
+      "q_sketch(v, 0.5D, 64) AS a",
+      "q_sketch_multi(v, array(0.25D, 0.75D), 64) AS b").head()
+    assert(row3.getLong(0) == 42L)
+    assert(row3.getSeq[Long](1) == Seq(42L, 42L))
+  }
+}
