@@ -373,7 +373,14 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.outliersOracle)),
     Q("q_an_quantile_sketch_capped", // production compaction regime: ε-rank bound
       (s, d) => graft.ops.AnalyticsQueries.quantileSketchCapped(s, d),
-      Some(graft.ops.AnalyticsQueries.quantileSketchCappedOracle)))
+      Some(graft.ops.AnalyticsQueries.quantileSketchCappedOracle)),
+    Q("q_text_tfidf", // TF × rational BM25-IDF, per-doc top-K characteristic terms
+      (s, d) => llm.TextAnalysis.tfidf(s, d),
+      Some(llm.TextAnalysis.tfidfOracle())),
+    Q("q_stream_trending", // windowed counts + per-window top-K leaderboard
+      (s, d) => streaming.EventsStream
+        .trendingTopK(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.trendingTopKOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -257,4 +257,66 @@ object TextAnalysis {
        |    AS n_redacted
        |FROM events""".stripMargin
   }
+
+  /** Per-document characteristic terms: TF × BM25-style IDF with a
+    * per-doc top-K cut — the keyword/topic-surfacing operator of a corpus
+    * triage pipeline (and the relevance kernel retrieval stacks rank
+    * with).  IDF is the RATIONAL BM25 form `(N − df + 0.5)/(df + 0.5)`
+    * rather than its logarithm: every operand is an exactly-representable
+    * double (integer counts ± 0.5) and the score is then two
+    * correctly-rounded IEEE ops (one divide, one multiply), so the
+    * doubles hash-match DuckDB bit-for-bit — a `ln()` would hostage the
+    * gate to libm rounding differences for zero analytical content
+    * (log is monotone: the per-doc ranking is IDENTICAL either way).
+    *
+    * Scale shape: explode → (doc, token) hash agg with map-side partials
+    * (the corpus-heavy stage, one shuffle keyed by doc⊗token); df is a
+    * second vocabulary-sized agg off the tf rows (never re-reads the
+    * corpus); N rides in as a 1-row broadcast; the top-K window
+    * partitions BY DOCUMENT, so each task ranks ~distinct-tokens-per-doc
+    * rows — no global sort anywhere.  Ties break on (score DESC, token
+    * ASC), a total order, so the cut is deterministic cross-engine. */
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Sources.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Sources.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("score", col("tf").cast("double") * col("idf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
+  def tfidfOracle(topK: Int = 5): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |    CAST(tf AS DOUBLE) *
+       |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5)) AS score
+       |  FROM tf JOIN df USING (token), n),
+       |r AS (
+       |  SELECT doc_id, token, tf, df, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, token ASC) AS rnk
+       |  FROM s)
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score
+       |FROM r WHERE rnk <= $topK""".stripMargin
 }

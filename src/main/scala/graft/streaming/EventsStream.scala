@@ -247,6 +247,54 @@ object EventsStream {
        |  ${Frag.sumMoney(Frag.money("value"))} AS valor
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Trending top-K: the K most frequent event types per day window —
+    * the dashboard/alerting staple on any event stream.  The STATEFUL
+    * stage is the windowed count ([[dailyAgg]]'s shape: watermark +
+    * window keeps per-(day, type) state bounded); the ranking stage runs
+    * over the already-aggregated rows — #types per day, metadata-sized —
+    * which in a live stream happens in `foreachBatch` on each emitted
+    * window (a rank is not incrementally maintainable under append
+    * semantics: a late event can reorder the board, so the sink owns the
+    * final sort — the same split every streaming leaderboard uses).
+    * Batch-evaluated for the driver gate like every streaming entry.
+    * Ties break (count DESC, type ASC) — a total order, deterministic
+    * cross-engine. */
+  def trendingTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(to_date(col("w.start")).as("dia"), col("event_type"),
+        col("n_events"))
+    val w = Window.partitionBy(col("dia"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    daily.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("dia"), col("rnk"), col("event_type"), col("n_events"))
+  }
+
+  /** Streaming variant of [[trendingTopK]]'s stateful stage (the window
+    * counts; ranking lives in the sink per the scaladoc above). */
+  def trendingTopKStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(to_date(col("w.start")).as("dia"), col("event_type"),
+        col("n_events"))
+
+  def trendingTopKOracle(k: Int = 3): String =
+    s"""WITH d AS (
+       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS dia, event_type,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT dia, event_type, n_events,
+       |    ROW_NUMBER() OVER (PARTITION BY dia
+       |                       ORDER BY n_events DESC, event_type ASC) AS rnk
+       |  FROM d)
+       |SELECT dia, CAST(rnk AS INT) AS rnk, event_type, n_events
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   /** Stream-static dimension enrichment — the remaining Structured
     * Streaming join mode after the stream-stream interval join
     * ([[conversionsFromEvents]]): each micro-batch hash-joins the STATIC

@@ -77,6 +77,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("trending top-K: streaming window counts equal batch, sink ranking matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "click", 1.0),
+      (3L, ts("2024-01-01 12:00:00"), "view", 1.0),
+      (4L, ts("2024-01-01 13:00:00"), "view", 1.0),
+      (5L, ts("2024-01-01 14:00:00"), "error", 1.0), // tie with signup → type ASC
+      (6L, ts("2024-01-01 15:00:00"), "signup", 1.0),
+      (7L, ts("2024-01-02 09:00:00"), "view", 1.0))
+    val batchTop = EventsStream.trendingTopK(toDf(
+      evRows.map { case (id, t, et, v) => (id, t, et, v) }), k = 3)
+      .orderBy("dia", "rnk").collect().map(_.toString)
+    // The stateful stage streams; ranking is the sink's job (scaladoc) —
+    // prove the streamed counts equal the batch counts across an
+    // arbitrary micro-batch cut, then rank them the same way.
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(evRows.take(3): _*)
+    val q = EventsStream.trendingTopKStream(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(evRows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dia"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    val streamedTop = spark.table("trend_out")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("dia", "rnk", "event_type", "n_events")
+      .orderBy("dia", "rnk").collect().map(_.toString)
+    assert(streamedTop.toSeq == batchTop.toSeq)
+    // The tie on day 1 (error=1, signup=1 behind click=2, view=2) must
+    // cut deterministically: rank 3 is 'error' by type ASC.
+    val day1 = spark.table("trend_out").filter(col("dia") === "2024-01-01")
+    assert(day1.count() == 4) // all types counted in state...
+    assert(batchTop.exists(_.contains("[2024-01-01,3,error,1]"))) // ...top-3 cut ranks error over signup
+  }
+
   test("foreachBatch lands micro-batches through the idempotent keyed sink") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString

@@ -5,6 +5,48 @@ import graft.llm.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tfidf: ranks contiguous, scores monotone, top-1 is the true argmax") {
+    import org.apache.spark.sql.functions._
+    val t = TextAnalysis.tfidf(spark, Sf001, topK = 5).cache()
+    try {
+      val byDoc = t.collect().groupBy(_.getAs[Long]("doc_id"))
+      byDoc.foreach { case (doc, rows) =>
+        val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+        assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length),
+          s"doc $doc ranks not contiguous")
+        val scores = sorted.map(_.getAs[Double]("score"))
+        assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+          s"doc $doc scores not monotone")
+      }
+      // Rarity dominates for equal tf: within any doc, a higher-df token
+      // never outranks a lower-df token of the same tf.
+      byDoc.values.foreach { rows =>
+        rows.groupBy(_.getAs[Long]("tf")).values.foreach { same =>
+          val byRank = same.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("df"))
+          assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+        }
+      }
+      // Top-1 equals a brute-force argmax recomputed independently.
+      val docs = graft.core.Sources.documents(spark, Sf001)
+      val n = docs.count().toDouble
+      val toks = docs.select($"doc_id",
+          explode(split($"text", " ")).as("token"))
+        .groupBy($"doc_id", $"token").count().collect()
+      val dfm = toks.groupBy(_.getAs[String]("token"))
+        .map { case (tok, rs) => tok -> rs.map(_.getAs[Long]("doc_id")).distinct.length }
+      val top1 = t.filter($"rnk" === 1).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token")).toMap
+      toks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+        val best = rs.map { r =>
+          val tok = r.getAs[String]("token")
+          val df = dfm(tok).toDouble
+          (tok, r.getAs[Long]("count").toDouble * ((n - df + 0.5) / (df + 0.5)))
+        }.minBy { case (tok, s) => (-s, tok) }
+        assert(top1(doc) == best._1, s"doc $doc top-1 mismatch")
+      }
+    } finally t.unpersist()
+  }
+
   test("quality invariants hold for every document") {
     val q = TextAnalysis.quality(spark, Sf001)
     assert(q.filter($"n_unique_tokens" > $"n_tokens").count() == 0)
