@@ -380,7 +380,10 @@ object SparkEntry {
     Q("q_stream_trending", // windowed counts + per-window top-K leaderboard
       (s, d) => streaming.EventsStream
         .trendingTopK(graft.core.Sources.events(s, d)),
-      Some(streaming.EventsStream.trendingTopKOracle())))
+      Some(streaming.EventsStream.trendingTopKOracle())),
+    Q("q_ops_scd2", // CDC log → type-2 validity intervals (keepLatest's dual)
+      (s, d) => OperatorQueries.scd2(s, d),
+      Some(OperatorQueries.scd2Oracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -403,6 +403,42 @@ object OperatorQueries {
       |  FROM events) t
       |WHERE rn = 1""".stripMargin
 
+  /** SCD type-2 history reconstruction — the warehouse dual of
+    * [[keepLatest]]: instead of compacting the change log to its latest
+    * version per key, expand it into validity intervals
+    * (valid_from, valid_to] with a version number and an is_current
+    * flag — the dimension-table shape every as-of join
+    * ([[graft.ops.Snapshot]]) consumes.  One LEAD per key over the
+    * deterministic version order (ts, event_id): a single shuffle on
+    * the key, then a per-key ordered walk — the standard distributed
+    * SCD2 build (each key's history is small; the parallelism unit is
+    * the key, exactly like sessionization).  The open version's
+    * valid_to is NULL; `is_current` rows reproduce [[keepLatest]]'s
+    * output bit-for-bit (spec-asserted). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Sources.events(spark, dir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("version"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
+  val scd2Oracle: String =
+    """SELECT user_id, event_type, event_id, value,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type
+      |             ORDER BY ts, event_id)""".stripMargin
+
   /** The remaining §2.3 join types in one query: LEFT SEMI (nations with
     * any high-balance customer), FULL OUTER against per-nation supplier
     * counts (so nations with customers but no suppliers AND vice versa
