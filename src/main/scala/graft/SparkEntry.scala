@@ -383,7 +383,10 @@ object SparkEntry {
       Some(streaming.EventsStream.trendingTopKOracle())),
     Q("q_ops_scd2", // CDC log → type-2 validity intervals (keepLatest's dual)
       (s, d) => OperatorQueries.scd2(s, d),
-      Some(OperatorQueries.scd2Oracle)))
+      Some(OperatorQueries.scd2Oracle)),
+    Q("q_ann_pq", // product quantization + ADC: integer-exact, codes-only scan
+      (s, d) => llm.Similarity.pqTopK(s, d),
+      Some(llm.Similarity.pqOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -292,4 +292,171 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---------------------------------------------------------------- PQ ---
+
+  /** Product quantization + asymmetric-distance (ADC) search — the third
+    * ANN regime after LSH bucketing and IVF list pruning, and the one
+    * that makes a 100 TB embedding store FIT: each 64-dim vector
+    * compresses to `m` one-byte codes (here 4 codes = 4 bytes vs 256
+    * bytes of floats, the FAISS IVFPQ recipe), and query scoring never
+    * touches the original vectors — a per-query lookup table of
+    * query-subvector × codeword distances is broadcast, and the scan
+    * reads only the CODES.  Scale shape: codebook training is per-subspace
+    * k-means (the [[graft.llm.Clustering]] integer-exact Lloyd's, m
+    * independent runs over slices — same broadcast-assign / k×subdim-group
+    * update, no corpus shuffle); encoding is one broadcast argmin pass;
+    * ADC scoring is a chain of m BROADCAST joins on the code columns (the
+    * corpus side never shuffles), then the same per-query top-K rank as
+    * [[bruteForceTopK]].
+    *
+    * Determinism is the [[graft.llm.Clustering]] convention end-to-end:
+    * quantized BIGINT subvectors, init codewords = the `codes` lowest
+    * vec_ids' slices, rounded-integer-mean updates, (dist ASC, cid ASC)
+    * ties — so codebooks, codes, and the ADC distances are ALL exact
+    * integers and the entire output hash-checks cross-engine, approximate
+    * though the distances are by construction. */
+  def pqTopK(spark: SparkSession, dir: String, m: Int = 4,
+      codes: Int = 8, iters: Int = 2, numQueries: Int = 8,
+      k: Int = 5, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SquaredL2.register(spark)
+    require(dim % m == 0, "subspaces must tile the dimension")
+    val subDim = dim / m
+    val q = Sources.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("qv"))
+
+    // Per subspace: Lloyd's over the slice → (final codebook, assignment).
+    val perSub = (0 until m).map { mi =>
+      val sv = q.select(col("vec_id"),
+        expr(s"slice(qv, ${mi * subDim + 1}, $subDim)").as("sv"))
+      var cb = sv.filter(col("vec_id") < codes)
+        .select(col("vec_id").as("cid"), col("sv").as("cv"))
+      var asg: DataFrame = null
+      for (it <- 1 to iters) {
+        asg = sv.crossJoin(broadcast(cb))
+          .withColumn("dist", expr("vec_dist2(sv, cv)"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist").asc, col("cid").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sv"), col("cid"))
+        if (it < iters)
+          cb = asg.select(col("cid"), posexplode(col("sv")))
+            .groupBy(col("cid"), col("pos"))
+            .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS BIGINT)")
+              .as("mn"))
+            .groupBy(col("cid"))
+            .agg(expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)")
+              .as("cv"))
+      }
+      val codeCol = asg.select(col("vec_id"), col("cid").as(s"c$mi"))
+      // Per-query LUT: numQueries × codes rows of exact integer distances.
+      val lut = sv.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("sv").as("qsv"))
+        .crossJoin(broadcast(cb))
+        .select(col("query_id"), col("cid").as(s"c$mi"),
+          expr("vec_dist2(qsv, cv)").as(s"d$mi"))
+      (codeCol, lut)
+    }
+
+    // The stored representation: one row of m code columns per vector...
+    val codesTbl = perSub.map(_._1).reduce(_.join(_, Seq("vec_id")))
+    // ...scored by chained BROADCAST LUT joins (the corpus never shuffles;
+    // the first join fans out by query, the rest key on (code, query)).
+    val scored = perSub.zipWithIndex.foldLeft(codesTbl) {
+      case (acc, ((_, lut), 0)) => acc.join(broadcast(lut), Seq("c0"))
+      case (acc, ((_, lut), mi)) =>
+        acc.join(broadcast(lut), Seq(s"c$mi", "query_id"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist2").asc, col("vec_id").asc)
+    scored
+      .withColumn("approx_dist2",
+        (0 until m).map(mi => col(s"d$mi")).reduce(_ + _))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("approx_dist2"))
+  }
+
+  /** DuckDB mirror of [[pqTopK]]: per-subspace unrolled Lloyd CTE chains
+    * (the [[graft.llm.Clustering]] oracle pattern over list slices), then
+    * the same code join + LUT sum + rank. */
+  def pqOracle(m: Int = 4, codes: Int = 8, iters: Int = 2,
+      numQueries: Int = 8, k: Int = 5, dim: Int = 64): String = {
+    val subDim = dim / m
+    def dist(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len($a)),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |    (acc, v) -> acc + v)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+    for (mi <- 0 until m) {
+      val lo = mi * subDim + 1
+      val hi = (mi + 1) * subDim
+      sb ++= s""",
+         |s${mi}v AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM q),
+         |s${mi}c0 AS (SELECT vec_id AS cid, sv AS cv FROM s${mi}v
+         |             WHERE vec_id < $codes)""".stripMargin
+      for (it <- 1 to iters) {
+        sb ++= s""",
+           |s${mi}d$it AS (
+           |  SELECT v.vec_id, v.sv, c.cid, ${dist("v.sv", "c.cv")} AS dist
+           |  FROM s${mi}v v CROSS JOIN s${mi}c${it - 1} c),
+           |s${mi}a$it AS (
+           |  SELECT vec_id, sv, cid FROM (
+           |    SELECT vec_id, sv, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                         ORDER BY dist ASC, cid ASC) AS rn
+           |    FROM s${mi}d$it) t
+           |  WHERE rn = 1)""".stripMargin
+        if (it < iters)
+          sb ++= s""",
+             |s${mi}c$it AS (
+             |  SELECT cid, list(mn ORDER BY pos) AS cv
+             |  FROM (SELECT cid, u.p AS pos,
+             |          CAST(round(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mn
+             |        FROM (SELECT cid,
+             |                UNNEST(list_transform(generate_series(1, len(sv)),
+             |                  i -> {'p': i - 1, 'v': sv[i]})) AS u
+             |              FROM s${mi}a$it) px
+             |        GROUP BY cid, u.p) s
+             |  GROUP BY cid)""".stripMargin
+      }
+      sb ++= s""",
+         |s${mi}lut AS (
+         |  SELECT v.vec_id AS query_id, c.cid, ${dist("v.sv", "c.cv")} AS d
+         |  FROM s${mi}v v CROSS JOIN s${mi}c${iters - 1} c
+         |  WHERE v.vec_id < $numQueries)""".stripMargin
+    }
+    val tables = ((0 until m).map(mi => s"s${mi}a$iters a$mi") ++
+      (0 until m).map(mi => s"s${mi}lut l$mi")).mkString(", ")
+    val conds = ((1 until m).map(mi => s"a$mi.vec_id = a0.vec_id") ++
+      (0 until m).map(mi => s"l$mi.cid = a$mi.cid") ++
+      (1 until m).map(mi => s"l$mi.query_id = l0.query_id"))
+      .mkString("\n    AND ")
+    val dSum = (0 until m).map(mi => s"l$mi.d").mkString(" + ")
+    sb ++= s""",
+       |scored AS (
+       |  SELECT l0.query_id, a0.vec_id, $dSum AS approx_dist2
+       |  FROM $tables
+       |  WHERE $conds
+       |    AND a0.vec_id <> l0.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, approx_dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY approx_dist2 ASC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", vec_id AS neighbor_id,
+       |  approx_dist2
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+    sb.toString
+  }
 }
