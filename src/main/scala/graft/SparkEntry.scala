@@ -386,7 +386,13 @@ object SparkEntry {
       Some(OperatorQueries.scd2Oracle)),
     Q("q_ann_pq", // product quantization + ADC: integer-exact, codes-only scan
       (s, d) => llm.Similarity.pqTopK(s, d),
-      Some(llm.Similarity.pqOracle())))
+      Some(llm.Similarity.pqOracle())),
+    Q("q_text_drift", // χ² token-distribution drift per source, decimal-summed
+      (s, d) => llm.TextAnalysis.drift(s, d),
+      Some(llm.TextAnalysis.driftOracle)),
+    Q("q_an_ab_test", // pooled two-proportion z over id-parity variants
+      (s, d) => graft.ops.AnalyticsQueries.abTest(s, d),
+      Some(graft.ops.AnalyticsQueries.abTestOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

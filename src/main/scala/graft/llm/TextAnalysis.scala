@@ -276,6 +276,69 @@ object TextAnalysis {
     * partitions BY DOCUMENT, so each task ranks ~distinct-tokens-per-doc
     * rows — no global sort anywhere.  Ties break on (score DESC, token
     * ASC), a total order, so the cut is deterministic cross-engine. */
+  /** Token-distribution drift per corpus slice: the χ² statistic of each
+    * source's token distribution against the corpus-wide distribution —
+    * the data-drift monitor a production ingest runs per batch/domain
+    * (a source whose token mix diverges from the corpus flags crawler
+    * rot, template spam, or a language shift).  χ² instead of KL: every
+    * per-token term is `(p−q)²/q` — subtract/multiply/divide on exact
+    * integer-derived doubles, each a single correctly-rounded IEEE op —
+    * where KL's `ln` would hostage the cross-engine gate to libm ULP
+    * differences.  The cross-token SUM is order-dependent in doubles, so
+    * each term pins to 9 decimals and sums EXACTLY as DECIMAL(28,9) (the
+    * [[graft.core.Frag]] money-sum convention; the 1e-9 quantization is
+    * noise against the statistic's scale).
+    *
+    * Scale shape: one explode → (source, token) hash agg, a token-keyed
+    * corpus agg off those rows, a broadcast join of the vocabulary-sized
+    * corpus distribution, one final per-source agg — the corpus is read
+    * once and never re-shuffled. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Sources.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val corpus = bySrc.groupBy(col("token"))
+      .agg(sum(col("c_st")).as("c_t"))
+    val totals = bySrc.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("t_s"))
+    val grand = corpus.agg(sum(col("c_t")).as("t"))
+    bySrc
+      .join(broadcast(corpus), Seq("token"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("term", expr(DriftTerm))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"),
+        expr("CAST(SUM(CAST(ROUND(term, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))")
+          .as("chi2"))
+  }
+
+  /** The per-token χ² term — shared VERBATIM with the oracle so the IEEE
+    * op sequence is identical on both engines. */
+  private val DriftTerm: String =
+    "(CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE) " +
+      "- CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)) " +
+      "* (CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE) " +
+      "- CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)) " +
+      "/ (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE))"
+
+  def driftOracle: String =
+    s"""WITH w AS (
+       |  SELECT source, UNNEST(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |b AS (SELECT source, token, COUNT(*) AS c_st FROM w GROUP BY 1, 2),
+       |c AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM b GROUP BY 1),
+       |s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM b GROUP BY 1),
+       |g AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t FROM c),
+       |terms AS (
+       |  SELECT b.source, s.t_s, $DriftTerm AS term
+       |  FROM b JOIN c USING (token) JOIN s USING (source), g)
+       |SELECT source, MAX(t_s) AS n_tokens,
+       |  CAST(SUM(CAST(ROUND(term, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+       |    AS chi2
+       |FROM terms GROUP BY 1""".stripMargin
+
   def tfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Sources.documents(spark, dir)

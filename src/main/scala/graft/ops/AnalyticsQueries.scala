@@ -743,6 +743,69 @@ object AnalyticsQueries {
         max(col("q3_cents")).as("q3_cents"))
   }
 
+  /** Two-proportion A/B test over the event stream: users split by id
+    * parity (the deterministic stand-in for an experiment assignment
+    * column), conversion = the user ever fired a high-value purchase
+    * (plain "any purchase" saturates this corpus — every user has one —
+    * which would zero the pooled variance), and the pooled two-proportion
+    * z-statistic decides the lift.  Everything
+    * derives from exact integer counts; the z formula is a fixed chain
+    * of correctly-rounded IEEE ops (±, ×, ÷, sqrt — sqrt IS exact per
+    * IEEE-754), shared VERBATIM with the oracle, so the statistic
+    * hash-matches cross-engine at 6 dp (the [[graft.llm.Similarity]]
+    * cosine precedent, which also rides a sqrt).  Scale: one user-keyed
+    * aggregation (map-side partial), then a 2-row pivot — the z math
+    * runs on a single row. */
+  def abTest(spark: SparkSession, dir: String,
+      threshold: Int = 200): DataFrame = {
+    val perUser = Sources.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > threshold, 1).otherwise(0))
+        .as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    perUser.groupBy()
+      .agg(
+        count(when(col("variant") === 0, 1)).as("users_a"),
+        count(when(col("variant") === 1, 1)).as("users_b"),
+        sum(when(col("variant") === 0, col("converted"))).as("conv_a"),
+        sum(when(col("variant") === 1, col("converted"))).as("conv_b"))
+      .withColumn("z_score", round(expr(AbZ), 6))
+  }
+
+  /** Pooled two-proportion z — shared verbatim between engines so the
+    * IEEE op sequence is identical.  The NULLIF guard makes the
+    * degenerate regimes (zero or saturated conversion → zero pooled
+    * variance) yield NULL instead of a division error — the honest "no
+    * lift is measurable" answer, identical in both engines. */
+  private val AbZ: String =
+    "(CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) " +
+      "- CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) " +
+      "/ NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)) " +
+      "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)) " +
+      "* (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))), 0.0)"
+
+  def abTestOracle(threshold: Int = 200): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > $threshold
+       |             THEN 1 ELSE 0 END)
+       |      AS converted,
+       |    CAST(user_id % 2 AS INT) AS variant
+       |  FROM events GROUP BY user_id),
+       |agg AS (
+       |  SELECT
+       |    COUNT(CASE WHEN variant = 0 THEN 1 END) AS users_a,
+       |    COUNT(CASE WHEN variant = 1 THEN 1 END) AS users_b,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN converted END) AS BIGINT)
+       |      AS conv_a,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN converted END) AS BIGINT)
+       |      AS conv_b
+       |  FROM pu)
+       |SELECT users_a, users_b, conv_a, conv_b,
+       |  ROUND($AbZ, 6) AS z_score
+       |FROM agg""".stripMargin
+
   /** Time-series gap filling with linear interpolation: the sparse daily
     * revenue series (only days where a sale cleared the threshold) is
     * completed onto the full day × event_type spine, and missing cells
