@@ -350,7 +350,7 @@ object Similarity {
             .agg(expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)")
               .as("cv"))
       }
-      val codeCol = asg.select(col("vec_id"), col("cid").as(s"c$mi"))
+      val codeCol = asg.select(col("vec_id"), lit(mi).as("mi"), col("cid"))
       // Per-query LUT: numQueries × codes rows of exact integer distances.
       val lut = sv.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("sv").as("qsv"))
@@ -360,8 +360,18 @@ object Similarity {
       (codeCol, lut)
     }
 
-    // The stored representation: one row of m code columns per vector...
-    val codesTbl = perSub.map(_._1).reduce(_.join(_, Seq("vec_id")))
+    // The stored representation: one row of m code columns per vector,
+    // assembled from the per-subspace assignments through ONE exchange
+    // (union + pivot-by-aggregation with map-side partials) — an m-way
+    // join of corpus-sized code tables would sort-merge m times for the
+    // same rows.  Production encodes once and STORES this table; query
+    // time starts at the codes.
+    val codesTbl = perSub.map(_._1).reduce(_.unionByName(_))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("mi") === 0, col("cid"))).as("c0"),
+        (1 until m).map(mi =>
+          max(when(col("mi") === mi, col("cid"))).as(s"c$mi")): _*)
     // ...scored by chained BROADCAST LUT joins (the corpus never shuffles;
     // the first join fans out by query, the rest key on (code, query)).
     val scored = perSub.zipWithIndex.foldLeft(codesTbl) {
