@@ -392,7 +392,10 @@ object SparkEntry {
       Some(llm.TextAnalysis.driftOracle)),
     Q("q_an_ab_test", // pooled two-proportion z over id-parity variants
       (s, d) => graft.ops.AnalyticsQueries.abTest(s, d),
-      Some(graft.ops.AnalyticsQueries.abTestOracle())))
+      Some(graft.ops.AnalyticsQueries.abTestOracle())),
+    Q("q_an_rolling_var", // 7-day variance from stored daily integer moments
+      (s, d) => graft.ops.AnalyticsQueries.rollingVariance(s, d),
+      Some(graft.ops.AnalyticsQueries.rollingVarianceOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

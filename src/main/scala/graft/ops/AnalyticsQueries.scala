@@ -953,6 +953,63 @@ object AnalyticsQueries {
        |FROM regs GROUP BY dia""".stripMargin
   }
 
+  /** 7-day rolling variance from STORED DAILY MOMENTS — the plain-
+    * statistics member of the stored-partial re-aggregation family
+    * ([[rollingDistinct]] is the HLL member): each day persists exact
+    * integer moments (n, Σx, Σx²) — 24 bytes of state per day, the
+    * Chan/parallel-Welford merge representation — and any window over
+    * days is a SUM of those partials, never a rescan of the events.  At
+    * 100 TB this is the difference between an incremental daily job and
+    * re-reading a quarter's raw data per dashboard refresh.  The final
+    * variance is one pinned IEEE chain over the exact integer sums
+    * (population form (Σx² − (Σx)²/n)/n, shared verbatim with the
+    * oracle), rounded at 4 dp for the gate. */
+  def rollingVariance(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("date").as("dia"),
+        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("dia"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(expr("cents * cents")).as("sx2"))
+    daily
+      .select(col("dia").as("src"),
+        explode(expr("sequence(dia, dia + interval 6 day)")).as("target"),
+        col("n"), col("sx"), col("sx2"))
+      .groupBy(col("target").cast("date").as("dia"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sx2")).as("sx2"),
+        max(when(col("src") === col("target").cast("date"), 1)).as("obs"))
+      .filter(col("obs") === 1)
+      .select(col("dia"), col("n"),
+        round(expr(RollingVar), 4).as("var_7d"))
+  }
+
+  /** Population variance from exact integer moments — shared verbatim. */
+  private val RollingVar: String =
+    "(CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+      "/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+
+  val rollingVarianceOracle: String =
+    s"""WITH d AS (
+       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS dia,
+       |    COUNT(*) AS n,
+       |    CAST(SUM(CAST(${Frag.money("value")} * 100 AS BIGINT)) AS BIGINT)
+       |      AS sx,
+       |    CAST(SUM(CAST(${Frag.money("value")} * 100 AS BIGINT)
+       |           * CAST(${Frag.money("value")} * 100 AS BIGINT)) AS BIGINT)
+       |      AS sx2
+       |  FROM events GROUP BY 1),
+       |w AS (
+       |  SELECT t.dia,
+       |    CAST(SUM(d.n) AS BIGINT) AS n,
+       |    CAST(SUM(d.sx) AS BIGINT) AS sx,
+       |    CAST(SUM(d.sx2) AS BIGINT) AS sx2
+       |  FROM (SELECT DISTINCT dia FROM d) t
+       |  JOIN d ON d.dia >= t.dia - 6 AND d.dia <= t.dia
+       |  GROUP BY t.dia)
+       |SELECT dia, n, ROUND($RollingVar, 4) AS var_7d
+       |FROM w""".stripMargin
+
   /** Equi-DEPTH histogram — the quantile-bucket companion to
     * [[histogram]]'s fixed-width bins: boundaries are the exact discrete
     * k/B quantiles (one rank-walk pass), every row then lands in
