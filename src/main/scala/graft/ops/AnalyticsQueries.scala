@@ -774,16 +774,18 @@ object AnalyticsQueries {
   }
 
   /** Pooled two-proportion z — shared verbatim between engines so the
-    * IEEE op sequence is identical.  The NULLIF guard makes the
-    * degenerate regimes (zero or saturated conversion → zero pooled
-    * variance) yield NULL instead of a division error — the honest "no
-    * lift is measurable" answer, identical in both engines. */
+    * IEEE op sequence is identical.  The NULLIF guards make every
+    * degenerate regime — an EMPTY variant arm (a fresh tenant, or the
+    * whole table empty, divides by zero users under ANSI) and zero or
+    * saturated conversion (zero pooled variance) — yield NULL instead of
+    * a division error: the honest "no lift is measurable" answer,
+    * identical in both engines (DegenerateInputsSpec sweeps it). */
   private val AbZ: String =
-    "(CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) " +
-      "- CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) " +
-      "/ NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)) " +
-      "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE)) " +
-      "* (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE))), 0.0)"
+    "(CAST(conv_a AS DOUBLE) / CAST(NULLIF(users_a, 0) AS DOUBLE) " +
+      "- CAST(conv_b AS DOUBLE) / CAST(NULLIF(users_b, 0) AS DOUBLE)) " +
+      "/ NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(NULLIF(users_a + users_b, 0) AS DOUBLE)) " +
+      "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(NULLIF(users_a + users_b, 0) AS DOUBLE)) " +
+      "* (1.0 / CAST(NULLIF(users_a, 0) AS DOUBLE) + 1.0 / CAST(NULLIF(users_b, 0) AS DOUBLE))), 0.0)"
 
   def abTestOracle(threshold: Int = 200): String =
     s"""WITH pu AS (

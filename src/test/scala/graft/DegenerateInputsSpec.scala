@@ -25,7 +25,7 @@ class DegenerateInputsSpec extends SparkSpec {
   // passes through RAW (ts stays a nanos LONG, the layout Sources.events
   // expects to find in a dir).
   private val tables = Seq("lineitem", "orders", "customer", "nation",
-    "supplier", "part", "region", "events", "documents")
+    "supplier", "part", "region", "events", "documents", "embeddings")
 
   private def stage(tag: String)(xf: (String, DataFrame) => DataFrame): String = {
     val dir = Files.createTempDirectory(s"graft_degen_$tag").toString
@@ -72,7 +72,14 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_histogram_eqdepth_sketch", "q_an_outliers_sketch", "q_an_hll_sketch",
     "q_an_heavy_hitters")
 
-  private val sweep = kpiQueries ++ sketchQueries
+  // The round-7 additions: statistics with division/saturation regimes
+  // (ab_test's empty-arm guard lives or dies here), iterative codebooks
+  // on tiny corpora, and per-key window walks.
+  private val round7Queries = Seq(
+    "q_text_tfidf", "q_text_drift", "q_an_ab_test", "q_an_rolling_var",
+    "q_ops_scd2", "q_stream_trending", "q_ann_pq")
+
+  private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
   /** Healthy-input schemas, the contract every degenerate run must keep. */
   private lazy val healthySchemas: Map[String, Seq[(String, String)]] =
