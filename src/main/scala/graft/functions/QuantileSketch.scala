@@ -109,7 +109,14 @@ case class QuantileSketch(
 
 object QuantileSketch {
 
-  /** Level i's items each stand for 2^i original values. */
+  /** Level i's items each stand for 2^i original values.
+    *
+    * Weight contract: [[totalWeight]] equals the true count n exactly in
+    * the exact regime (no compaction); past cap it drifts by ±2^i per
+    * odd-length compaction at level i — bounded by ~2n·levels/cap
+    * (QuantileSketchProps) — and [[quantile]] ranks against the
+    * sketch's OWN weight, so the drift is just another component of the
+    * deterministic-KLL rank-error band the spec measures. */
   final class State(val levels: ArrayBuffer[ArrayBuffer[Long]]) {
 
     def add(v: Long, cap: Int): Unit = {
