@@ -395,7 +395,10 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.abTestOracle())),
     Q("q_an_rolling_var", // 7-day variance from stored daily integer moments
       (s, d) => graft.ops.AnalyticsQueries.rollingVariance(s, d),
-      Some(graft.ops.AnalyticsQueries.rollingVarianceOracle)))
+      Some(graft.ops.AnalyticsQueries.rollingVarianceOracle)),
+    Q("q_ops_asof_event", // event-level as-of via union+window, vs native ASOF JOIN
+      (s, d) => graft.ops.AsOfEvent.asOf(s, d),
+      Some(graft.ops.AsOfEvent.asOfOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
