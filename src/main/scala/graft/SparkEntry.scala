@@ -398,7 +398,13 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.rollingVarianceOracle)),
     Q("q_ops_asof_event", // event-level as-of via union+window, vs native ASOF JOIN
       (s, d) => graft.ops.AsOfEvent.asOf(s, d),
-      Some(graft.ops.AsOfEvent.asOfOracle())))
+      Some(graft.ops.AsOfEvent.asOfOracle())),
+    Q("q_ops_bloom_prune", // bloom semi-join reduction; oracle is the plain join
+      (s, d) => graft.ops.BloomPrune.bloomPrune(s, d),
+      Some(graft.ops.BloomPrune.bloomPruneOracle)),
+    Q("q_an_linear_trend", // least-squares slope/intercept from exact moments
+      (s, d) => graft.ops.AnalyticsQueries.linearTrend(s, d),
+      Some(graft.ops.AnalyticsQueries.linearTrendOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1245,4 +1245,71 @@ object AnalyticsQueries {
        |  ${pick("0.75", "p75_cents")}
        |FROM r GROUP BY 1""".stripMargin
   }
+
+  /** Least-squares revenue trend per return flag — the statistics gap
+    * next to [[correlation]]: slope and intercept of extendedprice over
+    * ship-day, from the SAME exact-moments recipe that keeps `corr`
+    * hash-stable.  Built-in `regr_slope` accumulates doubles in
+    * partition order (non-deterministic cross-engine); here the four
+    * moments are exact DECIMAL sums over an exact integer day index and
+    * the closed-form normal equations run once per group as a fixed
+    * chain of correctly-rounded IEEE ops (mul/sub/div — the proven-green
+    * `corrFormula` shape).  Both slope and intercept use the full
+    * rational form, so neither inherits the other's rounding.
+    *
+    * Scale: one scan, map-side partial sums (5 decimals per group), one
+    * 3-group exchange — the same plan as any SUM.  The day index is
+    * engine-local (Spark `DATEDIFF` / DuckDB date subtraction both yield
+    * exact INTs from the shared epoch), while the moment and formula
+    * fragments are shared verbatim.  NULLIF guards the all-one-day
+    * degenerate group (ANSI would raise where LEGACY returned NULL). */
+  def linearTrend(spark: SparkSession, dir: String): DataFrame =
+    trendOf(Sources.lineitem(spark, dir)
+      .selectExpr("l_returnflag",
+        s"DATEDIFF(CAST(l_shipdate AS DATE), DATE '$trendEpoch') AS d",
+        s"${Frag.money("l_extendedprice")} AS cents"))
+
+  /** Normal-equations core over a (l_returnflag, d, cents) frame —
+    * split out so degenerate regimes (one distinct day per group) are
+    * spec-testable on synthetic frames. */
+  private[graft] def trendOf(points: DataFrame): DataFrame =
+    points
+      .groupBy("l_returnflag")
+      .agg(expr(trendSums.head._2).as(trendSums.head._1),
+        trendSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+      .selectExpr("l_returnflag", "n",
+        s"$trendSlope AS slope_per_day", s"$trendIntercept AS intercept")
+
+  private val trendEpoch = "1995-01-01"
+
+  private val trendSums: Seq[(String, String)] = {
+    val x = "CAST(d AS DECIMAL(18,0))"
+    Seq("n" -> "COUNT(*)", "sx" -> s"SUM($x)", "sy" -> "SUM(cents)",
+      "sxy" -> s"SUM($x * cents)", "sxx" -> s"SUM($x * $x)")
+  }
+
+  private val trendDenom =
+    "NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)"
+
+  private val trendSlope: String =
+    s"""ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / $trendDenom, 6)""".stripMargin
+
+  private val trendIntercept: String =
+    s"""ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) / $trendDenom, 6)""".stripMargin
+
+  val linearTrendOracle: String =
+    s"""SELECT l_returnflag, n,
+       |  $trendSlope AS slope_per_day, $trendIntercept AS intercept
+       |FROM (
+       |  SELECT l_returnflag,
+       |    ${trendSums.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")}
+       |  FROM (
+       |    SELECT l_returnflag,
+       |      CAST(l_shipdate AS DATE) - DATE '$trendEpoch' AS d,
+       |      ${Frag.money("l_extendedprice")} AS cents
+       |    FROM lineitem)
+       |  GROUP BY 1) t""".stripMargin
 }
