@@ -404,7 +404,10 @@ object SparkEntry {
       Some(graft.ops.BloomPrune.bloomPruneOracle)),
     Q("q_an_linear_trend", // least-squares slope/intercept from exact moments
       (s, d) => graft.ops.AnalyticsQueries.linearTrend(s, d),
-      Some(graft.ops.AnalyticsQueries.linearTrendOracle)))
+      Some(graft.ops.AnalyticsQueries.linearTrendOracle)),
+    Q("q_ops_bucketed_join", // co-located fact join: zero exchange below the SMJ
+      (s, d) => graft.core.Bucketed.bucketedJoin(s, d),
+      Some(graft.core.Bucketed.bucketedJoinOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed table layout: the co-located fact⋈fact join.  At 100 TB the
+  * orders⋈lineitem shuffle is the single largest data movement in the
+  * warehouse — and it is the SAME shuffle every run, so the winning move
+  * is to pay it once at WRITE time: both tables bucketed (and
+  * bucket-sorted) by the join key into the same bucket count hash every
+  * key to the same bucket file on both sides, and every later join reads
+  * bucket i against bucket i with ZERO exchange.  This is the third
+  * member of the layout family next to [[Manifest]] (file skipping) and
+  * [[ZOrder]] (multi-dim clustering): skipping prunes scans, z-order
+  * prunes ranges, bucketing deletes the join shuffle itself.
+  *
+  * The staged layout is written once per (JVM, source dir) — same
+  * session-staging discipline as [[Manifest.prunedAgg]] (unique temp
+  * path, no cross-run races) — and registered through the catalog
+  * because bucket metadata lives there, exactly as it would in a
+  * production metastore.  The `merge` hint pins the demonstration to the
+  * sort-merge path (a broadcast would also be shuffle-free, but only
+  * because the test dims are small; bucketing is the plan that survives
+  * when BOTH sides are 10 TB).  The registered aggregate groups by
+  * non-bucket columns, so its one exchange carries 8 grouped rows — the
+  * audit shape is scan → scan → SortMergeJoin (no exchange below it) →
+  * partial agg → single metadata-sized exchange.
+  *
+  * Oracle: the identical join spelled over the plain parquet tables —
+  * bucketing is pure layout, so the gate proves it changes nothing.
+  */
+object Bucketed {
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Stage both sides bucketed by the join key, once per (JVM, dir). */
+  private def ensureStaged(spark: SparkSession, dir: String,
+      buckets: Int): (String, String) =
+    stagedCache.computeIfAbsent(s"$dir#$buckets", _ => {
+      val tag = s"${math.abs(dir.hashCode)}_$buckets"
+      val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+      val base = s"/tmp/graft_bucketed/${java.util.UUID.randomUUID()}"
+      Sources.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.format("parquet")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem")
+        .mode("overwrite").saveAsTable(lt)
+      Sources.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.format("parquet")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders")
+        .mode("overwrite").saveAsTable(ot)
+      (lt, ot)
+    })
+
+  def bucketedJoin(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    val (lt, ot) = ensureStaged(spark, dir, buckets)
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag", "o_orderpriority")
+      .agg(expr(Frag.sumMoney(Frag.money("l_extendedprice"))).as("receita"),
+        count(lit(1)).as("n"))
+  }
+
+  val bucketedJoinOracle: String =
+    s"""SELECT l.l_returnflag, o.o_orderpriority,
+       |  ${Frag.sumMoney(Frag.money("l.l_extendedprice"))} AS receita,
+       |  COUNT(*) AS n
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY 1, 2""".stripMargin
+}
