@@ -33,22 +33,30 @@ object BloomPrune {
   private val EstItems = 100000L
   private val NumBits = 800000L
 
+  /** Dir-scoped view names: a shared session querying two sf dirs must
+    * not race on one global view (the Manifest fixed-path lesson). */
+  private[graft] def viewNames(dir: String): (String, String) = {
+    val tag = math.abs(dir.hashCode)
+    (s"bloom_dim_orders_$tag", s"bloom_fact_lineitem_$tag")
+  }
+
   def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
     BloomRuntimeFilter.register(spark)
+    val (dimView, factView) = viewNames(dir)
     Sources.orders(spark, dir)
       .filter("o_orderpriority = '1-URGENT'")
       .select("o_orderkey")
-      .createOrReplaceTempView("bloom_dim_orders")
-    Sources.lineitem(spark, dir).createOrReplaceTempView("bloom_fact_lineitem")
+      .createOrReplaceTempView(dimView)
+    Sources.lineitem(spark, dir).createOrReplaceTempView(factView)
     spark.sql(
       s"""SELECT l.l_returnflag,
          |  ${Frag.sumMoney(Frag.money("l.l_extendedprice"))} AS receita,
          |  COUNT(*) AS n
-         |FROM bloom_fact_lineitem l
-         |JOIN bloom_dim_orders o ON l.l_orderkey = o.o_orderkey
+         |FROM $factView l
+         |JOIN $dimView o ON l.l_orderkey = o.o_orderkey
          |WHERE graft_might_contain(
          |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), ${EstItems}L, ${NumBits}L)
-         |     FROM bloom_dim_orders),
+         |     FROM $dimView),
          |    xxhash64(l.l_orderkey))
          |GROUP BY l.l_returnflag""".stripMargin)
   }

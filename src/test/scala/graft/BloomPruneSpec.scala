@@ -11,8 +11,10 @@ import graft.ops.BloomPrune
   * the join onto the fact side. */
 class BloomPruneSpec extends SparkSpec {
 
+  private val (dimView, factView) = BloomPrune.viewNames(Sf001)
+
   private def probeCountSql(pred: String) =
-    s"""SELECT COUNT(*) FROM bloom_fact_lineitem l $pred""".stripMargin
+    s"""SELECT COUNT(*) FROM $factView l $pred""".stripMargin
 
   test("bloom-pruned aggregate is bit-identical to the plain join") {
     val got = BloomPrune.bloomPrune(spark, Sf001)
@@ -31,14 +33,14 @@ class BloomPruneSpec extends SparkSpec {
 
   test("probe admits every true key and prunes most of the rest") {
     BloomPrune.bloomPrune(spark, Sf001) // registers views + functions
-    val total = spark.table("bloom_fact_lineitem").count()
+    val total = spark.table(factView).count()
     val exact = spark.sql(probeCountSql(
-      "JOIN bloom_dim_orders o ON l.l_orderkey = o.o_orderkey"))
+      s"JOIN $dimView o ON l.l_orderkey = o.o_orderkey"))
       .head.getLong(0)
     val passed = spark.sql(probeCountSql(
-      """WHERE graft_might_contain(
-        |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
-        |   FROM bloom_dim_orders), xxhash64(l.l_orderkey))""".stripMargin))
+      s"""WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+         |   FROM $dimView), xxhash64(l.l_orderkey))""".stripMargin))
       .head.getLong(0)
     assert(passed >= exact, "bloom must never drop a true key")
     assert(passed < total / 2,
