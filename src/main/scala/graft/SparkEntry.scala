@@ -407,7 +407,19 @@ object SparkEntry {
       Some(graft.ops.AnalyticsQueries.linearTrendOracle)),
     Q("q_ops_bucketed_join", // co-located fact join: zero exchange below the SMJ
       (s, d) => graft.core.Bucketed.bucketedJoin(s, d),
-      Some(graft.core.Bucketed.bucketedJoinOracle)))
+      Some(graft.core.Bucketed.bucketedJoinOracle)),
+    Q("q_ops_expectations", // one-scan data-quality constraint suite
+      (s, d) => graft.ops.QualityChecks.expectations(s, d),
+      Some(graft.ops.QualityChecks.expectationsOracle)),
+    Q("q_ops_salted_join", // skew-safe salted equi-join; oracle is the plain join
+      (s, d) => graft.ops.SkewJoin.saltedJoin(s, d),
+      Some(graft.ops.SkewJoin.saltedJoinOracle)),
+    Q("q_an_first_touch", // first-touch revenue attribution, one user_id shuffle
+      (s, d) => graft.ops.Attribution.firstTouch(s, d),
+      Some(graft.ops.Attribution.firstTouchOracle)),
+    Q("q_an_pagerank", // integer-exact weighted PageRank on the trade graph
+      (s, d) => graft.ops.Graph.pagerank(s, d),
+      Some(graft.ops.Graph.pagerankOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

