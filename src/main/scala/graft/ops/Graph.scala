@@ -59,7 +59,12 @@ object Graph {
       iters: Int = Iters): DataFrame = {
     val verts = Sources.nation(spark, dir)
       .select(col("n_nationkey").as("v"))
-    pagerankOf(edges(spark, dir), verts, iters)
+    // Materialize the edge aggregation ONCE (eager localCheckpoint, the
+    // duplicateClusters convention): a lazy plan would re-derive the
+    // 4-table join on every iteration reference — the audit showed the
+    // fact subtree repeated 2× per iteration before this. This is the
+    // persisted edge table every Pregel-style runtime keeps.
+    pagerankOf(edges(spark, dir).localCheckpoint(), verts, iters)
       .join(Sources.nation(spark, dir),
         col("v") === col("n_nationkey"))
       .select(col("n_name"), col("r").as("rank_micro"))

@@ -14,10 +14,14 @@ import graft.core.Sources
   * e.g. kpi_receita_farmer_m_passado/load.py:78-83); a 100 TB pipeline
   * needs the checks to be declarative and single-scan.
   *
-  * Scale design: five of the six constraints are plain aggregates over one
-  * scan of the fact table — Catalyst fuses them into a single
-  * partial/final aggregation (the COUNT(DISTINCT) adds one expand, still
-  * one scan).  The referential check is a LEFT ANTI join against the
+  * Scale design: all six scan constraints compute over ONE scan of the
+  * fact table — Catalyst's distinct-aggregate rewrite groups the scan by
+  * the folded PK while carrying the other metrics' partials (audit:
+  * scan → partial agg → one exchange keyed on the fold → final), so the
+  * exchange carries one row per DISTINCT KEY — the inherent price of
+  * exact uniqueness; at 100 TB swap the uniqueness metric to the HLL
+  * sketch regime if approximate suffices.  The referential check is a
+  * LEFT ANTI join against the
   * supplier dimension — broadcast here; at a dimension too big to
   * broadcast it becomes a shuffle semi-join, optionally bloom-prescreened
   * ([[BloomPrune]]).  Both 1-row legs meet in a trivial 1×1 cross join and
