@@ -419,7 +419,14 @@ object SparkEntry {
       Some(graft.ops.Attribution.firstTouchOracle)),
     Q("q_an_pagerank", // integer-exact weighted PageRank on the trade graph
       (s, d) => graft.ops.Graph.pagerank(s, d),
-      Some(graft.ops.Graph.pagerankOracle())))
+      Some(graft.ops.Graph.pagerankOracle())),
+    Q("q_stream_sliding", // 24h/12h hopping window; start as epoch seconds
+      (s, d) => streaming.EventsStream
+        .slidingAgg(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.slidingAggOracle)),
+    Q("q_an_cohort_ltv", // cumulative cohort revenue; retention's money twin
+      (s, d) => graft.ops.AnalyticsQueries.cohortLtv(s, d),
+      Some(graft.ops.AnalyticsQueries.cohortLtvOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1312,4 +1312,78 @@ object AnalyticsQueries {
        |      ${Frag.money("l_extendedprice")} AS cents
        |    FROM lineitem)
        |  GROUP BY 1) t""".stripMargin
+
+  /** Cohort LTV curve — the money companion to [[retention]]: for each
+    * signup-week cohort, cumulative purchase revenue by weeks-since-signup
+    * plus per-signup LTV.  This is how a growth team reads payback.
+    *
+    * Scale: the per-(cohort, week) revenue cells aggregate with map-side
+    * partials (one user_id-keyed join to attach cohorts, the
+    * [[retention]] shape), and the cumulative window runs over the
+    * ALREADY AGGREGATED cells — #cohorts × #weeks rows, metadata-sized,
+    * partitioned by cohort ([[shareOfTotal]]'s rule: windows only ever
+    * see aggregate-sized frames).  Money stays exact DECIMAL through the
+    * cumulative sum; the LTV ratio is ONE double division of exact
+    * operands (decimal→nearest-double is deterministic on both engines).
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Sources.events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date")
+        .as("cohort_week"))
+    val cohortSize = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("purchase_week"),
+        expr(Frag.money("value")).as("cents"))
+      .join(cohort, Seq("user_id"))
+      .filter(col("purchase_week") >= col("cohort_week"))
+      .withColumn("weeks_since",
+        expr("datediff(purchase_week, cohort_week) div 7").cast("int"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count_distinct(col("user_id")).as("buyers"),
+        expr(Frag.sumMoney("cents")).as("receita"))
+    cells
+      .withColumn("receita_cum",
+        sum(col("receita")).over(Window.partitionBy(col("cohort_week"))
+          .orderBy(col("weeks_since"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .select(col("cohort_week"), col("weeks_since"), col("buyers"),
+        col("receita"),
+        expr("CAST(receita_cum AS DOUBLE) / CAST(cohort_n AS DOUBLE)")
+          .as("ltv_per_signup"))
+  }
+
+  val cohortLtvOracle: String =
+    s"""WITH cohort AS (
+       |  SELECT user_id,
+       |    CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+       |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+       |csize AS (
+       |  SELECT cohort_week, COUNT(*) AS cohort_n FROM cohort GROUP BY 1),
+       |cells AS (
+       |  SELECT c.cohort_week,
+       |    CAST(DATE_DIFF('day', c.cohort_week,
+       |      CAST(DATE_TRUNC('week', e.ts) AS DATE)) // 7 AS INT)
+       |      AS weeks_since,
+       |    COUNT(DISTINCT e.user_id) AS buyers,
+       |    ${Frag.sumMoney(Frag.money("e.value"))} AS receita
+       |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND CAST(DATE_TRUNC('week', e.ts) AS DATE) >= c.cohort_week
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT cohort_week, weeks_since, buyers, receita,
+       |    SUM(receita) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS receita_cum
+       |  FROM cells)
+       |SELECT cohort_week, weeks_since, buyers, receita,
+       |  CAST(receita_cum AS DOUBLE) / CAST(cohort_n AS DOUBLE)
+       |    AS ltv_per_signup
+       |FROM cum JOIN csize USING (cohort_week)""".stripMargin
 }

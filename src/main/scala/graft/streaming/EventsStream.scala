@@ -247,6 +247,50 @@ object EventsStream {
        |  ${Frag.sumMoney(Frag.money("value"))} AS valor
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** SLIDING (hopping) window aggregate — the window shape [[dailyAgg]]'s
+    * tumbling form can't express: a 24 h window advancing every 12 h, so
+    * every event lands in EXACTLY TWO windows and each window overlaps
+    * half of its neighbor (the "last 24 h, refreshed twice a day"
+    * dashboard primitive).  Uses Spark's native `window(ts, width, slide)`
+    * — in streaming the state is (horizon/slide) × types rows, same
+    * bounded-state story as the tumbling form, and the watermark closes a
+    * window `slide` after its last-contained event.
+    *
+    * The window start crosses the gate as EPOCH SECONDS: both engines
+    * floor the same integer second to the 12 h grid (`(sec // 43200) *
+    * 43200` — UTC-aligned, timezone-free), where a rendered TIMESTAMP
+    * would hang the hash on engine formatting.  StreamingSpec proves the
+    * streamed run across arbitrary micro-batch cuts ≡ this batch form and
+    * the exactly-two-windows invariant. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "24 hours", "12 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(Frag.sumMoney(Frag.money("value"))).as("valor"))
+      .select(col("w.start").cast("bigint").as("ws_sec"), col("event_type"),
+        col("n_events"), col("valor"))
+
+  /** Streaming variant: watermark ≥ width so late events within a day
+    * still land; append emits a window once the watermark passes its end. */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "24 hours"))
+
+  /** Each event replicated to its two containing window starts — the
+    * slide-aligned floor and the one before it. */
+  val slidingAggOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |    (CAST(FLOOR(epoch(ts)) AS BIGINT) // 43200) * 43200 AS w1
+       |  FROM events),
+       |e2 AS (
+       |  SELECT event_type, value, w1 AS ws_sec FROM ev
+       |  UNION ALL
+       |  SELECT event_type, value, w1 - 43200 AS ws_sec FROM ev)
+       |SELECT ws_sec, event_type, COUNT(*) AS n_events,
+       |  ${Frag.sumMoney(Frag.money("value"))} AS valor
+       |FROM e2 GROUP BY 1, 2""".stripMargin
+
   /** Trending top-K: the K most frequent event types per day window —
     * the dashboard/alerting staple on any event stream.  The STATEFUL
     * stage is the windowed count ([[dailyAgg]]'s shape: watermark +

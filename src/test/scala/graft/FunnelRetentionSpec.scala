@@ -63,6 +63,34 @@ class FunnelRetentionSpec extends SparkSpec {
     }
   }
 
+  test("cohort LTV: ratio recomputes from cells and cohort sizes exactly") {
+    val rows = AnalyticsQueries.cohortLtv(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    // Brute-force cohort sizes from raw events: signup users per week of
+    // their first signup (the query's own definition, recomputed).
+    // date_trunc('week') is Monday-based; epoch day 0 (1970-01-01) was a
+    // Thursday, so days-since-Monday = (day + 3) mod 7.
+    val cohortSizes = events.filter(_._2 == "signup")
+      .groupBy(_._1).map { case (_, evs) => evs.map(_._3).min }
+      .groupBy(sec => { val d = sec / 86400; d - Math.floorMod(d + 3, 7L) })
+      .map { case (d, xs) => d -> xs.size }
+    val byCohort = rows.groupBy(_.getDate(0).toLocalDate.toEpochDay)
+    byCohort.foreach { case (cohortDay, cells) =>
+      val n = cohortSizes.getOrElse(cohortDay,
+        fail(s"no recomputed cohort for epoch day $cohortDay"))
+      val sorted = cells.sortBy(_.getInt(1))
+      var running = java.math.BigDecimal.ZERO
+      sorted.foreach { c =>
+        running = running.add(c.getDecimal(3))
+        // ltv = cum/cohort_n as ONE double division of the exact values.
+        assert(c.getDouble(4) === running.doubleValue / n.toDouble)
+      }
+      val ltvs = sorted.map(_.getDouble(4))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a },
+        "cumulative LTV must be monotone")
+    }
+  }
+
   test("cube emits all four grouping combinations consistently") {
     val rows = AnalyticsQueries.cube(spark, Sf001).collect()
     def key(r: Row) = (r.isNullAt(0), r.isNullAt(1))

@@ -283,4 +283,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.length == 3) // (jan1 click), (jan2 click), (jan2 view)
   }
+
+  test("sliding 24h/12h window: streaming equals batch, 2 windows per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    // Two micro-batches so the overlap spans a batch cut.
+    stream.addData(rows.take(2): _*)
+    stream.addData(rows.drop(2): _*)
+
+    val q = EventsStream.slidingAggStream(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding_agg_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding_agg_test")
+      .orderBy("ws_sec", "event_type").collect().map(_.toSeq).toSeq
+    val batchDf = EventsStream.slidingAgg(toDf(rows))
+    val batch = batchDf
+      .orderBy("ws_sec", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // Every event lands in exactly two windows…
+    assert(batchDf.agg(sum("n_events")).head.getLong(0) == 2L * rows.length)
+    // …12 hours apart, on the 12h grid.
+    val starts = batchDf.select("ws_sec").distinct()
+      .collect().map(_.getLong(0))
+    assert(starts.forall(_ % 43200 == 0))
+  }
 }
