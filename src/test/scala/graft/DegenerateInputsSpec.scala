@@ -77,7 +77,12 @@ class DegenerateInputsSpec extends SparkSpec {
   // on tiny corpora, and per-key window walks.
   private val round7Queries = Seq(
     "q_text_tfidf", "q_text_drift", "q_an_ab_test", "q_an_rolling_var",
-    "q_ops_scd2", "q_stream_trending", "q_ann_pq")
+    "q_ops_scd2", "q_stream_trending", "q_ann_pq",
+    // Late round-7 additions: the iterative graph loop on an empty edge
+    // set, the salted join against a non-empty literal dim, attribution
+    // and cohort math over zero users, the hopping window.
+    "q_an_pagerank", "q_ops_salted_join", "q_an_first_touch",
+    "q_an_cohort_ltv", "q_stream_sliding")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
@@ -161,5 +166,20 @@ class DegenerateInputsSpec extends SparkSpec {
       "q_sketch_multi(v, array(0.25D, 0.75D), 64) AS b").head()
     assert(row3.getLong(0) == 42L)
     assert(row3.getSeq[Long](1) == Seq(42L, 42L))
+  }
+
+  test("expectations report: full constraint list even on degenerate input") {
+    // A quality REPORT is the one query whose empty-input contract is NOT
+    // an empty result: every declared constraint must still report (all
+    // green — zero rows have zero violations), so a monitoring consumer
+    // can distinguish "table empty" from "checks didn't run".
+    Seq(emptyDir, singleRowDir, nullMeasureDir).foreach { dir =>
+      val rows = SparkEntry.queries("q_ops_expectations")(spark, dir)
+        .collect()
+      assert(rows.length === 7, s"report must stay complete ($dir)")
+    }
+    val onEmpty = SparkEntry.queries("q_ops_expectations")(spark, emptyDir)
+      .collect()
+    assert(onEmpty.forall(_.getBoolean(2)), "zero rows ⇒ zero violations")
   }
 }
