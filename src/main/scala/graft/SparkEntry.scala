@@ -426,7 +426,19 @@ object SparkEntry {
       Some(streaming.EventsStream.slidingAggOracle)),
     Q("q_an_cohort_ltv", // cumulative cohort revenue; retention's money twin
       (s, d) => graft.ops.AnalyticsQueries.cohortLtv(s, d),
-      Some(graft.ops.AnalyticsQueries.cohortLtvOracle)))
+      Some(graft.ops.AnalyticsQueries.cohortLtvOracle)),
+    Q("q_an_markov", // per-user next-event transition matrix, one shuffle
+      (s, d) => graft.ops.Markov.transitions(s, d),
+      Some(graft.ops.Markov.transitionsOracle)),
+    Q("q_an_triangles", // degree-ordered triangle count on the trade graph
+      (s, d) => graft.ops.Graph.triangles(s, d),
+      Some(graft.ops.Graph.trianglesOracle)),
+    Q("q_an_cusum", // integer CUSUM changepoint per event-type series
+      (s, d) => graft.ops.Changepoint.cusum(s, d),
+      Some(graft.ops.Changepoint.cusumOracle)),
+    Q("q_dedup_corpus_overlap", // exact pairwise source shingle Jaccard
+      (s, d) => llm.Dedup.corpusOverlap(s, d),
+      Some(llm.Dedup.corpusOverlapOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -630,6 +630,90 @@ object Dedup {
          |  generate_series(1, greatest(len(string_split($textCol, ' ')) - ${n - 1}, 1)),
          |  j -> array_to_string(list_slice(string_split($textCol, ' '), j, j + ${n - 1}), ' ')))""".stripMargin
 
+  /** Corpus-level overlap matrix: exact shingle-set Jaccard between every
+    * pair of sources — the "how much of C4 is already in CommonCrawl"
+    * diagnostic a mixture designer reads before weighting sources
+    * (document-level dedup tells you which docs collide; this tells you
+    * how much two CORPORA share at all).
+    *
+    * Scale shape: one scan explodes word n-shingles and distincts to
+    * (source, shingle) — a hash aggregation, map-side combined.  The
+    * shingle self-join's per-key multiplicity is bounded by #sources
+    * (each shingle appears once per source after the distinct), so the
+    * pair generation is O(Σ_shingle sources²) with sources a small
+    * constant — never documents², and no all-pairs path.  The per-source
+    * set sizes join back by broadcast (#sources rows).  At 100 TB the
+    * shingle strings would carry as 8-byte xxhash64 keys instead — not
+    * done here because no independent engine reproduces xxhash64 (the
+    * round-2 SimHash lesson), and the gate needs exact cross-engine
+    * counts.
+    *
+    * Determinism: intersection/union sizes are exact integers; jaccard is
+    * ONE IEEE division of exact operands, shared verbatim with the
+    * oracle.  Pairs with empty intersection are not rows (inner join
+    * semantics in both engines).
+    */
+  def corpusOverlap(spark: SparkSession, dir: String, n: Int = 3)
+      : DataFrame =
+    corpusOverlapOf(Sources.documents(spark, dir), n)
+
+  /** Core over a (source, text) document frame — spec-testable on
+    * synthetic corpora.
+    *
+    * The distinct (source, shingle) set is materialized once (eager
+    * localCheckpoint): the plan references it four times (both sides of
+    * the self-join plus both size lookups), and a lazy frame would
+    * re-run the corpus explode+distinct per reference — the audit showed
+    * four full document scans before this.  Checkpointing the distinct
+    * set is also the production shape: it is the expensive pass, and a
+    * 100 TB run would land it in storage before the pairwise stage. */
+  private[graft] def corpusOverlapOf(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(expr(ngramSetExpr("text", n))).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("sz"))
+    val inter = sh.select(col("source").as("src_a"), col("shingle"))
+      .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("bigint").as("common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        col("sz_a"), col("sz_b"),
+        expr(OverlapJaccardExpr).as("jaccard"))
+  }
+
+  /** Shared verbatim with the oracle: one exact-operand IEEE division. */
+  private val OverlapJaccardExpr =
+    "ROUND(CAST(common AS DOUBLE) / CAST(sz_a + sz_b - common AS DOUBLE), 6)"
+
+  def corpusOverlapOracle(n: Int = 3): String =
+    s"""WITH sh AS (
+       |  SELECT source, UNNEST(${ngramSetOracleExpr("text", n)}) AS shingle
+       |  FROM documents),
+       |d AS (SELECT DISTINCT source, shingle FROM sh),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM d a JOIN d b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, common, sz_a, sz_b,
+       |  $OverlapJaccardExpr AS jaccard
+       |FROM (
+       |  SELECT i.src_a, i.src_b, i.common, za.sz AS sz_a, zb.sz AS sz_b
+       |  FROM inter i
+       |  JOIN sizes za ON i.src_a = za.source
+       |  JOIN sizes zb ON i.src_b = zb.source)""".stripMargin
+
   def ngramJaccardOracle(minJaccard: Double = 0.3, n: Int = 1): String =
     s"""WITH docs AS (
        |  SELECT doc_id, lang, source,

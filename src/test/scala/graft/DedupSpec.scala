@@ -208,4 +208,43 @@ class DedupSpec extends SparkSpec {
       assert(inc == expected, s"source $src: got $inc expected $expected")
     }
   }
+
+  test("corpus overlap: hand-computed shingle-set Jaccard per source pair") {
+    // X: {"a b c", "b c d"}; Y: {"b c d", "c d e"}; Z shares nothing.
+    // X∩Y = 1, |X|=|Y|=2 → J = 1/3.  Pairs with empty intersection
+    // (X–Z, Y–Z) must not be rows.
+    val docs = Seq(
+      (1L, "a b c d", "X"), (2L, "a b c d", "X"), // dup doc adds nothing
+      (3L, "b c d e", "Y"), (4L, "p q r s", "Z"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.corpusOverlapOf(docs, n = 3).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) === (("X", "Y")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 2L, 2L)))
+    assert(r.getDouble(5) === 0.333333)
+  }
+
+  test("corpus overlap on testdata: ordered pairs, valid Jaccard, consistent sizes") {
+    val out = Dedup.corpusOverlap(spark, Sf001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getString(0) < r.getString(1)))
+    out.foreach { r =>
+      val (common, szA, szB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(common > 0 && common <= math.min(szA, szB))
+      val j = r.getDouble(5)
+      assert(j > 0.0 && j <= 1.0)
+      // The rounded quotient reproduces from the integer cells.
+      val expect = BigDecimal(common.toDouble / (szA + szB - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j === expect)
+    }
+    // One size per source, consistent across every pair it appears in.
+    val sizes = out.flatMap(r => Seq(r.getString(0) -> r.getLong(3),
+      r.getString(1) -> r.getLong(4))).toMap
+    out.foreach { r =>
+      assert(sizes(r.getString(0)) === r.getLong(3))
+      assert(sizes(r.getString(1)) === r.getLong(4))
+    }
+  }
 }

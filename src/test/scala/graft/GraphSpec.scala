@@ -50,4 +50,64 @@ class GraphSpec extends SparkSpec {
     val again = Graph.pagerank(spark, Sf001).collect().map(_.getLong(1))
     assert(again.sorted.toSeq === ranks.sorted.toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // Triangle counting
+  // ------------------------------------------------------------------
+
+  private def triCounts(und: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.trianglesOf(und.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two glued triangles, hand-counted per vertex") {
+    // {0,1,2} and {1,2,3} share edge 1–2: middle vertices sit in two
+    // triangles, outer vertices in one.
+    val t = triCounts(Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(t === Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("K4: every vertex is in C(3,2) = 3 triangles") {
+    val t = triCounts(Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(t === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangle-free graphs emit no rows") {
+    // A path and a 4-cycle both have wedges but no closures.
+    assert(triCounts(Seq((0L, 1L), (1L, 2L), (2L, 3L))).isEmpty)
+    assert(triCounts(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))).isEmpty)
+  }
+
+  test("trade graph matches a brute-force recount") {
+    val out = Graph.triangles(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size === 25)
+    // Brute-force the same undirected edge set driver-side (≤ #nations²
+    // edges) and recount triangles per vertex.
+    val und = graft.core.Sources.lineitem(spark, Sf001)
+      .join(graft.core.Sources.orders(spark, Sf001),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Sources.customer(spark, Sf001),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Sources.supplier(spark, Sf001),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .distinct().collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    val brute = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- verts.indices; j <- i + 1 until verts.size
+      k <- j + 1 until verts.size
+      (u, v, w) = (verts(i), verts(j), verts(k))
+      if und((u, v)) && und((v, w)) && und((u, w))
+      x <- Seq(u, v, w)
+    } brute(x) += 1L
+    val names = graft.core.Sources.nation(spark, Sf001).collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val expected = names.map { case (k, n) => n -> brute(k) }
+    assert(out === expected)
+  }
 }
