@@ -438,7 +438,13 @@ object SparkEntry {
       Some(graft.ops.Changepoint.cusumOracle)),
     Q("q_dedup_corpus_overlap", // exact pairwise source shingle Jaccard
       (s, d) => llm.Dedup.corpusOverlap(s, d),
-      Some(llm.Dedup.corpusOverlapOracle())))
+      Some(llm.Dedup.corpusOverlapOracle())),
+    Q("q_an_basket_pairs", // basket-local part co-occurrence with lift
+      (s, d) => graft.ops.Basket.pairAffinity(s, d),
+      Some(graft.ops.Basket.pairAffinityOracle())),
+    Q("q_an_user_paths", // first-k event-type path per user, counted
+      (s, d) => graft.ops.Markov.topPaths(s, d),
+      Some(graft.ops.Markov.topPathsOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

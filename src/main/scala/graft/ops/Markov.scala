@@ -57,6 +57,56 @@ object Markov {
         expr(ProbExpr).as("p"))
   }
 
+  /** Top entry paths: each user's first [[k]] event types joined into a
+    * path string, counted across users — the journey-analysis rollup on
+    * top of the transition matrix ("how do users actually start").
+    *
+    * Scale shape: ONE user_id shuffle ranks events (same window as the
+    * matrix); only rank ≤ k rows survive into the per-user aggregation,
+    * so collect_list holds at most k structs per user — never the
+    * history.  The path rollup that follows is map-side combined over at
+    * most #types^k distinct strings.
+    *
+    * Determinism: the k structs are array_sort'ed on (sec, event_id)
+    * inside the aggregation (collect_list order is partition-dependent),
+    * and DuckDB's STRING_AGG(... ORDER BY sec, event_id) matches the
+    * same total order.
+    */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    topPathsOf(Sources.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("bigint").as("sec"),
+        col("event_id"), col("event_type")), k)
+
+  private[graft] def topPathsOf(ev: DataFrame, k: Int): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    ev
+      .withColumn("rn", row_number().over(byTime))
+      .where(col("rn") <= k)
+      .groupBy("user_id")
+      .agg(concat_ws(">",
+        expr("transform(array_sort(collect_list(struct(sec, event_id, " +
+          "event_type))), x -> x.event_type)")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).cast("bigint").as("users"))
+  }
+
+  def topPathsOracle(k: Int = 3): String =
+    s"""WITH raw AS (
+       |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+       |    event_id, event_type
+       |  FROM events),
+       |ev AS (
+       |  SELECT user_id, sec, event_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS rn
+       |  FROM raw),
+       |paths AS (
+       |  SELECT user_id,
+       |    STRING_AGG(event_type, '>' ORDER BY sec, event_id) AS path
+       |  FROM ev WHERE rn <= $k GROUP BY 1)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS users
+       |FROM paths GROUP BY 1""".stripMargin
+
   val transitionsOracle: String =
     s"""WITH ev AS (
        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,

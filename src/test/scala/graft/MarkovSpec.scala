@@ -58,4 +58,37 @@ class MarkovSpec extends SparkSpec {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_.getLong(2)).sum === expected)
   }
+
+  // ------------------------------------------------------------------
+  // Top entry paths
+  // ------------------------------------------------------------------
+
+  private def paths(rows: Seq[(Long, Long, Long, String)], k: Int = 3)
+      : Map[String, Long] =
+    Markov.topPathsOf(
+      rows.toDF("user_id", "sec", "event_id", "event_type"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("paths: first k events in time order, short histories kept whole") {
+    val out = paths(Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"), // truncated at k = 3
+      (2L, 50L, 5L, "a"), (2L, 60L, 6L, "b"),
+      (3L, 70L, 7L, "a"), (3L, 80L, 8L, "b")))
+    assert(out === Map("a>b>c" -> 1L, "a>b" -> 2L))
+  }
+
+  test("paths: equal seconds fall back to event_id order") {
+    val out = paths(Seq(
+      (1L, 10L, 2L, "b"), (1L, 10L, 1L, "a")))
+    assert(out === Map("a>b" -> 1L))
+  }
+
+  test("real log: path users partition the user base") {
+    val out = Markov.topPaths(spark, Sf001).collect()
+    val users = graft.core.Sources.events(spark, Sf001)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum === users)
+    assert(out.forall(_.getString(0).split(">").length <= 3))
+  }
 }
