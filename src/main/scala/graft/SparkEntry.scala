@@ -444,7 +444,10 @@ object SparkEntry {
       Some(graft.ops.Basket.pairAffinityOracle())),
     Q("q_an_user_paths", // first-k event-type path per user, counted
       (s, d) => graft.ops.Markov.topPaths(s, d),
-      Some(graft.ops.Markov.topPathsOracle())))
+      Some(graft.ops.Markov.topPathsOracle())),
+    Q("q_an_bfs_hops", // BFS distance over strong trade edges, -1 unreached
+      (s, d) => graft.ops.Graph.bfsHops(s, d),
+      Some(graft.ops.Graph.bfsHopsOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

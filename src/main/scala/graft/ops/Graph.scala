@@ -130,6 +130,116 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // BFS shortest-path hops
+  // ------------------------------------------------------------------
+
+  /** Minimum hop count from a source nation over the STRONG trade edges
+    * (weight ≥ the mean edge weight, decided as the exact integer
+    * comparison w·#edges ≥ Σw — no quotient crosses the gate) — the
+    * distance/reachability member of the graph family next to
+    * [[pagerank]] (importance), [[graft.llm.Dedup.duplicateClusters]]
+    * (community) and [[triangles]] (cohesion).  Unreachable vertices
+    * report −1.
+    *
+    * The iteration is Bellman-Ford-shaped message passing with one
+    * subtle plan property: each round must reference the previous
+    * distance vector EXACTLY once, or the lazy plan doubles per round
+    * (2^iters copies of round 0).  Zero-cost self-edges appended to the
+    * edge table make the relaxation a single join —
+    *   d'(v) = min over e'(u,v) of d(u) + cost(u,v)
+    * with e' = edges(cost 1) ∪ self-loops(cost 0) — so the old vector
+    * appears once per round and the plan grows linearly, the
+    * [[pagerankOf]] discipline.  Edge table checkpointed once; at
+    * web-scale vertex counts the same bucketing note as [[pagerank]]
+    * applies.
+    */
+  def bfsHops(spark: SparkSession, dir: String, source: Int = 0,
+      iters: Int = 6): DataFrame = {
+    val e = Sources.lineitem(spark, dir)
+      .join(Sources.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Sources.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Sources.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val bounds = e.agg(sum("w").cast("bigint").as("tot"),
+      count(lit(1)).as("cnt"))
+    val strong = e.crossJoin(broadcast(bounds))
+      .where(expr("w * cnt >= tot"))
+      .select("src", "dst")
+    val verts = Sources.nation(spark, dir)
+      .select(col("n_nationkey").as("v"))
+    val hops = bfsOf(strong.localCheckpoint(), verts, source, iters)
+    Sources.nation(spark, dir)
+      .join(hops, col("n_nationkey") === hops("v"))
+      .select(col("n_name"),
+        coalesce(col("d"), lit(-1L)).cast("bigint").as("hops"))
+  }
+
+  /** Core over explicit (src, dst) edges — spec-testable on hand
+    * graphs.  Returns (v, d) with d NULL when unreachable. */
+  private[graft] def bfsOf(e: DataFrame, verts: DataFrame, source: Int,
+      iters: Int): DataFrame = {
+    val withSelf = e.select(col("src"), col("dst"), lit(1L).as("cost"))
+      .unionAll(verts.select(col("v").as("src"), col("v").as("dst"),
+        lit(0L).as("cost")))
+    var dist = verts.select(col("v"),
+      when(col("v") === source, 0L).otherwise(lit(null)).cast("bigint")
+        .as("d"))
+    for (_ <- 1 to iters) {
+      val relaxed = withSelf
+        .join(dist, withSelf("src") === dist("v"))
+        .where(col("d").isNotNull)
+        .select(col("dst").as("v"), (col("d") + col("cost")).as("c"))
+        .groupBy("v").agg(min("c").cast("bigint").as("c"))
+      dist = verts.join(relaxed, Seq("v"), "left")
+        .select(col("v"), col("c").as("d"))
+    }
+    dist
+  }
+
+  def bfsHopsOracle(source: Int = 0, iters: Int = 6): String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT v0.v, c.d FROM verts v0
+         |  LEFT JOIN (
+         |    SELECT e2.dst AS v, CAST(MIN($prev.d + e2.cost) AS BIGINT) AS d
+         |    FROM e2 JOIN $prev ON e2.src = $prev.v
+         |    WHERE $prev.d IS NOT NULL
+         |    GROUP BY 1) c ON v0.v = c.v)""".stripMargin
+    val iterCtes = (1 to iters)
+      .map(i => step(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |verts AS MATERIALIZED (SELECT n_nationkey AS v FROM nation),
+       |e2 AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS cost
+       |  FROM edges CROSS JOIN (
+       |    SELECT CAST(SUM(w) AS BIGINT) AS tot, COUNT(*) AS cnt
+       |    FROM edges) b
+       |  WHERE w * cnt >= tot
+       |  UNION ALL
+       |  SELECT v, v, CAST(0 AS BIGINT) FROM verts),
+       |d0 AS (
+       |  SELECT v, CASE WHEN v = $source THEN CAST(0 AS BIGINT) END AS d
+       |  FROM verts),
+       |$iterCtes
+       |SELECT n_name,
+       |  CAST(COALESCE(d$iters.d, -1) AS BIGINT) AS hops
+       |FROM d$iters JOIN nation ON d$iters.v = n_nationkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Triangle counting
   // ------------------------------------------------------------------
 

@@ -52,6 +52,57 @@ class GraphSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // BFS shortest-path hops
+  // ------------------------------------------------------------------
+
+  private def hops(edges: Seq[(Long, Long)], verts: Seq[Long],
+      source: Int, iters: Int = 6): Map[Long, Option[Long]] =
+    Graph.bfsOf(edges.toDF("src", "dst"), verts.toDF("v"), source, iters)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+  test("chain graph: hop counts accumulate along direction") {
+    val h = hops(Seq((0L, 1L), (1L, 2L), (2L, 3L)), Seq(0L, 1L, 2L, 3L),
+      source = 0)
+    assert(h === Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L),
+      3L -> Some(3L)))
+  }
+
+  test("direction matters and disconnected vertices stay unreached") {
+    // Edges point AT the source; nothing is reachable from it.
+    val h = hops(Seq((1L, 0L), (2L, 1L)), Seq(0L, 1L, 2L, 9L), source = 0)
+    assert(h === Map(0L -> Some(0L), 1L -> None, 2L -> None, 9L -> None))
+  }
+
+  test("a shortcut beats the long way round") {
+    val h = hops(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)),
+      Seq(0L, 1L, 2L, 3L), source = 0)
+    assert(h(3L) === Some(1L))
+  }
+
+  test("iteration cap truncates deeper levels to unreached") {
+    val h = hops(Seq((0L, 1L), (1L, 2L), (2L, 3L)), Seq(0L, 1L, 2L, 3L),
+      source = 0, iters = 2)
+    assert(h === Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L),
+      3L -> None))
+  }
+
+  test("trade graph hops: source at zero, -1 only for unreached") {
+    val out = Graph.bfsHops(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size === 25)
+    val bySrc = graft.core.Sources.nation(spark, Sf001).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(bySrc(0)) === 0L)
+    assert(out.values.forall(h => h == -1L || (h >= 0L && h <= 6L)))
+    val again = Graph.bfsHops(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
+  // ------------------------------------------------------------------
   // Triangle counting
   // ------------------------------------------------------------------
 
