@@ -447,7 +447,10 @@ object SparkEntry {
       Some(graft.ops.Markov.topPathsOracle())),
     Q("q_an_bfs_hops", // BFS distance over strong trade edges, -1 unreached
       (s, d) => graft.ops.Graph.bfsHops(s, d),
-      Some(graft.ops.Graph.bfsHopsOracle())))
+      Some(graft.ops.Graph.bfsHopsOracle())),
+    Q("q_an_time_to_convert", // signup→purchase latency; sketch quantiles
+      (s, d) => graft.ops.TimeToConvert.timeToConvert(s, d),
+      Some(graft.ops.TimeToConvert.timeToConvertOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
