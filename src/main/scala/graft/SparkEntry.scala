@@ -450,7 +450,11 @@ object SparkEntry {
       Some(graft.ops.Graph.bfsHopsOracle())),
     Q("q_an_time_to_convert", // signup→purchase latency; sketch quantiles
       (s, d) => graft.ops.TimeToConvert.timeToConvert(s, d),
-      Some(graft.ops.TimeToConvert.timeToConvertOracle)))
+      Some(graft.ops.TimeToConvert.timeToConvertOracle)),
+    Q("q_stream_conversions_outer", // left-outer interval join; leak view
+      (s, d) => streaming.EventsStream
+        .conversionsOuterFromEvents(graft.core.Sources.events(s, d)),
+      Some(streaming.EventsStream.conversionsOuterOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -220,6 +220,65 @@ object EventsStream {
       wm.filter(col("event_type") === "purchase"), windowMinutes)
   }
 
+  /** LEFT-OUTER conversion join: every view emits a row, converted or
+    * not — the funnel-leak view the inner join can't give ("which
+    * impressions never turned into money").  Streaming, this is the
+    * state-timeout shape: Spark holds an unmatched view in the join
+    * state until the watermark passes view_ts + window and only then
+    * emits the NULL-extended row (so outer results are late by exactly
+    * the watermark horizon — the price of correctness under late data;
+    * StreamingSpec advances the watermark with a sentinel event and
+    * proves streamed ≡ batch including the unmatched rows).  Batch, it
+    * is the same interval condition with left_outer.  The converted
+    * flag is integer; lag is NULL on unconverted views. */
+  def conversionsOuter(views: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_event_id"),
+      col("ts").as("view_ts"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"))
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") +
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("view_event_id"),
+        col("purchase_event_id"),
+        when(col("purchase_event_id").isNotNull, 1L).otherwise(0L)
+          .cast("bigint").as("converted"),
+        (col("purchase_ts").cast("bigint") - col("view_ts").cast("bigint"))
+          .as("lag_seconds"))
+  }
+
+  /** Batch evaluation over the events table (the registered query). */
+  def conversionsOuterFromEvents(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame =
+    conversionsOuter(events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"), windowMinutes)
+
+  /** Streaming variant — both sides watermarked (required for outer
+    * state eviction); append mode. */
+  def conversionsOuterStream(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val wm = events.withWatermark("ts", s"${2 * windowMinutes} minutes")
+    conversionsOuter(wm.filter(col("event_type") === "view"),
+      wm.filter(col("event_type") === "purchase"), windowMinutes)
+  }
+
+  def conversionsOuterOracle(windowMinutes: Int = 30): String =
+    s"""SELECT v.user_id, v.event_id AS view_event_id,
+       |  p.event_id AS purchase_event_id,
+       |  CAST(CASE WHEN p.event_id IS NOT NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS converted,
+       |  CAST(epoch_us(p.ts) // 1000000 AS BIGINT)
+       |    - CAST(epoch_us(v.ts) // 1000000 AS BIGINT) AS lag_seconds
+       |FROM (SELECT * FROM events WHERE event_type = 'view') v
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON v.user_id = p.user_id
+       | AND p.ts >= v.ts
+       | AND p.ts <= v.ts + INTERVAL $windowMinutes MINUTE""".stripMargin
+
   /** DuckDB oracle for [[conversionsFromEvents]] — the same interval
     * equi-join.  Raw micro timestamps are cross-engine safe: both engines
     * truncate the parquet TIMESTAMP(NANOS) to microseconds (verified

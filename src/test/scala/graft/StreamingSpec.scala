@@ -263,6 +263,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_(5)) == Seq(600L, 0L))
   }
 
+  test("left-outer conversion join: unmatched views flush after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "purchase", 5.0),  // converts 1
+      (3L, ts("2024-01-01 11:00:00"), 8L, "view", 0.0),      // never converts
+      (4L, ts("2024-01-01 12:00:00"), 9L, "purchase", 9.0))  // no view
+    def df(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(ev: _*)
+    val q = EventsStream.conversionsOuterStream(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("conv_outer_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // The unmatched view (3) sits in join state until the watermark
+      // passes view_ts + window + horizon: a far-later sentinel event in
+      // a SECOND micro-batch advances it and flushes the NULL-extended
+      // row — the state-timeout semantics under test.
+      stream.addData((99L, ts("2024-01-02 10:00:00"), 99L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("conv_outer_test")
+      .where(col("view_event_id") =!= 99L) // drop the sentinel's own row
+      .orderBy("view_event_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventsStream.conversionsOuterFromEvents(df(ev))
+      .orderBy("view_event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // View 1 converted at lag 600; view 3 emitted unconverted with NULL
+    // lag; purchase 4 has no view and produces nothing.
+    assert(batch.map(r => (r(1), r(3), r(4))) ==
+      Seq((1L, 1L, 600L), (3L, 0L, null)))
+  }
+
   test("streaming daily aggregate matches the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String, Double)]
