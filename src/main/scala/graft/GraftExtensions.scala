@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BloomRuntimeFilter, DotProduct, HeavyHitters, HllMergeEst, HllSketch, HllSketchBytes, HyperplaneBuckets, MinHashSignature, QuantileSketch, QuantileSketchMulti, SimHashBands, SquaredL2, WordNgramShingles}
+import graft.functions.{BloomRuntimeFilter, DotProduct, HeavyHitters, HllMergeEst, HllSketch, HllSketchBytes, HyperplaneBuckets, KmvSketch, MinHashSignature, QuantileSketch, QuantileSketchMulti, SimHashBands, SquaredL2, WordNgramShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * functions available to ANY session (including plain `spark-sql` /
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(HeavyHitters.description)
     ext.injectFunction(QuantileSketch.description)
     ext.injectFunction(QuantileSketchMulti.description)
+    ext.injectFunction(KmvSketch.description)
     ext.injectFunction(BloomRuntimeFilter.aggDescription)
     ext.injectFunction(BloomRuntimeFilter.probeDescription)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)

@@ -266,6 +266,9 @@ object SparkEntry {
     Q("q_an_hll_sketch", // the engine's OWN mergeable HLL: estimate itself hash-checked
       (s, d) => graft.ops.AnalyticsQueries.hllDistinct(s, d),
       Some(graft.ops.AnalyticsQueries.hllDistinctOracle)),
+    Q("q_an_kmv_set_ops", // KMV sketch: union AND intersection estimates hash-checked
+      (s, d) => graft.ops.AnalyticsQueries.kmvSetOps(s, d),
+      Some(graft.ops.AnalyticsQueries.kmvSetOpsOracle)),
     Q("q_an_json_extract",
       (s, d) => graft.ops.AnalyticsQueries.jsonExtract(s, d),
       Some(graft.ops.AnalyticsQueries.jsonExtractOracle)),

@@ -26,24 +26,38 @@ object Sources {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read nanos as long and convert to a microsecond
-    * timestamp (same truncation DuckDB applies, so oracles agree).
+  /** The events table's `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * accepts as a raw long under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and plain TIMESTAMP(MICROS) — so the adaptation is SCHEMA-DRIVEN
+    * rather than assumed: a long column is nanos and converts via
+    * `timestamp_micros(ts div 1000)` (the same truncation DuckDB applies,
+    * so oracles agree), an NTZ column casts to the session-zoned type
+    * (sessions pin UTC, so the instant is unchanged), and a zoned
+    * timestamp passes through.  Downstream code always sees one type:
+    * TIMESTAMP (ltz, microsecond).
     *
-    * The `nanosAsLong` flag must come from the SESSION BUILDER (Bench,
-    * Verify, Probe, SparkSpec all set it): it is captured at plan time, so
-    * a set-and-restore around this lazy read would break the later action,
-    * and a permanent `spark.conf.set` here would leak the legacy flag into
-    * every subsequent parquet read on the shared session (the same hygiene
+    * The `nanosAsLong` flag still comes from the SESSION BUILDER (Bench,
+    * Verify, Probe, SparkSpec all set it; it is harmless for micros
+    * files): it is captured at plan time, so a set-and-restore around
+    * this lazy read would break the later action, and a permanent
+    * `spark.conf.set` here would leak the legacy flag into every
+    * subsequent parquet read on the shared session (the same hygiene
     * rule applied to sinks in round 3). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** See [[events]]; public so streaming readers over the same file
+    * (Probe's readStream path) share the adaptation. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1386,4 +1386,99 @@ object AnalyticsQueries {
        |  CAST(receita_cum AS DOUBLE) / CAST(cohort_n AS DOUBLE)
        |    AS ltv_per_signup
        |FROM cum JOIN csize USING (cohort_week)""".stripMargin
+
+  /** Audience overlap between event types via [[graft.functions.KmvSketch]]
+    * — the set-INTERSECTION question HLL cannot answer (its registers union
+    * but carry no element identity).  The "audience" of an event type is
+    * its set of active (user, day) pairs (user_id·64 + day — day < 32 < 64
+    * keeps the packing collision-free and every product exact); per type a
+    * KMV sketch keeps the k = 256 smallest distinct [[Mix31]] hashes.  For
+    * each type pair the union sketch is the k smallest of the two arrays'
+    * union (pure array math on ≤ k-sized inputs), and with n_u = |union
+    * sketch|, thr = its largest element, n_both = members of the union
+    * sketch present in BOTH input sketches (Beyer et al. 2007):
+    *
+    *   union_est = n_u < k ? n_u : (k−1)·2^31 DIV thr
+    *   inter_est = n_both · union_est DIV n_u
+    *
+    * All integer arithmetic ((k−1)·2^31 = 2^39), so the ESTIMATES
+    * themselves hash-check cross-engine — at sf0.01+ the ~1800-pair
+    * audiences exceed k and the gate pins the genuinely APPROXIMATE
+    * regime; below k the estimator degrades to exact size by definition
+    * (the [[graft.functions.QuantileSketch]] dual-regime contract, both
+    * branches spelled in both engines).
+    *
+    * Scale: the per-type aggregate is map-side mergeable (≤ 8k bytes per
+    * (partition, type)); the pair stage touches only #types² k-sized
+    * arrays — metadata, never data.  A warehouse persists per-segment
+    * sketches and answers any later overlap question without re-scanning
+    * raw events.  KmvSketchSpec pins the sketch invariants, merge ≡
+    * whole-data equality, and the estimator's error band. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KmvSketch.register(spark)
+    val k = 256
+    val sk = Sources.events(spark, dir)
+      .select(col("event_type"),
+        (col("user_id") * 64 + dayofmonth(col("ts"))).as("pk"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"kmv_sketch(pk, $k)").as("sk"))
+    val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"))
+    a.join(b, col("et_a") < col("et_b"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("n_u", size(col("u")).cast("long"))
+      .withColumn("thr", element_at(col("u"), size(col("u"))))
+      .withColumn("n_both",
+        size(filter(col("u"), x =>
+          array_contains(col("sk_a"), x) && array_contains(col("sk_b"), x)))
+          .cast("long"))
+      .withColumn("union_est",
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"${(k - 1).toLong * 2147483648L}L DIV thr")))
+      .withColumn("inter_est", expr("n_both * union_est DIV n_u"))
+      .select(col("et_a"), col("et_b"),
+        col("n_u").as("n_union_sketch"), col("n_both"),
+        col("union_est"), col("inter_est"))
+  }
+
+  val kmvSetOpsOracle: String = {
+    val h = graft.functions.Mix31.duckSql("(user_id * 64 + day(ts))")
+    s"""WITH ph AS (
+       |  SELECT DISTINCT event_type, $h AS h FROM events),
+       |kk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM ph) t
+       |  WHERE rn <= 256),
+       |uh AS (
+       |  SELECT a.event_type AS et_a, b.event_type AS et_b, x.h
+       |  FROM (SELECT DISTINCT event_type FROM kk) a
+       |  JOIN (SELECT DISTINCT event_type FROM kk) b
+       |    ON a.event_type < b.event_type
+       |  JOIN kk x ON x.event_type IN (a.event_type, b.event_type)
+       |  GROUP BY 1, 2, 3),
+       |uk AS (
+       |  SELECT et_a, et_b, h FROM (
+       |    SELECT et_a, et_b, h,
+       |      ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY h) AS rn
+       |    FROM uh) t
+       |  WHERE rn <= 256),
+       |st AS (
+       |  SELECT u.et_a, u.et_b, COUNT(*) AS n_u, MAX(u.h) AS thr,
+       |    COUNT(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+       |               THEN 1 END) AS n_both
+       |  FROM uk u
+       |  LEFT JOIN kk sa ON sa.event_type = u.et_a AND sa.h = u.h
+       |  LEFT JOIN kk sb ON sb.event_type = u.et_b AND sb.h = u.h
+       |  GROUP BY 1, 2)
+       |SELECT et_a, et_b, n_u AS n_union_sketch, n_both,
+       |  CASE WHEN n_u < 256 THEN n_u
+       |       ELSE ${255L * 2147483648L} // thr END AS union_est,
+       |  n_both * (CASE WHEN n_u < 256 THEN n_u
+       |                 ELSE ${255L * 2147483648L} // thr END) // n_u
+       |    AS inter_est
+       |FROM st""".stripMargin
+  }
 }
