@@ -387,6 +387,9 @@ object SparkEntry {
     Q("q_ops_scd2", // CDC log → type-2 validity intervals (keepLatest's dual)
       (s, d) => OperatorQueries.scd2(s, d),
       Some(OperatorQueries.scd2Oracle)),
+    Q("q_ops_snapshot_diff", // two states → I/U/D change set, one co-partitioned join
+      (s, d) => OperatorQueries.snapshotDiff(s, d),
+      Some(OperatorQueries.snapshotDiffOracle)),
     Q("q_ann_pq", // product quantization + ADC: integer-exact, codes-only scan
       (s, d) => llm.Similarity.pqTopK(s, d),
       Some(llm.Similarity.pqOracle())),

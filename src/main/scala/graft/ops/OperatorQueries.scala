@@ -439,6 +439,85 @@ object OperatorQueries {
       |WINDOW w AS (PARTITION BY user_id, event_type
       |             ORDER BY ts, event_id)""".stripMargin
 
+  /** Snapshot DIFF — the third member of the CDC family: [[keepLatest]]
+    * compacts a log to current state, [[scd2]] expands it to history,
+    * and this DIFFS two states into the insert/update/delete change set
+    * a downstream consumer (cache invalidation, search-index sync,
+    * reverse ETL) applies.  Here the two states are "as of the cutoff"
+    * vs "now", both derived in-query by the keepLatest max-struct
+    * aggregate; in production they are two stored table versions.
+    *
+    * Classification is one full-outer join on the key: a key only in
+    * the new state is an INSERT, only in the old a DELETE, in both with
+    * a different latest version an UPDATE; keys whose latest
+    * (ts, event_id) is unchanged drop out (event_id is unique, so
+    * comparing it alone decides change).  An append-only log can never
+    * produce 'D' rows (the new state's keys are a superset) — the spec
+    * exercises the delete branch with a hand-built pair of states.
+    *
+    * Scale: both aggregates and the join share the same
+    * (user_id, event_type) hash partitioning, so the plan pays the key
+    * exchange once per side and the join reuses it — no extra shuffle;
+    * output is change-sized.  The aggregates combine map-side (the
+    * keepLatest argument: the exchange carries one candidate per key
+    * per partition, never the log). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+    def latest(df: DataFrame) = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+    val ev = Sources.events(spark, dir)
+    val after = latest(ev).select(
+      col("user_id"), col("event_type"),
+      col("last.event_id").as("new_event_id"),
+      col("last.ts").as("new_ts"), col("last.value").as("new_value"))
+    val before = latest(ev.filter(col("ts") < cutoff)).select(
+      col("user_id").as("b_user_id"),
+      col("event_type").as("b_event_type"),
+      col("last.event_id").as("old_event_id"),
+      col("last.ts").as("old_ts"), col("last.value").as("old_value"))
+    after.join(before,
+        col("user_id") === col("b_user_id") &&
+          col("event_type") === col("b_event_type"), "full_outer")
+      .filter(col("old_event_id").isNull || col("new_event_id").isNull ||
+        col("old_event_id") =!= col("new_event_id"))
+      .select(
+        coalesce(col("user_id"), col("b_user_id")).as("user_id"),
+        coalesce(col("event_type"), col("b_event_type")).as("event_type"),
+        when(col("old_event_id").isNull, "I")
+          .when(col("new_event_id").isNull, "D")
+          .otherwise("U").as("change"),
+        col("new_event_id"), col("new_ts"), col("new_value"),
+        col("old_event_id"), col("old_ts"), col("old_value"))
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, ts, value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events
+      |    WHERE ts < TIMESTAMP '2024-01-21 00:00:00') t
+      |  WHERE rn = 1),
+      |a AS (
+      |  SELECT user_id, event_type, event_id, ts, value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events) t
+      |  WHERE rn = 1)
+      |SELECT
+      |  COALESCE(a.user_id, b.user_id) AS user_id,
+      |  COALESCE(a.event_type, b.event_type) AS event_type,
+      |  CASE WHEN b.event_id IS NULL THEN 'I'
+      |       WHEN a.event_id IS NULL THEN 'D'
+      |       ELSE 'U' END AS change,
+      |  a.event_id AS new_event_id, a.ts AS new_ts, a.value AS new_value,
+      |  b.event_id AS old_event_id, b.ts AS old_ts, b.value AS old_value
+      |FROM a FULL OUTER JOIN b
+      |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+      |WHERE b.event_id IS NULL OR a.event_id IS NULL
+      |   OR a.event_id <> b.event_id""".stripMargin
+
   /** The remaining §2.3 join types in one query: LEFT SEMI (nations with
     * any high-balance customer), FULL OUTER against per-nation supplier
     * counts (so nations with customers but no suppliers AND vice versa
