@@ -140,6 +140,9 @@ object SparkEntry {
     Q("q_dedup_ngram_jaccard", // word-3-gram shingle sets, same prefix filter
       (s, d) => llm.Dedup.ngramJaccard(s, d, minJaccard = 0.2, n = 3),
       Some(llm.Dedup.ngramJaccardOracle(minJaccard = 0.2, n = 3))),
+    Q("q_dedup_containment", // asymmetric |A∩B|/|A|: doc-inside-doc detection
+      (s, d) => llm.Dedup.containment(s, d),
+      Some(llm.Dedup.containmentOracle())),
     Q("q_ann_brute_force",
       (s, d) => llm.Similarity.bruteForceTopK(s, d),
       Some(llm.Similarity.bruteForceOracle())),

@@ -714,6 +714,84 @@ object Dedup {
        |  JOIN sizes za ON i.src_a = za.source
        |  JOIN sizes zb ON i.src_b = zb.source)""".stripMargin
 
+  /** Asymmetric shingle CONTAINMENT: ordered same-lang pairs (a, b) with
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ t over n-gram shingle sets — the
+    * sub-document duplication detector Jaccard misses: a short document
+    * wholly quoted inside a long one has tiny Jaccard (the union is
+    * large) but containment 1.0.  Exactly the question a training-data
+    * pipeline asks about quote farms, boilerplate wrappers, and
+    * doc-inside-doc concatenations (and the document-level complement of
+    * [[verbatimSpans]]' span-level view).
+    *
+    * Candidate generation is the [[ngramJaccard]] prefix filter made
+    * ASYMMETRIC (the index/query split of the AllPairs family): order
+    * each doc's shingles rarest-document-frequency-first, keep the query
+    * side's first |Sa| − ⌈t·|Sa|⌉ + 1 as its prefix, and join prefixes
+    * against the FULL shingle index — if C(a→b) ≥ t and none of a's
+    * prefix shingles were in b, the overlap would be ≤ ⌈t|Sa|⌉ − 1, a
+    * contradiction, so recall is exactly 100% and the all-pairs oracle
+    * still hash-matches.  Candidate volume = Σ_docs Σ_prefix df(tok):
+    * prefixes hold each doc's RAREST shingles, so the posting lists that
+    * get joined stay small as the corpus grows (and 3-gram shingles make
+    * sharing rare — 12 surviving pairs of 67k same-lang ordered pairs at
+    * sf0.01).  Containment is one IEEE division of exact ints (the
+    * jaccard convention).  The b side pays no prefix cut — it is the
+    * INDEX side; its full posting lists are what a production system
+    * stores anyway. */
+  def containment(spark: SparkSession, dir: String,
+      minContainment: Double = 0.3, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.WordNgramShingles.register(spark)
+    val docs = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"ngram_shingles(text, $n)").as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 8-byte hashes through the filter stages, strings only in the exact
+    // scorer — the ngramJaccard shuffle-width argument; collisions can
+    // only ADD candidates, which the exact scorer rejects.
+    val toks = docs.select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n"), explode(col("toks")).as("tok_s"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        xxhash64(col("tok_s")).as("tok"))
+    val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val prefixes = toks.join(docFreq, "tok")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minContainment) * col("n")).cast("int") + 1)
+      .select(col("lang"), col("tok"), col("doc_id").as("doc_a"))
+    val candidates = prefixes
+      .join(toks.select(col("lang"), col("tok"), col("doc_id").as("doc_b")),
+        Seq("lang", "tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("lang", "doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) AS DOUBLE)""".stripMargin)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  def containmentOracle(minContainment: Double = 0.3, n: Int = 3): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, ${ngramSetOracleExpr("text", n)} AS toks
+       |  FROM documents)
+       |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) AS DOUBLE) AS containment
+       |FROM docs a JOIN docs b
+       |  ON a.lang = b.lang AND a.doc_id <> b.doc_id
+       |WHERE len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) AS DOUBLE) >= $minContainment""".stripMargin
+
   def ngramJaccardOracle(minJaccard: Double = 0.3, n: Int = 1): String =
     s"""WITH docs AS (
        |  SELECT doc_id, lang, source,

@@ -139,6 +139,49 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // src5/n=8 is known-contaminated in the testdata
   }
 
+  test("asymmetric containment equals the naive all-pairs result") {
+    // The asymmetric prefix filter (query-side prefix vs full index)
+    // must also be lossless: same ordered pairs, same scores as the
+    // quadratic same-lang formulation.
+    val fast = Dedup.containment(spark, Sf001)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .select(col("doc_id"), col("lang"),
+        expr(Dedup.ngramSetExpr("text", 3)).as("toks"))
+    val naive = docs.select(col("lang"),
+        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      .join(docs.select(col("lang"),
+        col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("lang"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) AS DOUBLE)""".stripMargin)
+          .as("containment"))
+      .filter(col("containment") >= 0.3)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(fast == naive)
+  }
+
+  test("containment is asymmetric where jaccard is blind: doc-inside-doc") {
+    import spark.implicits._
+    // A short doc quoted verbatim inside a much longer one: containment
+    // short→long = 1.0, long→short small, jaccard small both ways.
+    val short_ = "alpha beta gamma delta epsilon zeta eta theta"
+    val long_ = ("one two three four five six seven eight nine ten " * 4) +
+      short_ + " eleven twelve thirteen fourteen fifteen sixteen"
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    Seq((1L, short_, "en", "a", short_.length.toLong),
+        (2L, long_, "en", "b", long_.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.containment(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(rows((1L, 2L)) == 1.0) // every 3-gram of the short doc is in the long
+    assert(rows.get((2L, 1L)).forall(_ < 0.3)) // long→short fails the gate
+  }
+
   test("verbatim-span dedup equals the naive owner scan") {
     val n = 15
     val docs = graft.core.Sources.documents(spark, Sf001)
