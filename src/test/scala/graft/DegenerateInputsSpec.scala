@@ -82,7 +82,12 @@ class DegenerateInputsSpec extends SparkSpec {
     // set, the salted join against a non-empty literal dim, attribution
     // and cohort math over zero users, the hopping window.
     "q_an_pagerank", "q_ops_salted_join", "q_an_first_touch",
-    "q_an_cohort_ltv", "q_stream_sliding")
+    "q_an_cohort_ltv", "q_stream_sliding",
+    // Session additions: the KMV pair stage (element_at on an empty
+    // union array), the CDC diff's full-outer classification with an
+    // empty before-state, and the asymmetric prefix filter on an
+    // empty/degenerate corpus.
+    "q_an_kmv_set_ops", "q_ops_snapshot_diff", "q_dedup_containment")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
