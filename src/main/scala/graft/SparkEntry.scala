@@ -463,7 +463,16 @@ object SparkEntry {
     Q("q_stream_conversions_outer", // left-outer interval join; leak view
       (s, d) => streaming.EventsStream
         .conversionsOuterFromEvents(graft.core.Sources.events(s, d)),
-      Some(streaming.EventsStream.conversionsOuterOracle())))
+      Some(streaming.EventsStream.conversionsOuterOracle())),
+    Q("q_an_concurrency", // sweep-line peak overlap: 2n deltas, never n² pairs
+      (s, d) => graft.ops.Concurrency.activeOrders(s, d),
+      Some(graft.ops.Concurrency.activeOrdersOracle)),
+    Q("q_an_cms_freq", // Count-Min grid as a table; estimates hash-checked
+      (s, d) => graft.ops.CmsFreq.cmsFreq(s, d),
+      Some(graft.ops.CmsFreq.cmsFreqOracle)),
+    Q("q_ops_fuzzy_keys", // SymSpell deletion index; lossless at dist ≤ 1
+      (s, d) => graft.ops.FuzzyKeys.supplierKeys(s, d),
+      Some(graft.ops.FuzzyKeys.supplierKeysOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+import graft.functions.Mix31
+
+/** Count-Min point-frequency sketch (Cormode & Muthukrishnan 2005) —
+  * the frequency-estimation member of the sketch library next to
+  * [[graft.functions.HllSketch]] (distinct), [[graft.functions
+  * .KmvSketch]] (set ops), [[graft.functions.HeavyHitters]] (top items)
+  * and [[graft.functions.QuantileSketch]] (ranks): a fixed D×W counter
+  * grid answering "how often did THIS key occur" for any key, without
+  * storing the key space.
+  *
+  * Unlike the other sketches this one needs NO custom aggregate: the
+  * grid IS a (row, bucket) → count table, so building it is a plain
+  * hash aggregate with map-side partials (the exchange carries ≤ D·W
+  * partial cells per partition), merging shards is cell-wise SUM, and a
+  * point estimate is min over the key's D cells — all expressible in
+  * both engines over the shared [[Mix31]] chain, so the ESTIMATES
+  * THEMSELVES hash-check cross-engine (the KMV convention; HLL's
+  * engine-private registers can't do this).  Row hashes are
+  * Mix31(key·D + i) — distinct mixer inputs per row give the
+  * independent-row behavior the min depends on.
+  *
+  * The registered query builds the grid over event user_ids (D = 4,
+  * W = 64; 150+ users at gate scales guarantee bucket collisions, so
+  * the gate pins the genuinely APPROXIMATE regime — CmsSpec asserts at
+  * least one probe overcounts) and probes the ten smallest user_ids,
+  * emitting exact count, CMS estimate, and the one-sided-error contract
+  * `cms_est ≥ exact_n` (CMS never undercounts — every occurrence of the
+  * key lands in all D of its cells).  The exact counts are GATE
+  * SCAFFOLDING: production persists only the 256-cell grid and answers
+  * point queries from it alone; the probe scan exists so the oracle can
+  * verify the estimates (the q_an_quantile_sketch_capped pattern).
+  *
+  * Scale: the grid build is one scan into a ≤ D·W-cell aggregate — no
+  * corpus-keyed shuffle at all, the cheapest possible sketch topology —
+  * and probing joins a broadcast of the 256-cell grid.  At 100 TB the
+  * grid is still 256 rows; width is the accuracy knob (ε = e/W
+  * overcount bound at mass N, union-bound over D rows).
+  */
+object CmsFreq {
+
+  val D = 4
+  val W = 64
+
+  private def rowArr = array((0 until D).map(lit(_)): _*)
+
+  private def bucketExpr(key: String): String =
+    s"(${Mix31.sparkSql(s"$key * $D + i")} % $W)"
+
+  /** The D×W counter grid over a prepared single-column ("k", long)
+    * key stream.  Mergeable: grids over disjoint shards add cell-wise
+    * (spec-pinned). */
+  private[graft] def countersOf(keys: DataFrame): DataFrame =
+    keys.withColumn("i", explode(rowArr))
+      .withColumn("b", expr(bucketExpr("k")))
+      .groupBy(col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for a prepared ("k", long) probe set: min over the
+    * key's D cells.  Missing cells cannot occur for keys present in the
+    * stream (their own mass fills all D cells). */
+  private[graft] def estimatesOf(counters: DataFrame,
+      probes: DataFrame): DataFrame =
+    probes.withColumn("i", explode(rowArr))
+      .withColumn("b", expr(bucketExpr("k")))
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy(col("k"))
+      .agg(min(col("c")).as("cms_est"))
+
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    val counters = countersOf(ev.select(col("user_id").as("k")))
+    val probes = ev.filter(col("user_id") < 10)
+      .groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("exact_n"))
+    // exact_n rides through the estimate aggregation as a grouping key
+    // (it is functionally determined by k) so the probe scan runs once.
+    probes.withColumn("i", explode(rowArr))
+      .withColumn("b", expr(bucketExpr("k")))
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy(col("k"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("k").as("user_id"), col("exact_n"), col("cms_est"),
+        (col("cms_est") >= col("exact_n")).as("overcount_ok"))
+  }
+
+  val cmsFreqOracle: String = {
+    val cellB = Mix31.duckSql(s"(user_id * $D + i)")
+    val probeB = Mix31.duckSql(s"(p.user_id * $D + i.i)")
+    s"""WITH ids AS (SELECT UNNEST(generate_series(0, ${D - 1})) AS i),
+       |cells AS (
+       |  SELECT i, ($cellB) % $W AS b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events CROSS JOIN ids GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |  FROM events WHERE user_id < 10 GROUP BY 1),
+       |est AS (
+       |  SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_est
+       |  FROM probes p CROSS JOIN ids i
+       |  JOIN cells c ON c.i = i.i AND c.b = ($probeB) % $W
+       |  GROUP BY 1, 2)
+       |SELECT user_id, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+       |  cms_est >= exact_n AS overcount_ok
+       |FROM est""".stripMargin
+  }
+}

@@ -87,7 +87,11 @@ class DegenerateInputsSpec extends SparkSpec {
     // union array), the CDC diff's full-outer classification with an
     // empty before-state, and the asymmetric prefix filter on an
     // empty/degenerate corpus.
-    "q_an_kmv_set_ops", "q_ops_snapshot_diff", "q_dedup_containment")
+    "q_an_kmv_set_ops", "q_ops_snapshot_diff", "q_dedup_containment",
+    // The sweep-line's global window over an empty cell table, the CMS
+    // probe join with zero probes, and the deletion index over an
+    // empty/singleton key set.
+    "q_an_concurrency", "q_an_cms_freq", "q_ops_fuzzy_keys")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
