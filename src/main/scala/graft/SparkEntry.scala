@@ -472,7 +472,16 @@ object SparkEntry {
       Some(graft.ops.CmsFreq.cmsFreqOracle)),
     Q("q_ops_fuzzy_keys", // SymSpell deletion index; lossless at dist ≤ 1
       (s, d) => graft.ops.FuzzyKeys.supplierKeys(s, d),
-      Some(graft.ops.FuzzyKeys.supplierKeysOracle)))
+      Some(graft.ops.FuzzyKeys.supplierKeysOracle)),
+    Q("q_an_rfm", // quartile scores via sketch boundaries — no global ntile
+      (s, d) => graft.ops.Rfm.rfm(s, d),
+      Some(graft.ops.Rfm.rfmOracle)),
+    Q("q_text_search", // BM25 top-K: filtered posting lists, heap cut
+      (s, d) => llm.Search.bm25(s, d),
+      Some(llm.Search.bm25Oracle)),
+    Q("q_an_anomaly_days", // 3σ flags via integer cross-multiplied z²
+      (s, d) => graft.ops.Changepoint.anomalyDays(s, d),
+      Some(graft.ops.Changepoint.anomalyDaysOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

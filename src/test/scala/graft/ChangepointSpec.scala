@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Date
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Changepoint
 
 /** CUSUM changepoint: hand-computed level shift, the earliest-day
@@ -50,6 +52,63 @@ class ChangepointSpec extends SparkSpec {
       ("b", "2024-01-01", 7L)))
     assert(out("a") === ((2L, Date.valueOf("2024-01-01"), 100L)))
     assert(out("b") === ((1L, Date.valueOf("2024-01-01"), 0L)))
+  }
+
+  private def anomalies(rows: Seq[(String, String, Long)])
+      : Map[(String, Date), (Long, Boolean)] =
+    Changepoint.anomalyDaysOf(
+      rows.map { case (t, d, c) => (t, Date.valueOf(d), c) }
+        .toDF("event_type", "day", "t"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1)) ->
+        (r.getLong(2), r.getBoolean(3)))
+      .toMap
+
+  test("anomaly: a spike after a flat week is flagged; a repeat is not") {
+    val flat = (1 to 7).map(i => ("a", f"2024-01-0$i", 100L))
+    val out = anomalies(flat ++ Seq(
+      ("a", "2024-01-08", 200L), ("a", "2024-01-09", 100L)))
+    // Day 8: window variance 0, t deviates → (7·200−700)² > 0 flags.
+    assert(out(("a", Date.valueOf("2024-01-08"))) === ((200L, true)))
+    // Day 9: its window now holds the spike; z² = (7·100−800)²=10000… vs
+    // 9·(7·50000−640000): driver-recomputed below rather than hand-waved.
+    val w = Seq(100L, 100L, 100L, 100L, 100L, 100L, 200L)
+    val (s1, s2) = (w.sum, w.map(x => x * x).sum)
+    val lhs = (7 * 100L - s1) * (7 * 100L - s1)
+    val rhs = 9 * (7 * s2 - s1 * s1)
+    assert(out(("a", Date.valueOf("2024-01-09")))._2 === (lhs > rhs))
+  }
+
+  test("anomaly: first 7 observed days per type are unscored") {
+    val out = anomalies((1 to 9).map(i => ("a", f"2024-01-0$i", 100L)) ++
+      (1 to 3).map(i => ("b", f"2024-01-0$i", 50L)))
+    assert(out.keys.map(_._1).toSet === Set("a"))
+    assert(out.size === 2)
+    assert(out.values.forall(!_._2)) // constant series: never anomalous
+  }
+
+  test("anomaly flags match an exact-integer driver recount on real data") {
+    val daily = graft.core.Sources.events(spark, Sf001)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2.toEpochDay).map(r => (r._2, r._3))
+      sorted.indices.drop(7).map { i =>
+        val w = sorted.slice(i - 7, i).map(_._2)
+        val (s1, s2) = (w.sum, w.map(x => x * x).sum)
+        val t = sorted(i)._2
+        (et, sorted(i)._1) ->
+          ((7 * t - s1) * (7 * t - s1) > 9 * (7 * s2 - s1 * s1))
+      }
+    }
+    val got = Changepoint.anomalyDays(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getBoolean(3))
+      .toMap
+    assert(got === expected.toMap)
   }
 
   test("real log: one row per event type, deterministic") {

@@ -91,7 +91,11 @@ class DegenerateInputsSpec extends SparkSpec {
     // The sweep-line's global window over an empty cell table, the CMS
     // probe join with zero probes, and the deletion index over an
     // empty/singleton key set.
-    "q_an_concurrency", "q_an_cms_freq", "q_ops_fuzzy_keys")
+    "q_an_concurrency", "q_an_cms_freq", "q_ops_fuzzy_keys",
+    // The sketch-boundary scoring crossJoin over zero customers, BM25's
+    // posting window over an empty match set, and the trailing anomaly
+    // window with fewer than 8 observed days everywhere.
+    "q_an_rfm", "q_text_search", "q_an_anomaly_days")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
