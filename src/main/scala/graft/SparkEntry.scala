@@ -481,7 +481,13 @@ object SparkEntry {
       Some(llm.Search.bm25Oracle)),
     Q("q_an_anomaly_days", // 3σ flags via integer cross-multiplied z²
       (s, d) => graft.ops.Changepoint.anomalyDays(s, d),
-      Some(graft.ops.Changepoint.anomalyDaysOracle)))
+      Some(graft.ops.Changepoint.anomalyDaysOracle)),
+    Q("q_an_linear_touch", // cent-exact largest-remainder revenue split
+      (s, d) => graft.ops.Attribution.linearTouch(s, d),
+      Some(graft.ops.Attribution.linearTouchOracle)),
+    Q("q_ops_incremental_agg", // partition-pruned rollup maintenance ≡ full
+      (s, d) => graft.ops.IncrementalAgg.dailyRollup(s, d),
+      Some(graft.ops.IncrementalAgg.dailyRollupOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -56,6 +56,79 @@ object Attribution {
           .as("attributed"))
   }
 
+  /** Linear multi-touch attribution — [[firstTouch]]'s fairer sibling:
+    * each purchase's revenue is split EQUALLY across the distinct
+    * channels the user touched strictly before it (no prior touches →
+    * the 'direct' channel).  The split is exact to the cent via the
+    * largest-remainder rule: base = cents DIV k to every channel, plus
+    * one cent to the first (cents MOD k) channels in alphabetical
+    * order — all integer arithmetic, so per-channel credits sum to
+    * total purchase revenue EXACTLY (spec-pinned) and hash-check
+    * cross-engine.  A float split would neither tile nor reproduce.
+    *
+    * Scale: ONE user_id exchange; the prior-channel set is a running
+    * `collect_set` window whose state is bounded by the CHANNEL DOMAIN
+    * (≤ #event types, not history length — the same bounded-state
+    * argument as streaming dedup), ordered by the engine-wide
+    * (sec, event_id) convention.  The explode emits ≤ k rows per
+    * purchase and the rollup is #channels-sized.  The oracle reaches
+    * the same credits through an independent purchase×history
+    * self-join formulation. */
+  def linearTouch(spark: SparkSession, dir: String): DataFrame =
+    linearTouchOf(Sources.events(spark, dir)
+      .select(col("user_id"),
+        col("ts").cast("bigint").as("sec"),
+        col("event_id"), col("event_type"),
+        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents")))
+
+  private[graft] def linearTouchOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("chans", array_sort(collect_set(
+        when(col("event_type") =!= "purchase", col("event_type"))).over(w)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("chans", when(size(col("chans")) === 0,
+        array(lit("direct"))).otherwise(col("chans")))
+      .withColumn("k", size(col("chans")).cast("long"))
+      .select(col("event_id"), col("cents"), col("k"),
+        posexplode(col("chans")).as(Seq("pos", "channel")))
+      .withColumn("credit",
+        expr("cents DIV k + CAST(pos < cents % k AS BIGINT)"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("credit")).as("credited_cents"))
+  }
+
+  val linearTouchOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+       |    event_id, event_type,
+       |    CAST(${Frag.money("value")} * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT DISTINCT p.event_id, e.event_type AS channel
+       |  FROM p JOIN ev e ON e.user_id = p.user_id
+       |    AND e.event_type <> 'purchase'
+       |    AND (e.sec < p.sec
+       |         OR (e.sec = p.sec AND e.event_id < p.event_id))),
+       |tt AS (
+       |  SELECT p.event_id, p.cents, COALESCE(t.channel, 'direct') AS channel
+       |  FROM p LEFT JOIN t USING (event_id)),
+       |r AS (
+       |  SELECT event_id, cents, channel,
+       |    COUNT(*) OVER (PARTITION BY event_id) AS k,
+       |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY channel) AS rnk
+       |  FROM tt)
+       |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |  CAST(SUM(cents // k
+       |    + CASE WHEN rnk <= cents % k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS credited_cents
+       |FROM r GROUP BY 1""".stripMargin
+
   val firstTouchOracle: String =
     s"""WITH ev AS (
        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,

@@ -18,6 +18,65 @@ class AttributionSpec extends SparkSpec {
       .toDF("user_id", "sec", "event_id", "event_type", "cents")
       .withColumn("cents", col("cents").cast("decimal(18,2)"))
 
+  private def evL(rows: (Long, Long, Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "sec", "event_id", "event_type", "cents")
+
+  test("linear touch: equal split with largest-remainder cents") {
+    // user 1 views A and clicks B, then buys 101 over {click, view}:
+    // base 50, remainder 1 → the alphabetically-first channel (click)
+    // gets the extra cent.  user 2 buys 100 over {click, signup, view}:
+    // base 33, remainder 1 → click 34.
+    val out = Attribution.linearTouchOf(evL(
+      (1L, 100L, 1L, "view", 0L),
+      (1L, 200L, 2L, "click", 0L),
+      (1L, 300L, 3L, "purchase", 101L),
+      (2L, 10L, 4L, "signup", 0L),
+      (2L, 20L, 5L, "view", 0L),
+      (2L, 30L, 6L, "click", 0L),
+      (2L, 40L, 7L, "purchase", 100L)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("click") === ((2L, 51L + 34L)))
+    assert(out("view") === ((2L, 50L + 33L)))
+    assert(out("signup") === ((1L, 33L)))
+    assert(out.size === 3)
+  }
+
+  test("linear touch: no prior touches → 'direct' takes it all") {
+    val out = Attribution.linearTouchOf(evL(
+      (1L, 100L, 1L, "purchase", 77L),
+      (1L, 200L, 2L, "view", 0L),
+      (1L, 300L, 3L, "purchase", 23L)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // First purchase has no history → direct; second sees only 'view'.
+    assert(out("direct") === ((1L, 77L)))
+    assert(out("view") === ((1L, 23L)))
+  }
+
+  test("linear touch: prior purchases are not channels") {
+    val out = Attribution.linearTouchOf(evL(
+      (1L, 100L, 1L, "view", 0L),
+      (1L, 200L, 2L, "purchase", 10L),
+      (1L, 300L, 3L, "purchase", 10L)))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 20L))
+  }
+
+  test("linear touch: credits tile total purchase revenue exactly") {
+    val ev = graft.core.Sources.events(spark, Sf001)
+      .select(col("user_id"), col("ts").cast("bigint").as("sec"),
+        col("event_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val total = ev.filter(col("event_type") === "purchase")
+      .agg(sum(col("cents"))).collect()(0).getLong(0)
+    val credited = Attribution.linearTouchOf(ev)
+      .agg(sum(col("credited_cents"))).collect()(0).getLong(0)
+    assert(credited === total)
+  }
+
   test("credit goes to the first event's channel, hand-checked") {
     // user 1: view first, buys 10 + 20; user 2: signup first, buys 5;
     // user 3: click first, never buys.

@@ -95,7 +95,10 @@ class DegenerateInputsSpec extends SparkSpec {
     // The sketch-boundary scoring crossJoin over zero customers, BM25's
     // posting window over an empty match set, and the trailing anomaly
     // window with fewer than 8 observed days everywhere.
-    "q_an_rfm", "q_text_search", "q_an_anomaly_days")
+    "q_an_rfm", "q_text_search", "q_an_anomaly_days",
+    // The largest-remainder explode over zero purchases and the
+    // incremental rollup's max() watermark over an empty corpus.
+    "q_an_linear_touch", "q_ops_incremental_agg")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
