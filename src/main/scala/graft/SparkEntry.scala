@@ -487,7 +487,13 @@ object SparkEntry {
       Some(graft.ops.Attribution.linearTouchOracle)),
     Q("q_ops_incremental_agg", // partition-pruned rollup maintenance ≡ full
       (s, d) => graft.ops.IncrementalAgg.dailyRollup(s, d),
-      Some(graft.ops.IncrementalAgg.dailyRollupOracle)))
+      Some(graft.ops.IncrementalAgg.dailyRollupOracle)),
+    Q("q_an_forecast_backtest", // lag-7 vs lag-1 SAE, exact integers
+      (s, d) => graft.ops.Forecast.naiveBacktest(s, d),
+      Some(graft.ops.Forecast.naiveBacktestOracle)),
+    Q("q_an_new_vs_returning", // first-seen split in one user exchange
+      (s, d) => graft.ops.Forecast.newVsReturning(s, d),
+      Some(graft.ops.Forecast.newVsReturningOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

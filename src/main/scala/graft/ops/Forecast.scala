@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Frag, Sources}
+
+/** Seasonal-naive forecast backtest — "does last week's same weekday
+  * predict today better than yesterday does?" — the baseline every
+  * forecasting system must beat and the first thing a metric owner
+  * backtests.  For each event type the two naive predictors (lag-7 =
+  * seasonal-naive, lag-1 = persistence) are scored over all days where
+  * both are defined, and the output is the per-type absolute-error
+  * totals plus the verdict.
+  *
+  * Everything is exact: daily totals are cents integers, the errors
+  * are |t − lag| in int64, and the totals are plain sums — no MAE
+  * division crosses the gate (consumers divide by n_scored themselves),
+  * so the whole row hash-checks cross-engine ([[Changepoint]]'s
+  * integer-lift family).  Lags are over OBSERVED days (the day-cell
+  * convention; on this corpus every calendar day trades, making lag-7
+  * the same-weekday value).
+  *
+  * Scale: ONE shuffle to the (type, day) cells; both lags ride a
+  * single per-type window over the aggregated cells; the rollup is
+  * #types rows.
+  */
+object Forecast {
+
+  def naiveBacktest(spark: SparkSession, dir: String): DataFrame =
+    naiveBacktestOf(Sources.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t")))
+
+  private[graft] def naiveBacktestOf(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f7", lag(col("t"), 7).over(w))
+      .withColumn("f1", lag(col("t"), 1).over(w))
+      .filter(col("f7").isNotNull && col("f1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("t") - col("f7"))).as("sae_lag7"),
+        sum(abs(col("t") - col("f1"))).as("sae_lag1"))
+      .withColumn("seasonal_wins", col("sae_lag7") < col("sae_lag1"))
+  }
+
+  val naiveBacktestOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT event_type, t,
+       |    LAG(t, 7) OVER w AS f7, LAG(t, 1) OVER w AS f1
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |  CAST(SUM(ABS(t - f7)) AS BIGINT) AS sae_lag7,
+       |  CAST(SUM(ABS(t - f1)) AS BIGINT) AS sae_lag1,
+       |  CAST(SUM(ABS(t - f7)) AS BIGINT)
+       |    < CAST(SUM(ABS(t - f1)) AS BIGINT) AS seasonal_wins
+       |FROM lagged
+       |WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
+  /** Daily new-vs-returning split — the audience-composition metric
+    * next to retention: per day, events from users seen for the first
+    * time that day vs. returning users, plus the count of users born
+    * that day.  A user's birth day is a MIN over their partition — ONE
+    * user_id exchange serves both the window and nothing else rescans
+    * events; the day rollup sees per-event rows already carrying the
+    * flag.  All counts exact. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Sources.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("first_day", min(col("day")).over(w))
+      .withColumn("is_new", col("day") === col("first_day"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("new_events"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("returning_events"),
+        countDistinct(when(col("first_day") === col("day"), col("user_id")))
+          .as("new_users"))
+  }
+
+  val newVsReturningOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1)
+      |SELECT ev.day,
+      |  CAST(SUM(CASE WHEN ev.day = f.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS new_events,
+      |  CAST(SUM(CASE WHEN ev.day <> f.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS returning_events,
+      |  CAST(COUNT(DISTINCT CASE WHEN ev.day = f.first_day
+      |    THEN ev.user_id END) AS BIGINT) AS new_users
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1""".stripMargin
+}

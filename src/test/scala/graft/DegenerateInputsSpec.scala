@@ -98,7 +98,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_rfm", "q_text_search", "q_an_anomaly_days",
     // The largest-remainder explode over zero purchases and the
     // incremental rollup's max() watermark over an empty corpus.
-    "q_an_linear_touch", "q_ops_incremental_agg")
+    "q_an_linear_touch", "q_ops_incremental_agg",
+    // Lag windows over sub-8-day series and the first-day split with
+    // zero users.
+    "q_an_forecast_backtest", "q_an_new_vs_returning")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Forecast
+
+/** Seasonal-naive backtest and new-vs-returning split: hand-computed
+  * error totals, the periodic-series win, scoring-window edges, and
+  * the tiling invariants on the real corpus. */
+class ForecastSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def backtest(rows: Seq[(String, Int, Long)])
+      : Map[String, (Long, Long, Long, Boolean)] =
+    Forecast.naiveBacktestOf(
+      rows.map { case (et, d, t) =>
+        (et, Date.valueOf(f"2024-01-${d}%02d"), t)
+      }.toDF("event_type", "day", "t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+
+  test("ramp series: persistence beats seasonal-naive, hand-checked") {
+    // t = 100·d over days 1..10; scored days 8..10: lag-7 errors are
+    // 700 each (2100 total), lag-1 errors 100 each (300).
+    val out = backtest((1 to 10).map(d => ("a", d, 100L * d)))
+    assert(out("a") === ((3L, 2100L, 300L, false)))
+  }
+
+  test("period-7 series: seasonal-naive is exact and wins") {
+    val cycle = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+    val out = backtest((1 to 14).map(d => ("a", d, cycle((d - 1) % 7))))
+    // Days 8..14 repeat days 1..7 → sae_lag7 = 0; lag-1 errors are the
+    // in-week steps: 6·10 + |10−70| = 120.
+    assert(out("a") === ((7L, 0L, 120L, true)))
+  }
+
+  test("types with fewer than 8 observed days are unscored") {
+    val out = backtest((1 to 7).map(d => ("b", d, 100L)))
+    assert(out.isEmpty)
+  }
+
+  test("new vs returning tiles daily traffic and the user base") {
+    val out = Forecast.newVsReturning(spark, Sf001).collect()
+      .map(r => r.getDate(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val ev = graft.core.Sources.events(spark, Sf001)
+    val totalEvents = ev.count()
+    val totalUsers = ev.select("user_id").distinct().count()
+    assert(out.map(x => x._2._1 + x._2._2).sum === totalEvents)
+    assert(out.map(_._2._3).sum === totalUsers)
+    // The first observed day has no returning traffic by definition.
+    assert(out.head._2._2 === 0L)
+    assert(out.head._2._1 > 0L)
+  }
+
+  test("new-user flag is per-user, hand-checked") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val df = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"),
+      (2L, "2024-01-02"), (2L, "2024-01-02"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("date").as("day"))
+      .withColumn("first_day", min(col("day")).over(w))
+      .withColumn("is_new", col("day") === col("first_day"))
+    val byDay = df.groupBy("day")
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("r"))
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // Day 2: user 1 returns (1 event), user 2 is new (2 events).
+    assert(byDay("2024-01-01") === ((1L, 0L)))
+    assert(byDay("2024-01-02") === ((2L, 1L)))
+  }
+}
