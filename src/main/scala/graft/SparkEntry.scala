@@ -493,7 +493,11 @@ object SparkEntry {
       Some(graft.ops.Forecast.naiveBacktestOracle)),
     Q("q_an_new_vs_returning", // first-seen split in one user exchange
       (s, d) => graft.ops.Forecast.newVsReturning(s, d),
-      Some(graft.ops.Forecast.newVsReturningOracle)))
+      Some(graft.ops.Forecast.newVsReturningOracle)),
+    Q("q_stream_anomaly", // streamed day cells + sink-side z² scoring
+      (s, d) => streaming.EventsStream.anomalyFromEvents(
+        graft.core.Sources.events(s, d)),
+      Some(graft.ops.Changepoint.anomalyDaysOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

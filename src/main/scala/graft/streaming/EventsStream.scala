@@ -33,6 +33,31 @@ object EventsStream {
   def dailyAggStream(events: DataFrame): DataFrame =
     dailyAgg(events.withWatermark("ts", "1 day"))
 
+  /** Daily revenue cells for the streaming anomaly monitor — the
+    * stateful stage of [[graft.ops.Changepoint.anomalyDays]]'s streaming
+    * twin.  State is the same bounded (window × type) shape as
+    * [[dailyAgg]]; the trailing-window z² scoring is the SINK's job
+    * (foreachBatch over the emitted cells — a trailing comparison is
+    * not incrementally maintainable under append semantics because a
+    * late event rewrites its day's total and every window containing
+    * it, the [[trendingTopK]] sink-side-ranking argument).  Works on a
+    * batch OR streaming frame. */
+  def anomalyCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .select(col("event_type"), to_date(col("w.start")).as("day"),
+        col("t"))
+
+  def anomalyCellsStream(events: DataFrame): DataFrame =
+    anomalyCells(events.withWatermark("ts", "1 day"))
+
+  /** Batch evaluation for the driver gate: streamed cells + the
+    * sink-side scoring, sharing [[graft.ops.Changepoint]]'s oracle. */
+  def anomalyFromEvents(events: DataFrame): DataFrame =
+    graft.ops.Changepoint.anomalyDaysOf(anomalyCells(events))
+
   /** Daily distinct users via the engine's mergeable
     * [[graft.functions.HllSketch]] next to the exact count.  The sketch
     * buffer is what the streaming state store keeps per window — 64 bytes

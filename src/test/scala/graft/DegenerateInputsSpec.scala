@@ -101,7 +101,9 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_linear_touch", "q_ops_incremental_agg",
     // Lag windows over sub-8-day series and the first-day split with
     // zero users.
-    "q_an_forecast_backtest", "q_an_new_vs_returning")
+    "q_an_forecast_backtest", "q_an_new_vs_returning",
+    // The streamed-cells scoring path over an empty/short corpus.
+    "q_stream_anomaly")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -120,6 +120,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchTop.exists(_.contains("[2024-01-01,3,error,1]"))) // ...top-3 cut ranks error over signup
   }
 
+  test("anomaly monitor: streamed day cells + sink scoring equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Nine flat days then a 10× spike on day 10, one extra type with
+    // too little history to score; split across two micro-batches at an
+    // arbitrary cut.
+    val evRows = (1 to 9).map(d =>
+      (d.toLong, ts(f"2024-01-$d%02d 10:00:00"), "click", 10.0)) ++ Seq(
+      (10L, ts("2024-01-10 10:00:00"), "click", 100.0),
+      (11L, ts("2024-01-03 11:00:00"), "view", 5.0))
+    val batch = EventsStream.anomalyFromEvents(toDf(evRows))
+      .orderBy("event_type", "day").collect().map(_.toString)
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(evRows.take(4): _*)
+    val q = EventsStream.anomalyCellsStream(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("anom_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(evRows.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ops.Changepoint
+      .anomalyDaysOf(spark.table("anom_cells"))
+      .orderBy("event_type", "day").collect().map(_.toString)
+    assert(streamed.toSeq === batch.toSeq)
+    // The spike day is flagged; the flat run before it is not; the
+    // short 'view' series is unscored.
+    assert(batch.exists(s => s.contains("2024-01-10") && s.contains("true")))
+    assert(batch.count(_.contains("click")) === 3) // days 8–10 scored
+    assert(!batch.exists(_.contains("view")))
+  }
+
   test("foreachBatch lands micro-batches through the idempotent keyed sink") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
