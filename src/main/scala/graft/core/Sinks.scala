@@ -253,6 +253,50 @@ object Sinks {
 
   /** Parquet data files under a table directory (recursive, metadata
     * excluded) — compaction sizing and spec assertions. */
+  /** Right-to-be-forgotten erasure over a partitioned table — the GDPR
+    * deletion pattern: remove every row carrying a tombstoned key while
+    * rewriting ONLY the partitions that contain one.  At 100 TB this is
+    * the difference between a full-table rewrite per deletion batch and
+    * touching the handful of partitions a user's data lives in (the
+    * [[graft.ops.IncrementalAgg]] pruning argument applied to deletes;
+    * Delta/Iceberg DELETE does the same file-level pruning).
+    *
+    * Mechanics: a broadcast semi-join finds the affected partition
+    * values; those partitions' surviving rows rewrite through dynamic
+    * partition overwrite (untouched partitions' FILES are never opened,
+    * spec-asserted); a partition whose every row is tombstoned produces
+    * no output row for the dynamic writer to replace, so its directory
+    * is deleted explicitly — without that step the write would silently
+    * leave the doomed partition intact.  Idempotent by construction
+    * (a second run finds no affected partitions).  Partition values are
+    * rendered with Spark's simple-type directory naming; escape-needing
+    * values (spaces, '=') are out of scope here. */
+  def eraseKeys(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String,
+      tombstones: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val t = broadcast(tombstones.select(col(keyCol)).distinct())
+    val current = spark.read.parquet(path)
+    val affected = current.join(t, Seq(keyCol), "left_semi")
+      .select(partitionCols.map(col): _*).distinct().localCheckpoint()
+    if (affected.isEmpty) return
+    val survivors = current
+      .join(broadcast(affected), partitionCols, "inner")
+      .join(t, Seq(keyCol), "left_anti")
+      .localCheckpoint() // materialize BEFORE the overwrite reads race
+    val kept = survivors.select(partitionCols.map(col): _*).distinct()
+    val doomed = affected.exceptAll(kept).collect()
+    overwriteByKey(survivors, path, partitionCols)
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { row =>
+      val dir = partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${row.get(i)}" }
+        .foldLeft(table)(new Path(_, _))
+      fs.delete(dir, true)
+    }
+  }
+
   def dataFiles(spark: SparkSession, path: String): Seq[Path] = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -73,6 +73,54 @@ class SinksSpec extends SparkSpec {
       Set("mes", "v", "extra"))
   }
 
+  test("eraseKeys scrubs tombstoned users, touches only their partitions") {
+    val path = tmp()
+    // day 1: users 1,2; day 2: user 1 only (must not be rewritten);
+    // day 3: user 2 only (fully doomed -> directory must disappear).
+    Sinks.overwriteByKey(Seq(
+      (1L, 1, "a"), (2L, 1, "b"),
+      (1L, 2, "c"),
+      (2L, 3, "d")).toDF("user_id", "day", "v"), path, Seq("day"))
+    val untouchedBefore = Sinks.dataFiles(spark, path)
+      .filter(_.toString.contains("day=2")).map(_.toString).sorted
+    Sinks.eraseKeys(spark, path, Seq("day"), "user_id",
+      Seq(2L).toDF("user_id"))
+    val got = spark.read.parquet(path)
+      .select("user_id", "day", "v").as[(Long, Int, String)]
+      .collect().sortBy(x => (x._2, x._1))
+    assert(got.toSeq == Seq((1L, 1, "a"), (1L, 2, "c")))
+    // The unaffected partition's files are bit-identical paths: never
+    // opened, never rewritten.
+    val untouchedAfter = Sinks.dataFiles(spark, path)
+      .filter(_.toString.contains("day=2")).map(_.toString).sorted
+    assert(untouchedAfter == untouchedBefore)
+    // The fully-tombstoned partition's directory is gone.
+    assert(!Sinks.dataFiles(spark, path).exists(_.toString.contains("day=3")))
+  }
+
+  test("eraseKeys is idempotent and a no-op without matching keys") {
+    val path = tmp()
+    Sinks.overwriteByKey(Seq(
+      (1L, 1, "a"), (2L, 1, "b")).toDF("user_id", "day", "v"),
+      path, Seq("day"))
+    Sinks.eraseKeys(spark, path, Seq("day"), "user_id",
+      Seq(2L).toDF("user_id"))
+    val once = spark.read.parquet(path)
+      .select("user_id", "day", "v").as[(Long, Int, String)]
+      .collect().sortBy(_._1)
+    Sinks.eraseKeys(spark, path, Seq("day"), "user_id",
+      Seq(2L).toDF("user_id"))
+    val twice = spark.read.parquet(path)
+      .select("user_id", "day", "v").as[(Long, Int, String)]
+      .collect().sortBy(_._1)
+    assert(once.toSeq == twice.toSeq)
+    assert(once.toSeq == Seq((1L, 1, "a")))
+    val files = Sinks.dataFiles(spark, path).map(_.toString).sorted
+    Sinks.eraseKeys(spark, path, Seq("day"), "user_id",
+      Seq(99L).toDF("user_id")) // no such user: nothing may move
+    assert(Sinks.dataFiles(spark, path).map(_.toString).sorted == files)
+  }
+
   test("merge upserts matched keys, inserts new ones, preserves the rest") {
     val path = tmp() + "/t"
     Sinks.overwriteAll(
