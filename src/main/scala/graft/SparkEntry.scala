@@ -497,7 +497,10 @@ object SparkEntry {
     Q("q_stream_anomaly", // streamed day cells + sink-side z² scoring
       (s, d) => streaming.EventsStream.anomalyFromEvents(
         graft.core.Sources.events(s, d)),
-      Some(graft.ops.Changepoint.anomalyDaysOracle)))
+      Some(graft.ops.Changepoint.anomalyDaysOracle)),
+    Q("q_text_novelty", // inter-doc bigram uniqueness share per document
+      (s, d) => llm.TextAnalysis.novelty(s, d),
+      Some(llm.TextAnalysis.noveltyOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

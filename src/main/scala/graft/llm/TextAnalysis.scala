@@ -339,6 +339,63 @@ object TextAnalysis {
        |    AS chi2
        |FROM terms GROUP BY 1""".stripMargin
 
+  /** Per-document n-gram novelty — what share of a document's distinct
+    * bigrams appears in NO other document.  The inter-document
+    * data-curation signal completing the family: [[repetition]] scores
+    * WITHIN-doc redundancy, [[graft.llm.Dedup]] decontamination scores
+    * against a held-out set, and this scores against the REST OF THE
+    * CORPUS — low novelty = boilerplate/template text, high = unique
+    * content worth keeping.  Duplicated documents drive each other's
+    * novelty to exactly zero (spec-pinned).
+    *
+    * Scale: one explode through the shared codegen'd shingle kernel
+    * into a distinct (doc, bigram) aggregate; the document frequency is
+    * a window over those AGGREGATED rows keyed by bigram (the
+    * [[graft.ops.Markov]] totals convention — vocabulary-sized, never
+    * corpus-sized, and never a broadcast of the bigram vocabulary); the
+    * per-doc rollup and one ROUND-6 division finish it.  Two exchanges
+    * total. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
+    noveltyOf(Sources.documents(spark, dir))
+  }
+
+  /** Core over a prepared (doc_id, text) corpus — spec-testable; caller
+    * registers [[graft.functions.WordNgramShingles]]. */
+  private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("doc_id"),
+        explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
+      .filter(expr("size(split(bigram, ' ')) = 2")) // drop 1-token docs
+      .distinct()
+    d.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round(
+        col("n_unique").cast("double") / col("n_bigrams").cast("double"), 6))
+  }
+
+  val noveltyOracle: String =
+    """WITH bg AS (
+      |  SELECT doc_id, UNNEST(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    j -> array_to_string(list_slice(string_split(text, ' '), j, j + 1),
+      |                         ' '))) AS bigram
+      |  FROM documents),
+      |d AS (
+      |  SELECT DISTINCT doc_id, bigram FROM bg
+      |  WHERE len(string_split(bigram, ' ')) = 2),
+      |w AS (
+      |  SELECT doc_id, COUNT(*) OVER (PARTITION BY bigram) AS df FROM d)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(COUNT(CASE WHEN df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+      |  ROUND(CAST(COUNT(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+      |FROM w GROUP BY 1""".stripMargin
+
   def tfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Sources.documents(spark, dir)

@@ -103,7 +103,9 @@ class DegenerateInputsSpec extends SparkSpec {
     // zero users.
     "q_an_forecast_backtest", "q_an_new_vs_returning",
     // The streamed-cells scoring path over an empty/short corpus.
-    "q_stream_anomaly")
+    "q_stream_anomaly",
+    // The bigram df window over an empty/1-token-only corpus.
+    "q_text_novelty")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

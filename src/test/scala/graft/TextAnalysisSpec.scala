@@ -5,6 +5,40 @@ import graft.llm.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("novelty: unique text scores 1, duplicated docs zero each other out") {
+    import org.apache.spark.sql.functions._
+    graft.functions.WordNgramShingles.register(spark)
+    val out = TextAnalysis.noveltyOf(Seq(
+      (1L, "alpha beta gamma delta"), // fully unique bigrams
+      (2L, "red green blue"),         // duplicated below → novelty 0
+      (3L, "red green blue"),
+      (4L, "alpha beta sigma"),       // shares 'alpha beta' with doc 1
+      (5L, "solo"))                   // 1 token: no bigram, absent
+      .toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    assert(out(4L) === ((2L, 1L, 0.5)))
+    assert(!out.contains(5L))
+  }
+
+  test("novelty bounds and totals hold on the real corpus") {
+    val rows = TextAnalysis.novelty(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u >= 0 && u <= n)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // The corpus contains near-duplicate groups (the dedup fixtures), so
+    // both regimes must occur.
+    assert(rows.exists(_.getDouble(3) < 1.0))
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+
   test("tfidf: ranks contiguous, scores monotone, top-1 is the true argmax") {
     import org.apache.spark.sql.functions._
     val t = TextAnalysis.tfidf(spark, Sf001, topK = 5).cache()
