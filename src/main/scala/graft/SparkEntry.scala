@@ -500,7 +500,13 @@ object SparkEntry {
       Some(graft.ops.Changepoint.anomalyDaysOracle)),
     Q("q_text_novelty", // inter-doc bigram uniqueness share per document
       (s, d) => llm.TextAnalysis.novelty(s, d),
-      Some(llm.TextAnalysis.noveltyOracle)))
+      Some(llm.TextAnalysis.noveltyOracle)),
+    Q("q_ops_table_digest", // order-free mergeable reconciliation digest
+      (s, d) => graft.ops.Reconcile.tableDigest(s, d),
+      Some(graft.ops.Reconcile.tableDigestOracle)),
+    Q("q_an_twap", // step-function integral over irregular samples
+      (s, d) => graft.ops.Twap.twap(s, d),
+      Some(graft.ops.Twap.twapOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

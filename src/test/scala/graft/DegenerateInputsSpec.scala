@@ -105,7 +105,10 @@ class DegenerateInputsSpec extends SparkSpec {
     // The streamed-cells scoring path over an empty/short corpus.
     "q_stream_anomaly",
     // The bigram df window over an empty/1-token-only corpus.
-    "q_text_novelty")
+    "q_text_novelty",
+    // Digest sums over empty groups and the LEAD weights on empty/
+    // single-event series.
+    "q_ops_table_digest", "q_an_twap")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
