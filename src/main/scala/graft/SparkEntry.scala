@@ -506,7 +506,13 @@ object SparkEntry {
       Some(graft.ops.Reconcile.tableDigestOracle)),
     Q("q_an_twap", // step-function integral over irregular samples
       (s, d) => graft.ops.Twap.twap(s, d),
-      Some(graft.ops.Twap.twapOracle)))
+      Some(graft.ops.Twap.twapOracle)),
+    Q("q_an_gains_curve", // decile lift via sketch bounds; no global sort
+      (s, d) => graft.ops.Gains.gainsCurve(s, d),
+      Some(graft.ops.Gains.gainsCurveOracle)),
+    Q("q_an_benford", // first-digit audit; Benford constants as literals
+      (s, d) => graft.ops.Benford.firstDigit(s, d),
+      Some(graft.ops.Benford.firstDigitOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -108,7 +108,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_text_novelty",
     // Digest sums over empty groups and the LEAD weights on empty/
     // single-event series.
-    "q_ops_table_digest", "q_an_twap")
+    "q_ops_table_digest", "q_an_twap",
+    // The decile broadcast over zero users and the 9-way CASE over an
+    // empty digit table.
+    "q_an_gains_curve", "q_an_benford")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
