@@ -512,7 +512,13 @@ object SparkEntry {
       Some(graft.ops.Gains.gainsCurveOracle)),
     Q("q_an_benford", // first-digit audit; Benford constants as literals
       (s, d) => graft.ops.Benford.firstDigit(s, d),
-      Some(graft.ops.Benford.firstDigitOracle)))
+      Some(graft.ops.Benford.firstDigitOracle)),
+    Q("q_an_heatmap", // dow×hour grid in pure epoch arithmetic
+      (s, d) => graft.ops.Heatmap.dowHour(s, d),
+      Some(graft.ops.Heatmap.dowHourOracle)),
+    Q("q_ops_surrogate_keys", // hash surrogates + in-plan collision audit
+      (s, d) => graft.ops.SurrogateKeys.supplierSurrogates(s, d),
+      Some(graft.ops.SurrogateKeys.supplierSurrogatesOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

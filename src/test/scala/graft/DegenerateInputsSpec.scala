@@ -111,7 +111,9 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_ops_table_digest", "q_an_twap",
     // The decile broadcast over zero users and the 9-way CASE over an
     // empty digit table.
-    "q_an_gains_curve", "q_an_benford")
+    "q_an_gains_curve", "q_an_benford",
+    // Epoch-grid and audit paths over empty inputs.
+    "q_an_heatmap", "q_ops_surrogate_keys")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
