@@ -518,7 +518,10 @@ object SparkEntry {
       Some(graft.ops.Heatmap.dowHourOracle)),
     Q("q_ops_surrogate_keys", // hash surrogates + in-plan collision audit
       (s, d) => graft.ops.SurrogateKeys.supplierSurrogates(s, d),
-      Some(graft.ops.SurrogateKeys.supplierSurrogatesOracle)))
+      Some(graft.ops.SurrogateKeys.supplierSurrogatesOracle)),
+    Q("q_an_autocorr", // lag-7 Pearson r over day cells, exact moments
+      (s, d) => graft.ops.Forecast.weeklyAutocorr(s, d),
+      Some(graft.ops.Forecast.weeklyAutocorrOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

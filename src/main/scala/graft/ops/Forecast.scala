@@ -66,6 +66,64 @@ object Forecast {
        |WHERE f7 IS NOT NULL AND f1 IS NOT NULL
        |GROUP BY 1""".stripMargin
 
+  /** Lag-7 autocorrelation of the daily revenue series per event type —
+    * the diagnostic BEHIND [[naiveBacktest]]: the backtest reports
+    * whether the seasonal predictor wins; this measures HOW MUCH weekly
+    * structure exists (Pearson r between each day and its 7-back
+    * neighbor).  The [[AnalyticsQueries.correlation]] recipe verbatim:
+    * exact DECIMAL moments over the paired cells, then one shared
+    * ROUND-6 IEEE chain (mul/sub/div + exact sqrt).  NULLIF guards the
+    * constant-series zero-variance denominator (ANSI would raise; the
+    * gains-curve sweep lesson applied at design time).  One shuffle to
+    * day cells + one lag window over cells + a #types-row aggregate. */
+  def weeklyAutocorr(spark: SparkSession, dir: String): DataFrame =
+    weeklyAutocorrOf(Sources.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t")))
+
+  private[graft] def weeklyAutocorrOf(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("t7", lag(col("t"), 7).over(w))
+      .filter(col("t7").isNotNull)
+      .selectExpr("event_type", "CAST(t AS DECIMAL(18,0)) AS x",
+        "CAST(t7 AS DECIMAL(18,0)) AS y")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr("x")).as("sx"),
+        sum(expr("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .selectExpr("event_type", "n", s"$AutocorrFormula AS autocorr_lag7")
+  }
+
+  /** The correlation chain with a NULLIF-guarded denominator, shared
+    * verbatim with the oracle. */
+  private val AutocorrFormula: String =
+    "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)"
+
+  val weeklyAutocorrOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT event_type, CAST(t AS DECIMAL(18,0)) AS x,
+       |    CAST(LAG(t, 7) OVER (PARTITION BY event_type ORDER BY day)
+       |         AS DECIMAL(18,0)) AS y
+       |  FROM daily),
+       |m AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+       |  FROM lagged WHERE y IS NOT NULL GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  $AutocorrFormula AS autocorr_lag7
+       |FROM m""".stripMargin
+
   /** Daily new-vs-returning split — the audience-composition metric
     * next to retention: per day, events from users seen for the first
     * time that day vs. returning users, plus the count of users born

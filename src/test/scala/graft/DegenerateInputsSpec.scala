@@ -113,7 +113,9 @@ class DegenerateInputsSpec extends SparkSpec {
     // empty digit table.
     "q_an_gains_curve", "q_an_benford",
     // Epoch-grid and audit paths over empty inputs.
-    "q_an_heatmap", "q_ops_surrogate_keys")
+    "q_an_heatmap", "q_ops_surrogate_keys",
+    // The zero-variance NULLIF denominator on degenerate series.
+    "q_an_autocorr")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -44,6 +44,35 @@ class ForecastSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  private def autocorr(rows: Seq[(String, Int, Long)]) =
+    Forecast.weeklyAutocorrOf(
+      rows.map { case (et, d, t) =>
+        (et, Date.valueOf(f"2024-01-${d}%02d"), t)
+      }.toDF("event_type", "day", "t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+
+  test("autocorr: a perfect period-7 series scores exactly 1") {
+    val cycle = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+    val out = autocorr((1 to 21).map(d => ("a", d, cycle((d - 1) % 7))))
+    assert(out("a") === ((14L, Some(1.0))))
+  }
+
+  test("autocorr: a constant series has no defined correlation → NULL") {
+    val out = autocorr((1 to 14).map(d => ("a", d, 100L)))
+    assert(out("a") === ((7L, None)))
+  }
+
+  test("autocorr stays in [-1, 1] on the real corpus") {
+    val rows = Forecast.weeklyAutocorr(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
   test("new vs returning tiles daily traffic and the user base") {
     val out = Forecast.newVsReturning(spark, Sf001).collect()
       .map(r => r.getDate(0) ->
