@@ -521,7 +521,22 @@ object SparkEntry {
       Some(graft.ops.SurrogateKeys.supplierSurrogatesOracle)),
     Q("q_an_autocorr", // lag-7 Pearson r over day cells, exact moments
       (s, d) => graft.ops.Forecast.weeklyAutocorr(s, d),
-      Some(graft.ops.Forecast.weeklyAutocorrOracle)))
+      Some(graft.ops.Forecast.weeklyAutocorrOracle)),
+    Q("q_an_cms_join_size", // CMS inner-product join-cardinality estimate
+      (s, d) => graft.ops.CmsFreq.joinSize(s, d),
+      Some(graft.ops.CmsFreq.joinSizeOracle)),
+    Q("q_an_hhi", // monthly revenue concentration, exact decimal Σc²
+      (s, d) => graft.ops.Concentration.hhi(s, d),
+      Some(graft.ops.Concentration.hhiOracle)),
+    Q("q_an_trimmed_mean", // robust mean inside sketch-derived fences
+      (s, d) => graft.ops.AnalyticsQueries.trimmedMean(s, d),
+      Some(graft.ops.AnalyticsQueries.trimmedMeanOracle)),
+    Q("q_text_lm_score", // mean bigram-LM probability doc quality score
+      (s, d) => llm.Vocab.lmScore(s, d),
+      Some(llm.Vocab.lmScoreOracle)),
+    Q("q_ops_unpivot", // melt the pivot back: unpivot ∘ pivot ≡ GROUP BY
+      (s, d) => OperatorQueries.unpivotMelt(s, d),
+      Some(OperatorQueries.unpivotMeltOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

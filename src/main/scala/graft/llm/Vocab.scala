@@ -149,6 +149,77 @@ object Vocab {
       |    / CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS DOUBLE) AS p_ml
       |FROM c""".stripMargin
 
+  /** Per-document language-model quality score — the KenLM-style
+    * perplexity filter of a production corpus pipeline (CCNet, Gopher),
+    * re-expressed without libm so the score itself survives the
+    * cross-engine gate: instead of mean log-probability (whose `ln`
+    * ULP drift would hostage the hash, the [[graft.llm.TextAnalysis]]
+    * tfidf lesson) the score is the MEAN MAXIMUM-LIKELIHOOD BIGRAM
+    * PROBABILITY under the corpus's own [[bigramLm]] — each p is one
+    * IEEE division of exact integer counts, rounded to 9 dp and summed
+    * as DECIMAL(28,9) (the χ² convention), and the mean is one final
+    * shared-verbatim division.  Monotone-equivalent for FILTERING
+    * (boilerplate scores high, incoherent token soup scores low); a
+    * held-out LM table drops in by swapping the `lm` input.
+    *
+    * Scale: the exploded (doc, w1, w2) stream localCheckpoints once and
+    * feeds BOTH the LM build (vocab²-bounded aggregate + per-w1 window
+    * over aggregated rows) and the scoring join — one corpus explode,
+    * one (w1, w2) equi-join keyed by content (broadcast when the LM
+    * fits, SMJ otherwise), one doc-keyed aggregate.  Single-token
+    * documents carry no bigram and drop by construction. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
+    val pairs = Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
+      .filter(expr("size(split(bigram, ' ')) = 2"))
+      .select(col("doc_id"),
+        expr("split(bigram, ' ')[0]").as("w1"),
+        expr("split(bigram, ' ')[1]").as("w2"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("w1"))
+    val lm = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_context", sum(col("c_bigram")).over(w))
+    pairs.join(lm, Seq("w1", "w2"))
+      .withColumn("p", expr(
+        "CAST(ROUND(CAST(c_bigram AS DOUBLE) / CAST(c_context AS DOUBLE), 9) " +
+          "AS DECIMAL(28,9))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(p) AS DECIMAL(38,9))").as("sum_p"))
+      .withColumn("lm_score", expr(
+        "ROUND(CAST(sum_p AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)"))
+  }
+
+  val lmScoreOracle: String =
+    """WITH bg AS (
+      |  SELECT doc_id, UNNEST(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    j -> array_to_string(list_slice(string_split(text, ' '), j, j + 1),
+      |                         ' '))) AS bigram
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, string_split(bigram, ' ')[1] AS w1,
+      |         string_split(bigram, ' ')[2] AS w2
+      |  FROM bg WHERE len(string_split(bigram, ' ')) = 2),
+      |c AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM sp GROUP BY 1, 2),
+      |lm AS (
+      |  SELECT w1, w2, c_bigram,
+      |    SUM(c_bigram) OVER (PARTITION BY w1) AS c_context
+      |  FROM c),
+      |scored AS (
+      |  SELECT sp.doc_id,
+      |    CAST(ROUND(CAST(c_bigram AS DOUBLE) / CAST(c_context AS DOUBLE), 9)
+      |      AS DECIMAL(28,9)) AS p
+      |  FROM sp JOIN lm USING (w1, w2))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p) AS DECIMAL(38,9)) AS sum_p,
+      |  ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS lm_score
+      |FROM scored GROUP BY 1""".stripMargin
+
   /** Fuzzy vocabulary matching: token pairs within edit distance
     * `maxDist` — typo/variant clustering for tokenizer vocab cleanup
     * (merge "scan"/"span" classes before assigning merges).  The

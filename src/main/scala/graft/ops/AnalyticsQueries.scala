@@ -743,6 +743,78 @@ object AnalyticsQueries {
         max(col("q3_cents")).as("q3_cents"))
   }
 
+  /** 10 %-trimmed mean per group — the robust-location summary between
+    * the plain mean (outlier-hostage) and the median (discards 98 % of
+    * the sample): drop everything outside [p10, p90] and average the
+    * rest.  Completes the robust-stats family next to [[mad]] (robust
+    * spread) and [[outliers]] (fence flags), built the same way its
+    * siblings' scale variants are: BOTH trim boundaries come from ONE
+    * `q_sketch_multi` group aggregate (mergeable, map-side partials —
+    * never a per-group rank window), the trimmed aggregation is exact
+    * integer cents, and the mean is one shared-verbatim IEEE division
+    * (ROUND 6).  Boundary rows are KEPT (closed interval) — with the
+    * engine-wide ⌈p·n⌉ discrete-quantile convention both engines trim
+    * the identical row set, so counts and mean hash-match.  Exact
+    * regime at gate scales (cap 2^20 ≥ every group); the bounded-cap
+    * production regime is gated by [[quantileSketchCapped]].
+    *
+    * Scale: sketch agg (one exchange) → broadcast fence join → one
+    * more group aggregate.  Same topology as [[outliersSketch]]. */
+  def trimmedMean(spark: SparkSession, dir: String,
+      cap: Int = 1 << 20): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val cents = Sources.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+          .as("cents"))
+    val fences = cents.groupBy(col("l_returnflag"))
+      .agg(expr(s"q_sketch_multi(cents, array(0.1D, 0.9D), $cap)").as("qs"))
+      .select(col("l_returnflag"),
+        expr("qs[0]").as("lo_cents"), expr("qs[1]").as("hi_cents"))
+    cents.join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("cents").between(col("lo_cents"), col("hi_cents")), 1))
+          .as("n_kept"),
+        sum(when(col("cents").between(col("lo_cents"), col("hi_cents")),
+          col("cents"))).as("kept_cents"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_kept"),
+        col("lo_cents"), col("hi_cents"),
+        expr("ROUND(CAST(kept_cents AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)")
+          .as("trimmed_mean_cents"))
+  }
+
+  /** Exact rank-walk mirror: boundaries via the engine-wide ⌈p·n⌉
+    * discrete-quantile convention (the [[outliers]] oracle shape). */
+  val trimmedMeanOracle: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag,
+       |    CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT) AS cents
+       |  FROM lineitem),
+       |rk AS (
+       |  SELECT l_returnflag, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM r),
+       |f AS (
+       |  SELECT l_returnflag,
+       |    MIN(CASE WHEN rn >= CEIL(0.1 * n) THEN cents END) AS lo_cents,
+       |    MIN(CASE WHEN rn >= CEIL(0.9 * n) THEN cents END) AS hi_cents
+       |  FROM rk GROUP BY 1)
+       |SELECT rk.l_returnflag, COUNT(*) AS n_rows,
+       |  COUNT(CASE WHEN cents BETWEEN lo_cents AND hi_cents THEN 1 END)
+       |    AS n_kept,
+       |  MAX(lo_cents) AS lo_cents, MAX(hi_cents) AS hi_cents,
+       |  ROUND(CAST(SUM(CASE WHEN cents BETWEEN lo_cents AND hi_cents
+       |                      THEN cents END) AS DOUBLE)
+       |    / CAST(COUNT(CASE WHEN cents BETWEEN lo_cents AND hi_cents
+       |                      THEN 1 END) AS DOUBLE), 6)
+       |    AS trimmed_mean_cents
+       |FROM rk JOIN f ON rk.l_returnflag = f.l_returnflag
+       |GROUP BY 1""".stripMargin
+
   /** Two-proportion A/B test over the event stream: users split by id
     * parity (the deterministic stand-in for an experiment assignment
     * column), conversion = the user ever fired a high-value purchase

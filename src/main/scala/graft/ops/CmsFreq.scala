@@ -89,6 +89,87 @@ object CmsFreq {
         (col("cms_est") >= col("exact_n")).as("overcount_ok"))
   }
 
+  /** Join-cardinality estimation by CMS inner product (Cormode &
+    * Muthukrishnan 2005 §4.2, the AMS F₂ idea carried into the CM grid):
+    * |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), and the grid estimate is
+    * min over rows i of Σ_b gridA[i,b]·gridB[i,b] — never an
+    * undercount, because every true (k, k) match lands in the same cell
+    * of every row while collisions only ADD cross terms.  This is the
+    * sketch a planner consults to size a join BEFORE running it.
+    *
+    * The registered query estimates the view ⋈ purchase user_id join —
+    * the conversion join [[graft.streaming.EventsStream]] actually runs —
+    * and emits the exact size beside the estimate with the one-sided
+    * contract `cms_est ≥ exact`, all exact integers, so the estimate
+    * itself hash-checks cross-engine (the [[cmsFreq]] convention; the
+    * exact side is gate scaffolding — production keeps only the two
+    * 256-cell grids).
+    *
+    * Scale: each grid is a map-side ≤ D·W-cell aggregate over its
+    * filtered scan — NO key-wise shuffle on either input, the whole
+    * point of estimating instead of joining; the inner product joins two
+    * broadcast 256-cell tables.  Cell products here stay far inside
+    * int64 (≤ (n/W)² · W per row); at 100 TB widen W (which also
+    * tightens the ε = e/W error) or lift cells to DECIMAL before the
+    * product.  The exact side pays the one user_id shuffle the estimate
+    * avoids — which is exactly the comparison the query demonstrates.
+    */
+  def joinSize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.events(spark, dir)
+    def keysOf(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id").as("k"))
+    val gridA = countersOf(keysOf("view"))
+    val gridB = countersOf(keysOf("purchase"))
+    val ip = gridA.join(gridB.withColumnRenamed("c", "c2"), Seq("i", "b"))
+      .groupBy(col("i"))
+      .agg(sum(col("c") * col("c2")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val perUser = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("n_v"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_p"))
+    val exact = perUser
+      .agg(sum(col("n_v") * col("n_p")).as("exact_join_rows"),
+        sum(col("n_v")).as("n_view"), sum(col("n_p")).as("n_purchase"))
+    exact.crossJoin(broadcast(ip))
+      .select(col("n_view"), col("n_purchase"), col("exact_join_rows"),
+        col("cms_est"), (col("cms_est") >= col("exact_join_rows"))
+          .as("overcount_ok"))
+  }
+
+  val joinSizeOracle: String = {
+    val cellB = Mix31.duckSql(s"(user_id * $D + i)")
+    s"""WITH ids AS (SELECT UNNEST(generate_series(0, ${D - 1})) AS i),
+       |ga AS (
+       |  SELECT i, ($cellB) % $W AS b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events CROSS JOIN ids WHERE event_type = 'view'
+       |  GROUP BY 1, 2),
+       |gb AS (
+       |  SELECT i, ($cellB) % $W AS b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events CROSS JOIN ids WHERE event_type = 'purchase'
+       |  GROUP BY 1, 2),
+       |ip AS (
+       |  SELECT ga.i, SUM(ga.c * gb.c) AS ip
+       |  FROM ga JOIN gb ON ga.i = gb.i AND ga.b = gb.b GROUP BY 1),
+       |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM ip),
+       |pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_v,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p
+       |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+       |ex AS (
+       |  SELECT CAST(SUM(n_v * n_p) AS BIGINT) AS exact_join_rows,
+       |    CAST(SUM(n_v) AS BIGINT) AS n_view,
+       |    CAST(SUM(n_p) AS BIGINT) AS n_purchase
+       |  FROM pu)
+       |SELECT n_view, n_purchase, exact_join_rows, cms_est,
+       |  cms_est >= exact_join_rows AS overcount_ok
+       |FROM ex, est""".stripMargin
+  }
+
   val cmsFreqOracle: String = {
     val cellB = Mix31.duckSql(s"(user_id * $D + i)")
     val probeB = Mix31.duckSql(s"(p.user_id * $D + i.i)")

@@ -651,4 +651,25 @@ object OperatorQueries {
        |  AND o_orderdate >= TIMESTAMP '$yearStart'
        |  AND o_orderdate < TIMESTAMP '$yearStart' + INTERVAL 1 YEAR
        |GROUP BY 1""".stripMargin
+
+  /** Unpivot (melt) — [[AnalyticsQueries.pivot]]'s dual, the wide→narrow
+    * reshaping every report-table ingest needs: the registered query
+    * melts the pivot's own (mes, A, N, R) output back to (mes, flag,
+    * receita) rows through Spark's native `unpivot` (Catalyst `Expand` —
+    * each input row fans to the 3 value columns in-place, no shuffle
+    * beyond the pivot's own aggregate).  NULL cells are dropped (the
+    * melt convention, and DuckDB UNPIVOT's default), so the round trip
+    * is EXACTLY the plain GROUP BY — which is the oracle: greenness
+    * proves unpivot ∘ pivot ≡ identity on the aggregate, the same
+    * result-invariance trick as [[graft.ops.BloomPrune]]. */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.pivot(spark, dir)
+      .unpivot(Array(col("mes")),
+        Array(col("A"), col("N"), col("R")), "l_returnflag", "receita")
+      .filter(col("receita").isNotNull)
+
+  val unpivotMeltOracle: String =
+    s"""SELECT ${Frag.mes("l_shipdate")} AS mes, l_returnflag,
+       |  ${Frag.sumMoney(Frag.money("l_extendedprice"))} AS receita
+       |FROM lineitem GROUP BY 1, 2""".stripMargin
 }

@@ -64,4 +64,45 @@ class CmsSpec extends SparkSpec {
     val b = CmsFreq.cmsFreq(spark, Sf001).collect().map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  /** Inner product of two grids the way [[CmsFreq.joinSize]] computes it. */
+  private def gridInnerProduct(a: Seq[Long], b: Seq[Long]): Long = {
+    val ga = CmsFreq.countersOf(keysDf(a))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gb = CmsFreq.countersOf(keysDf(b))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until CmsFreq.D).map { i =>
+      ga.collect { case ((gi, bk), c) if gi == i =>
+        c * gb.getOrElse((i, bk), 0L)
+      }.sum
+    }.min
+  }
+
+  test("join-size inner product is exact for a lone shared key") {
+    // One key on both sides: every cell of every row holds only its own
+    // cross mass, so min over rows is exactly f_A · f_B.
+    assert(gridInnerProduct(Seq.fill(3)(42L), Seq.fill(5)(42L)) === 15L)
+  }
+
+  test("join-size estimate never undercounts the true join cardinality") {
+    val a = (0L until 200L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
+    val b = (100L until 300L).flatMap(k => Seq.fill((k % 2 + 1).toInt)(k))
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong)
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong)
+    val exact = fa.keys.toSeq.map(k => fa(k) * fb.getOrElse(k, 0L)).sum
+    assert(gridInnerProduct(a, b) >= exact)
+  }
+
+  test("the registered join-size query holds its one-sided contract") {
+    val r = CmsFreq.joinSize(spark, "/root/testdata/sf0.01").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getBoolean(row.fieldIndex("overcount_ok")))
+    val exact = row.getLong(row.fieldIndex("exact_join_rows"))
+    val est = row.getLong(row.fieldIndex("cms_est"))
+    assert(est >= exact && exact > 0)
+    // 150 users over 64 buckets collide: the gate scale must exercise
+    // the genuinely approximate regime, not the trivial exact one.
+    assert(est > exact, "estimate equals exact: approximate regime not engaged")
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.ops.Concentration
+
+/** Herfindahl concentration: hand-computed index values on constructed
+  * order books, plus the structural invariants on the real corpus (the
+  * gate proves cross-engine equality; this pins the semantics). */
+class ConcentrationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Write a minimal orders table (the three columns hhi reads) into a
+    * temp dir and score it. */
+  private def hhiOf(rows: Seq[(String, Long, Double)]) = {
+    val dir = Files.createTempDirectory("graft_hhi_").toString
+    rows.map { case (d, c, v) => (Timestamp.valueOf(d + " 00:00:00"), c, v) }
+      .toDF("o_orderdate", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Concentration.hhi(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+  }
+
+  test("a single-customer month is perfect concentration: hhi = 1") {
+    val got = hhiOf(Seq(("2024-01-05", 7L, 100.0), ("2024-01-20", 7L, 50.0)))
+    val r = got("2024-01-01")
+    assert(r.getLong(r.fieldIndex("n_customers")) === 1L)
+    assert(r.getDouble(r.fieldIndex("hhi")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("top1_share")) === 1.0)
+  }
+
+  test("two equal customers halve the index; shares follow the split") {
+    val got = hhiOf(Seq(
+      ("2024-02-01", 1L, 100.0), ("2024-02-15", 2L, 100.0),
+      // A second month with a 3:1 split: hhi = (9 + 1) / 16.
+      ("2024-03-01", 1L, 300.0), ("2024-03-15", 2L, 100.0)))
+    val feb = got("2024-02-01")
+    assert(feb.getDouble(feb.fieldIndex("hhi")) === 0.5)
+    assert(feb.getDouble(feb.fieldIndex("top1_share")) === 0.5)
+    val mar = got("2024-03-01")
+    assert(mar.getDouble(mar.fieldIndex("hhi")) === 0.625)
+    assert(mar.getDouble(mar.fieldIndex("top1_share")) === 0.75)
+  }
+
+  test("real-corpus invariants: 1/n ≤ hhi ≤ top1 ≤ 1 and totals tile") {
+    val rows = Concentration.hhi(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_customers"))
+      val hhi = r.getDouble(r.fieldIndex("hhi"))
+      val top1 = r.getDouble(r.fieldIndex("top1_share"))
+      assert(n > 0)
+      // 1/n is the perfectly-even floor; top1 ≥ hhi ≥ top1² always
+      // (Σ s² ≤ max·Σ s = top1, and Σ s² ≥ top1²); ROUND 6 gives slack.
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9)
+      assert(top1 + 1e-6 >= hhi && hhi + 1e-6 >= top1 * top1)
+    }
+    // The month cents must tile the corpus total exactly (integers).
+    val total = rows.map(r => r.getLong(r.fieldIndex("cents"))).sum
+    val want = graft.core.Sources.orders(spark, Sf001)
+      .selectExpr("CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT) AS c")
+      .collect().head.getLong(0)
+    assert(total === want)
+  }
+}

@@ -105,4 +105,21 @@ class OperatorQueriesSpec extends SparkSpec {
       assert(periodo.head == r.getDate(r.fieldIndex("primeira")))
     }
   }
+
+  test("unpivot melts the pivot back to the plain group-by, exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val melted = OperatorQueries.unpivotMelt(spark, Sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getDecimal(2)).toMap
+    val direct = graft.core.Sources.lineitem(spark, Sf001)
+      .groupBy(expr(graft.core.Frag.mes("l_shipdate")).as("mes"),
+        col("l_returnflag"))
+      .agg(expr(graft.core.Frag.sumMoney(
+        graft.core.Frag.money("l_extendedprice"))).as("receita"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getDecimal(2)).toMap
+    assert(melted === direct)
+    // The melt must drop NULL cells: every surviving row is a real group.
+    assert(melted.keySet === direct.keySet)
+  }
 }

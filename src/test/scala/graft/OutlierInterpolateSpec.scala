@@ -105,4 +105,32 @@ class OutlierInterpolateSpec extends SparkSpec {
     }
     assert(checkedGap, "sf0.001 must actually exercise interior gaps")
   }
+
+  test("trimmed mean matches a brute-force ⌈p·n⌉ trim-and-average") {
+    val rows = graft.core.Sources.lineitem(spark, Sf001)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = AnalyticsQueries.trimmedMean(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      def pick(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      val (lo, hi) = (pick(0.1), pick(0.9))
+      val kept = sorted.filter(c => c >= lo && c <= hi)
+      val r = got(flag)
+      assert(r.getLong(r.fieldIndex("n_rows")) === n)
+      assert(r.getLong(r.fieldIndex("lo_cents")) === lo)
+      assert(r.getLong(r.fieldIndex("hi_cents")) === hi)
+      assert(r.getLong(r.fieldIndex("n_kept")) === kept.length)
+      val want = BigDecimal(kept.sum.toDouble / kept.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(r.fieldIndex("trimmed_mean_cents")) === want)
+      // The trim must bite from BOTH ends at sf0.001 — otherwise the
+      // test pins only the degenerate keep-everything regime.
+      assert(kept.length < n)
+      assert(kept.head > sorted.head && kept.last < sorted.last)
+    }
+  }
 }

@@ -192,4 +192,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(twice === cases.map(_._2))
   }
+
+  test("lm score matches a driver-side bigram-LM recomputation") {
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val bigrams = docs.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+    val cBigram = bigrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cContext = cBigram.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    def p(bg: (String, String)): BigDecimal =
+      BigDecimal(cBigram(bg).toDouble / cContext(bg._1).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val got = graft.llm.Vocab.lmScore(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // Every multi-token doc appears; single-token docs drop.
+    assert(got.keySet === bigrams.filter(_._2.nonEmpty).keySet)
+    bigrams.filter(_._2.nonEmpty).foreach { case (id, bgs) =>
+      val r = got(id)
+      val sumP = bgs.map(p).sum
+      assert(r.getLong(r.fieldIndex("n_bigrams")) === bgs.length.toLong)
+      assert(BigDecimal(r.getDecimal(r.fieldIndex("sum_p"))) === sumP)
+      val want = BigDecimal(sumP.toDouble / bgs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(r.fieldIndex("lm_score")) === want)
+      // An ML bigram probability is in (0, 1]; so is its mean.
+      val s = r.getDouble(r.fieldIndex("lm_score"))
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // The score must discriminate at sf0.001 — all-equal scores would
+    // mean the filter carries no signal on the real corpus.
+    val scores = got.values.map(r => r.getDouble(r.fieldIndex("lm_score")))
+    assert(scores.toSet.size > 1)
+  }
 }
