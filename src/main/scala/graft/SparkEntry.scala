@@ -536,7 +536,10 @@ object SparkEntry {
       Some(llm.Vocab.lmScoreOracle)),
     Q("q_ops_unpivot", // melt the pivot back: unpivot ∘ pivot ≡ GROUP BY
       (s, d) => OperatorQueries.unpivotMelt(s, d),
-      Some(OperatorQueries.unpivotMeltOracle)))
+      Some(OperatorQueries.unpivotMeltOracle)),
+    Q("q_llm_sample_kmv", // exactly-k per-lang sample via the KMV sketch
+      (s, d) => llm.Sampling.sampleKmv(s, d),
+      Some(llm.Sampling.sampleKmvOracle())))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

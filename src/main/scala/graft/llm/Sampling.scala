@@ -240,4 +240,49 @@ object Sampling {
        |    AS pos
        |FROM (SELECT doc_id, lang, ${Mix31.duckSql("doc_id")} AS skey
        |      FROM documents) t""".stripMargin
+
+  /** EXACTLY-k per-stratum uniform sample via the engine's own KMV
+    * sketch ([[graft.functions.KmvSketch]]) — bottom-k-by-hash sampling
+    * (Beyer et al. 2007's k-minimum-values read as a SAMPLER: the k
+    * smallest values of a fixed pseudo-random permutation of the keys
+    * ARE a uniform k-subset).  [[stratifiedSample]]'s mod-threshold is
+    * Bernoulli — the per-language COUNT varies run-to-run-of-the-data;
+    * this gives the exact-size sample an eval-set builder needs, and
+    * stays fully deterministic/mergeable where a `rank() ≤ k` window
+    * would serialize each language into one sort task.
+    *
+    * Exactness: doc_ids live below 2³¹ and [[Mix31]] is a BIJECTION on
+    * that domain (xorshift and odd-constant multiplication mod 2³¹ are
+    * each invertible), so per-language hashes are collision-free —
+    * every language yields exactly min(k, n_lang) documents, and the
+    * DuckDB mirror (dense-rank over distinct hashes) selects the
+    * identical set.
+    *
+    * Scale: ObjectHashAggregate KMV partials (≤ 8k bytes per
+    * (partition, lang)) → one #langs-row exchange → the sampled hash
+    * set broadcasts back onto the scan-side computed hash column — the
+    * corpus itself never shuffles, no per-language sort anywhere. */
+  def sampleKmv(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    graft.functions.KmvSketch.register(spark)
+    val docs = Sources.documents(spark, dir)
+    val picked = docs.groupBy(col("lang"))
+      .agg(expr(s"kmv_sketch(doc_id, $k)").as("sk"))
+      .select(col("lang"), explode(col("sk")).as("h"))
+    docs.withColumn("h", expr(Mix31.sparkSql("doc_id")))
+      .join(broadcast(picked), Seq("lang", "h"))
+      .select(col("lang"), col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  def sampleKmvOracle(k: Int = 32): String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id, source, n_chars,
+       |    ${Mix31.duckSql("doc_id")} AS h
+       |  FROM documents),
+       |rk AS (
+       |  SELECT lang, h,
+       |    DENSE_RANK() OVER (PARTITION BY lang ORDER BY h) AS rk
+       |  FROM (SELECT DISTINCT lang, h FROM h) t)
+       |SELECT h.lang, h.doc_id, h.source, h.n_chars
+       |FROM h JOIN rk ON h.lang = rk.lang AND h.h = rk.h
+       |WHERE rk.rk <= $k""".stripMargin
 }

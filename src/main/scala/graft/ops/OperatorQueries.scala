@@ -388,7 +388,13 @@ object OperatorQueries {
     * ROW_NUMBER() = 1 window, so the aggregate and window formulations
     * hash-matching is itself a check of the tie-break logic. */
   def keepLatest(spark: SparkSession, dir: String): DataFrame =
-    Sources.events(spark, dir)
+    keepLatestOf(Sources.events(spark, dir))
+
+  /** The MAX-of-struct compaction over any (user_id, event_type,
+    * event_id, ts, value) frame — shared with the streaming CDC sink
+    * ([[graft.streaming.EventsStream.writeCdcUpsert]]) and its spec. */
+  private[graft] def keepLatestOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
       .select(col("user_id"), col("event_type"),

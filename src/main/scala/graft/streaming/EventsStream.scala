@@ -529,4 +529,54 @@ object EventsStream {
        |JOIN (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY 1) l
        |  ON a.user_id = l.user_id AND a.sid < l.last_sid""".stripMargin
   }
+
+  /** Compact an event batch to its latest row per (user_id, event_type)
+    * — [[graft.ops.OperatorQueries.keepLatest]]'s MAX-of-struct form,
+    * shared by the streaming CDC sink below and its spec. */
+  private def latestPerKey(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("event_id"), col("last.ts").as("ts"),
+        col("last.value").as("value"))
+
+  /** Streaming CDC upsert — the end-to-end change-data pipeline: each
+    * micro-batch compacts to its latest row per key and upserts into a
+    * parquet table through [[graft.core.Sinks.merge]], so the table IS
+    * the stream's keepLatest view at every commit.
+    *
+    * The correctness subtlety this encodes (and the spec pins): a LATE
+    * batch can carry an OLDER version of a stored key, and a naive
+    * merge would regress the row.  Resolution happens against the
+    * store — the batch's survivors union the CURRENTLY STORED rows for
+    * the same keys and keepLatest runs over both, so the stored newer
+    * version wins and the upsert is monotone in (ts, event_id).  Cost
+    * per batch: one batch-sized aggregate + a stored-side semi-join on
+    * the BATCH's keys (partition-prunable on a key-partitioned table)
+    * — never a full-table rewrite of untouched keys' history, which is
+    * exactly the Delta/Iceberg MERGE access pattern.
+    */
+  def writeCdcUpsert(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestPerKey(batch.toDF())
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+          latest.write.mode("overwrite").parquet(path)
+        else {
+          val keys = Seq("user_id", "event_type")
+          val stored = spark.read.parquet(path)
+            .join(latest.select(keys.map(col): _*).distinct(), keys,
+              "left_semi")
+          val resolved = latestPerKey(stored.unionByName(latest))
+          graft.core.Sinks.merge(spark, path, resolved, keys)
+        }
+        ()
+      }
+      .start()
 }

@@ -115,7 +115,14 @@ class DegenerateInputsSpec extends SparkSpec {
     // Epoch-grid and audit paths over empty inputs.
     "q_an_heatmap", "q_ops_surrogate_keys",
     // The zero-variance NULLIF denominator on degenerate series.
-    "q_an_autocorr")
+    "q_an_autocorr",
+    // Continuation additions: the grid inner product with zero cells on
+    // either side, Σc²/T² with a zero or single-customer month, sketch
+    // fences over empty groups, the LM join over a bigram-free corpus,
+    // the Expand melt of an empty pivot, and the KMV sampler over
+    // empty/singleton strata.
+    "q_an_cms_join_size", "q_an_hhi", "q_an_trimmed_mean",
+    "q_text_lm_score", "q_ops_unpivot", "q_llm_sample_kmv")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

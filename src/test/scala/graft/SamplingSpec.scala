@@ -115,4 +115,27 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("sampleKmv draws exactly min(k, n) docs per language, bottom-k by hash") {
+    val k = 7
+    val got = Sampling.sampleKmv(spark, dir, k = k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = graft.core.Sources.documents(spark, dir)
+      .selectExpr("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // Brute force: the k smallest mix31 hashes per language.
+    val want = all.groupBy(_._1).toSeq.flatMap { case (lang, docs) =>
+      docs.map(_._2).sortBy(graft.functions.Mix31.mix)
+        .take(k).map(lang -> _).toSeq
+    }.toSet
+    assert(got.toSet === want)
+    got.groupBy(_._1).foreach { case (lang, xs) =>
+      val n = all.count(_._1 == lang)
+      assert(xs.length === math.min(k, n), s"lang $lang")
+    }
+    // Determinism: a rerun draws the identical sample.
+    val again = Sampling.sampleKmv(spark, dir, k = k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again === got.toSet)
+  }
 }

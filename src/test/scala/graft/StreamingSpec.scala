@@ -383,4 +383,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(starts.forall(_ % 43200 == 0))
   }
+
+  test("CDC upsert sink maintains the keepLatest view across late micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_cdc_out")
+      .toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "view", 2.0),
+      (3L, ts("2024-01-01 12:00:00"), 8L, "click", 3.0))
+    val b2 = Seq( // advances (7, click); new key (9, view)
+      (4L, ts("2024-01-02 09:00:00"), 7L, "click", 4.0),
+      (5L, ts("2024-01-02 10:00:00"), 9L, "view", 5.0))
+    val b3 = Seq( // LATE: older than the stored (7, click) — must NOT regress
+      (6L, ts("2024-01-01 09:00:00"), 7L, "click", 99.0),
+      // Same-ts tie on (8, click): event_id decides, 7 > 3.
+      (7L, ts("2024-01-01 12:00:00"), 8L, "click", 6.0))
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStream.writeCdcUpsert(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      out, ckpt)
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      stream.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val table = spark.read.parquet(out)
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    // The batch truth: keepLatest over ALL rows regardless of arrival order.
+    val want = graft.ops.OperatorQueries.keepLatestOf(
+      (b1 ++ b2 ++ b3)
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    assert(table == want)
+    // The late row specifically lost: (7, click) kept the day-2 version.
+    val sevenClick = table.find(r => r.head == 7L && r(1) == "click").get
+    assert(sevenClick.contains(4L), s"late data regressed the row: $sevenClick")
+  }
 }
