@@ -539,7 +539,13 @@ object SparkEntry {
       Some(OperatorQueries.unpivotMeltOracle)),
     Q("q_llm_sample_kmv", // exactly-k per-lang sample via the KMV sketch
       (s, d) => llm.Sampling.sampleKmv(s, d),
-      Some(llm.Sampling.sampleKmvOracle())))
+      Some(llm.Sampling.sampleKmvOracle())),
+    Q("q_text_rake", // RAKE keyphrases: stopword-free runs, deg/freq
+      (s, d) => llm.TextAnalysis.rake(s, d),
+      Some(llm.TextAnalysis.rakeOracle())),
+    Q("q_an_runs_test", // Wald–Wolfowitz randomness of daily deltas
+      (s, d) => graft.ops.Changepoint.runsTest(s, d),
+      Some(graft.ops.Changepoint.runsTestOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

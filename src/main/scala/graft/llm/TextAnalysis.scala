@@ -439,4 +439,101 @@ object TextAnalysis {
        |  FROM s)
        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score
        |FROM r WHERE rnk <= $topK""".stripMargin
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — per-document top-K
+    * candidate phrases, the multi-word complement to [[tfidf]]'s
+    * single-token characteristic terms: candidate phrases are maximal
+    * stopword-free token runs (gaps-and-islands on a running stopword
+    * count — the [[graft.streaming.EventsStream]] sessionize shape
+    * applied to token positions), each word scores deg/freq within its
+    * document (deg = Σ length of the phrases its occurrences sit in),
+    * and a phrase scores the sum of its words' scores.
+    *
+    * Gate determinism: word scores are 9-dp-rounded DECIMALs and phrase
+    * scores their EXACT decimal sums (the χ²/BM25 convention), so the
+    * (score DESC, phrase, phrase_id) ranking is a total order both
+    * engines sort identically; the stopword list is the engine-wide
+    * five-word set [[quality]] counts, shared verbatim.
+    *
+    * Scale: one corpus explode, localCheckpointed once (the [[Vocab]]
+    * lmScore convention) and consumed by the phrase, word-score, and
+    * phrase-score aggregations; every window and aggregate keys on
+    * doc_id (+phrase/word) — per-document state only, no global
+    * structure anywhere. */
+  def rake(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = "'the', 'and', 'of', 'a', 'to'"
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("is_stop", expr(s"word IN ($stops)"))
+      .withColumn("phrase_id", sum(col("is_stop").cast("int")).over(runW))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("phrase_id"), col("pos"), col("word"))
+      .localCheckpoint()
+    val phrases = words.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, word))), s -> s.word), ' ')").as("phrase"))
+    val wordScores = words
+      .join(phrases.select("doc_id", "phrase_id", "plen"),
+        Seq("doc_id", "phrase_id"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr(
+        "CAST(ROUND(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 9) " +
+          "AS DECIMAL(28,9))"))
+    val phraseScores = words
+      .join(wordScores.select("doc_id", "word", "wscore"),
+        Seq("doc_id", "word"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(expr("CAST(SUM(wscore) AS DECIMAL(38,9))").as("score"))
+      .join(phrases, Seq("doc_id", "phrase_id"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase").asc, col("phrase_id").asc)
+    phraseScores.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("phrase"), col("plen"), col("score"))
+  }
+
+  def rakeOracle(topK: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, j AS pos, string_split(text, ' ')[j] AS word
+       |  FROM documents,
+       |    UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(j)),
+       |m AS (
+       |  SELECT doc_id, pos, word,
+       |    word IN ('the', 'and', 'of', 'a', 'to') AS is_stop,
+       |    SUM(CASE WHEN word IN ('the', 'and', 'of', 'a', 'to')
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS phrase_id
+       |  FROM toks),
+       |w AS (SELECT doc_id, phrase_id, pos, word FROM m WHERE NOT is_stop),
+       |ph AS (
+       |  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen,
+       |    STRING_AGG(word, ' ' ORDER BY pos) AS phrase
+       |  FROM w GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT w.doc_id, w.word,
+       |    CAST(ROUND(CAST(SUM(ph.plen) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(28,9)) AS wscore
+       |  FROM w JOIN ph USING (doc_id, phrase_id) GROUP BY 1, 2),
+       |ps AS (
+       |  SELECT w.doc_id, w.phrase_id,
+       |    CAST(SUM(ws.wscore) AS DECIMAL(38,9)) AS score
+       |  FROM w JOIN ws ON w.doc_id = ws.doc_id AND w.word = ws.word
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT ps.doc_id, ph.phrase, ph.plen, ps.score,
+       |    ROW_NUMBER() OVER (PARTITION BY ps.doc_id
+       |                       ORDER BY ps.score DESC, ph.phrase ASC,
+       |                                ps.phrase_id ASC) AS rnk
+       |  FROM ps JOIN ph ON ps.doc_id = ph.doc_id
+       |                 AND ps.phrase_id = ph.phrase_id)
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, phrase, plen, score
+       |FROM r WHERE rnk <= $topK""".stripMargin
 }

@@ -133,4 +133,88 @@ object Changepoint {
        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day,
        |  CAST(s_abs AS BIGINT) AS cusum_abs
        |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Wald–Wolfowitz runs test per event-type revenue series — "are the
+    * day-over-day ups and downs RANDOM, or does the series trend/
+    * oscillate": too few sign runs ⇒ momentum, too many ⇒ mean
+    * reversion.  The third member of the series-forensics family
+    * ([[cusum]] finds the level shift, [[anomalyDays]] the outlier day;
+    * this scores the sequence's randomness itself).
+    *
+    * All counts are exact integers from one LAG over the aggregated day
+    * cells (zero deltas drop — the standard tie handling); E[R] =
+    * 1 + 2·n₁·n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) evaluate in
+    * one shared-verbatim IEEE chain with an exact sqrt (the
+    * [[AnalyticsQueries.abTest]] recipe), NULLIF-guarding the
+    * one-sided (n₁·n₂ = 0) and single-delta regimes.  Scale: day-cells
+    * aggregate (one shuffle) + per-type windows over cells + #types-row
+    * rollup. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOf(Sources.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("cents")))
+
+  private[graft] def runsTestOf(daily: DataFrame): DataFrame = {
+    val wLag = Window.partitionBy("event_type").orderBy("day")
+    val signs = daily
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(wLag))
+      .filter(col("delta").isNotNull && col("delta") =!= 0)
+      .withColumn("sign", when(col("delta") > 0, 1).otherwise(-1))
+      .withColumn("prev_sign", lag(col("sign"), 1).over(wLag))
+      .withColumn("run_start",
+        (col("prev_sign").isNull || col("sign") =!= col("prev_sign"))
+          .cast("long"))
+    signs.groupBy(col("event_type"))
+      .agg(count(when(col("sign") === 1, 1)).as("n_up"),
+        count(when(col("sign") === -1, 1)).as("n_down"),
+        sum(col("run_start")).as("n_runs"))
+      .withColumn("e_runs", expr(RunsERuns))
+      .withColumn("z", expr(RunsZ))
+  }
+
+  /** Shared verbatim with the oracle: expectation and z over exact
+    * integer counts (the abTest chain discipline). */
+  private val RunsERuns =
+    "ROUND(CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE) * CAST(n_up AS DOUBLE) " +
+      "* CAST(n_down AS DOUBLE) " +
+      "/ CAST(NULLIF(n_up + n_down, 0) AS DOUBLE), 6)"
+  private val RunsZ =
+    "ROUND((CAST(n_runs AS DOUBLE) - (CAST(1 AS DOUBLE) " +
+      "+ CAST(2 AS DOUBLE) * CAST(n_up AS DOUBLE) " +
+      "* CAST(n_down AS DOUBLE) / CAST(NULLIF(n_up + n_down, 0) AS DOUBLE))) " +
+      "/ SQRT(CAST(NULLIF(2 * n_up * n_down " +
+      "* (2 * n_up * n_down - (n_up + n_down)), 0) AS DOUBLE) " +
+      "/ (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) " +
+      "* CAST(NULLIF(n_up + n_down - 1, 0) AS DOUBLE))), 6)"
+
+  val runsTestOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |d AS (
+       |  SELECT event_type, day,
+       |    cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY day)
+       |      AS delta
+       |  FROM daily),
+       |s AS (
+       |  SELECT event_type, day,
+       |    CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sign
+       |  FROM d WHERE delta IS NOT NULL AND delta <> 0),
+       |r AS (
+       |  SELECT event_type, sign,
+       |    CASE WHEN LAG(sign) OVER (PARTITION BY event_type ORDER BY day)
+       |              IS DISTINCT FROM sign THEN 1 ELSE 0 END AS run_start
+       |  FROM s),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(CASE WHEN sign = 1 THEN 1 END) AS BIGINT) AS n_up,
+       |    CAST(COUNT(CASE WHEN sign = -1 THEN 1 END) AS BIGINT) AS n_down,
+       |    CAST(SUM(run_start) AS BIGINT) AS n_runs
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, n_up, n_down, n_runs,
+       |  $RunsERuns AS e_runs,
+       |  $RunsZ AS z
+       |FROM agg""".stripMargin
 }

@@ -121,4 +121,46 @@ class ChangepointSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq ===
       again.map(_.toString).sorted.toSeq)
   }
+
+  private def runs(rows: Seq[(String, String, Long)]) =
+    Changepoint.runsTestOf(
+      rows.map { case (t, d, c) => (t, Date.valueOf(d), c) }
+        .toDF("event_type", "day", "cents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("runs test: alternating series maximizes runs, monotone minimizes") {
+    val days = (1 to 7).map(i => f"2024-01-0$i")
+    // alt: 0,10,0,10,0,10,0 → deltas +,-,+,-,+,- : 6 runs of length 1.
+    // mono: strictly increasing → 6 up deltas, 1 run.
+    val rows = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq(("alt", d, if (i % 2 == 0) 0L else 10L),
+        ("mono", d, i * 10L))
+    }
+    val got = runs(rows)
+    val alt = got("alt")
+    assert(alt.getLong(alt.fieldIndex("n_up")) === 3L)
+    assert(alt.getLong(alt.fieldIndex("n_down")) === 3L)
+    assert(alt.getLong(alt.fieldIndex("n_runs")) === 6L)
+    // E[R] = 1 + 2·3·3/6 = 4; oscillation ⇒ z > 0.
+    assert(alt.getDouble(alt.fieldIndex("e_runs")) === 4.0)
+    assert(alt.getDouble(alt.fieldIndex("z")) > 0.0)
+    val mono = got("mono")
+    assert(mono.getLong(mono.fieldIndex("n_up")) === 6L)
+    assert(mono.getLong(mono.fieldIndex("n_down")) === 0L)
+    assert(mono.getLong(mono.fieldIndex("n_runs")) === 1L)
+    // One-sided series: variance degenerates → NULL, not a throw.
+    assert(mono.isNullAt(mono.fieldIndex("z")))
+  }
+
+  test("runs test: zero deltas drop; ties and singles stay NULL-sane") {
+    val got = runs(Seq(
+      ("flat", "2024-01-01", 5L), ("flat", "2024-01-02", 5L),
+      ("flat", "2024-01-03", 5L),
+      ("one", "2024-01-01", 1L), ("one", "2024-01-02", 2L)))
+    // A constant series has no nonzero delta → no row at all.
+    assert(!got.contains("flat"))
+    val one = got("one")
+    assert(one.getLong(one.fieldIndex("n_runs")) === 1L)
+    assert(one.isNullAt(one.fieldIndex("z")))
+  }
 }

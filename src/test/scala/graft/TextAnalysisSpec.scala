@@ -226,4 +226,47 @@ class TextAnalysisSpec extends SparkSpec {
     val scores = got.values.map(r => r.getDouble(r.fieldIndex("lm_score")))
     assert(scores.toSet.size > 1)
   }
+
+  test("rake matches a driver-side recomputation of the full algorithm") {
+    val stops = Set("the", "and", "of", "a", "to")
+    val docs = graft.core.Sources.documents(spark, Sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // Phrases: maximal stopword-free runs, keyed by the running stop count.
+    val phrasesByDoc = docs.view.mapValues { toks =>
+      var sid = 0
+      val tagged = toks.map { t =>
+        if (stops(t)) { sid += 1; None } else Some((sid, t))
+      }.flatten
+      tagged.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }.toMap
+    val got = graft.llm.TextAnalysis.rake(spark, Sf001).collect()
+      .groupBy(_.getLong(0))
+    docs.keys.foreach { id =>
+      val phrases = phrasesByDoc(id)
+      if (phrases.nonEmpty) {
+        // Word scores: deg/freq within the document.
+        val occurrences = phrases.toSeq.flatMap { case (pid, ws) =>
+          ws.map(w => (w, ws.length, pid))
+        }
+        val wscore = occurrences.groupBy(_._1).map { case (w, os) =>
+          w -> BigDecimal(os.map(_._2).sum.toDouble / os.length)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val scored = phrases.toSeq.map { case (pid, ws) =>
+          (pid, ws.mkString(" "), ws.length.toLong, ws.map(wscore).sum)
+        }
+        val want = scored.sortBy { case (pid, phrase, _, score) =>
+          (-score, phrase, pid)
+        }.take(3).map { case (_, phrase, plen, score) =>
+          (phrase, plen, score)
+        }
+        val rows = got(id).sortBy(_.getInt(1)).toSeq
+        assert(rows.map(_.getInt(1)) === (1 to want.length), s"doc $id ranks")
+        val gotTriples = rows.map(r =>
+          (r.getString(2), r.getLong(3), BigDecimal(r.getDecimal(4))))
+        assert(gotTriples === want, s"doc $id top phrases")
+      } else assert(!got.contains(id), s"doc $id should have no phrases")
+    }
+  }
 }
