@@ -108,10 +108,10 @@ object CmsFreq {
     * Scale: each grid is a map-side ≤ D·W-cell aggregate over its
     * filtered scan — NO key-wise shuffle on either input, the whole
     * point of estimating instead of joining; the inner product joins two
-    * broadcast 256-cell tables.  Cell products here stay far inside
-    * int64 (≤ (n/W)² · W per row); at 100 TB widen W (which also
-    * tightens the ε = e/W error) or lift cells to DECIMAL before the
-    * product.  The exact side pays the one user_id shuffle the estimate
+    * broadcast 256-cell tables, with the products lifted to DECIMAL so
+    * the Σ c·c′ accumulation cannot wrap int64 at any n (at 100 TB also
+    * widen W, which tightens the ε = e/W error and shrinks each cell's
+    * count).  The exact side pays the one user_id shuffle the estimate
     * avoids — which is exactly the comparison the query demonstrates.
     */
   def joinSize(spark: SparkSession, dir: String): DataFrame = {
@@ -120,10 +120,17 @@ object CmsFreq {
       ev.filter(col("event_type") === t).select(col("user_id").as("k"))
     val gridA = countersOf(keysOf("view"))
     val gridB = countersOf(keysOf("purchase"))
+    // The inner product accumulates in DECIMAL(38,0), NOT int64: the
+    // DuckDB oracle sums BIGINT products into HUGEINT, and at large event
+    // counts an int64 Spark sum would wrap silently in legacy mode and
+    // break both the cross-engine hash and the one-sided cms_est ≥ exact
+    // contract (r7 ADVICE #2).  MIN is taken in decimal and cast to
+    // BIGINT only at the end, mirroring the oracle's CAST(MIN(..)).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ip = gridA.join(gridB.withColumnRenamed("c", "c2"), Seq("i", "b"))
       .groupBy(col("i"))
-      .agg(sum(col("c") * col("c2")).as("ip"))
-      .agg(min(col("ip")).as("cms_est"))
+      .agg(sum(col("c").cast(dec) * col("c2").cast(dec)).as("ip"))
+      .agg(min(col("ip")).cast("long").as("cms_est"))
     val perUser = ev
       .filter(col("event_type").isin("view", "purchase"))
       .groupBy(col("user_id"))

@@ -564,6 +564,11 @@ object EventsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val latest = latestPerKey(batch.toDF())
+        // A crash inside Sinks.merge's swap can leave the stored table
+        // renamed aside; restore it BEFORE the existence probe, or the
+        // replayed batch would be mistaken for a first write and the
+        // store silently reset to one batch's keys (r7 ADVICE #1).
+        graft.core.Sinks.recoverSwap(spark, path)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(path)))

@@ -122,7 +122,10 @@ class DegenerateInputsSpec extends SparkSpec {
     // the Expand melt of an empty pivot, and the KMV sampler over
     // empty/singleton strata.
     "q_an_cms_join_size", "q_an_hhi", "q_an_trimmed_mean",
-    "q_text_lm_score", "q_ops_unpivot", "q_llm_sample_kmv")
+    "q_text_lm_score", "q_ops_unpivot", "q_llm_sample_kmv",
+    // r7 ADVICE #3: rake's explode/doc-window path over an empty corpus
+    // and runs_test's NULLIF guards over empty/all-zero-delta events.
+    "q_text_rake", "q_an_runs_test")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
