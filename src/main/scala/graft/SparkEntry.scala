@@ -545,7 +545,24 @@ object SparkEntry {
       Some(llm.TextAnalysis.rakeOracle())),
     Q("q_an_runs_test", // Wald–Wolfowitz randomness of daily deltas
       (s, d) => graft.ops.Changepoint.runsTest(s, d),
-      Some(graft.ops.Changepoint.runsTestOracle)))
+      Some(graft.ops.Changepoint.runsTestOracle)),
+    Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
+      // Drive P1 through graft.Run's full load path (extract → transform
+      // → farmer-partitioned reload into a temp warehouse), then read the
+      // STORED table back.  The oracle recomputes P1 directly, so the
+      // gate proves the persisted bytes — partition-column round trip
+      // included — hash-equal to recomputation, not just the in-memory
+      // frame.
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_e2e_wh").toString
+        val res = Run.runAll(s, d, out, cfg, Set("receita_farmer_m_passado"))
+        require(res.forall(_.ok), s"runner failed: ${res.filterNot(_.ok)}")
+        val colOrder = ReceitaFarmerPassado(s, d, cfg).columns
+        s.read.parquet(s"$out/receita_farmer_m_passado")
+          .select(colOrder.map(col): _*)
+      },
+      Some(ReceitaFarmerPassado.oracle(cfg))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

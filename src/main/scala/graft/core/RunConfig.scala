@@ -62,4 +62,17 @@ object RunConfig {
   val DefaultRunDate: LocalDate = LocalDate.of(2001, 8, 15)
 
   val default: RunConfig = RunConfig()
+
+  /** Environment-driven run parameters (S2 parity: the reference takes
+    * `--months-back`/`--farmer-id` per CLI and everything else from
+    * `.env`).  `GRAFT_RUN_DATE` (ISO date) pins the `NOW()` anchor —
+    * unset means the pipeline-pinned default, so tests and the oracle
+    * stay deterministic; a production deployment sets it per run (or to
+    * today) from the scheduler. */
+  def fromEnv(env: Map[String, String]): RunConfig = RunConfig(
+    runDate = env.get("GRAFT_RUN_DATE").filter(_.nonEmpty)
+      .map(LocalDate.parse).getOrElse(DefaultRunDate),
+    monthsBack = env.get("GRAFT_MONTHS_BACK").filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(11),
+    farmerId = env.get("GRAFT_FARMER_ID").filter(_.nonEmpty).map(_.toInt))
 }

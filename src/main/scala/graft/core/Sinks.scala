@@ -231,13 +231,46 @@ object Sinks {
     * bootstrap it from the batch's schema).  The staging table is
     * dropped in all paths; its name is unique per call, so concurrent
     * loads of DIFFERENT key ranges don't collide in staging (the target
-    * transaction serializes them, as in the reference). */
+    * transaction serializes them, as in the reference).
+    *
+    * Dialect-specific SQL (quoting, string-key comparability, upsert
+    * syntax) lives in [[SqlDialect]], resolved from the URL: Derby is
+    * what the sandbox executes, Postgres — the reference's real target —
+    * is the same code path with its statements pinned in DialectSpec. */
   def overwriteByKeyJdbc(df: DataFrame, url: String, table: String,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "overwriteByKeyJdbc requires at least one key")
+    stagedJdbcLoad(df, url, table) { (dialect, st, staging) =>
+      val stringCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSet
+      st.executeUpdate(dialect.deleteMatching(table, staging, keys, stringCols))
+      st.executeUpdate(dialect.insertFromStaging(table, staging, df.columns))
+    }
+  }
+
+  /** S4 semantics over JDBC — the reference's UNSCOPED reload
+    * (`kpi_receita_farmer_m_passado/load.py:51`: `DELETE FROM table`,
+    * then insert everything), with the same staged-parallel-write +
+    * one-transaction-swap split as [[overwriteByKeyJdbc]]: readers see
+    * the old table or the new one, never an empty middle — which a naive
+    * Spark `mode("overwrite")` JDBC write (TRUNCATE + append, two
+    * statements, no wrapping transaction) does not guarantee. */
+  def overwriteAllJdbc(df: DataFrame, url: String, table: String): Unit =
+    stagedJdbcLoad(df, url, table) { (dialect, st, staging) =>
+      st.executeUpdate(dialect.deleteAll(table))
+      st.executeUpdate(dialect.insertFromStaging(table, staging, df.columns))
+    }
+
+  /** Shared mechanics of the staged JDBC loads: bootstrap the target on
+    * first load, append the batch into a unique staging table in parallel,
+    * run `swap` on one driver-side transaction (rollback on any failure),
+    * and always drop staging. */
+  private def stagedJdbcLoad(df: DataFrame, url: String, table: String)(
+      swap: (SqlDialect, java.sql.Statement, String) => Unit): Unit = {
+    val dialect = SqlDialect.forUrl(url)
     val staging =
       table + "_stg_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val cols = df.columns
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val tableExists =
@@ -257,26 +290,7 @@ object Sinks {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        // Spark's JDBC writer creates columns QUOTED (case-preserved), so
-        // every column reference here must be quoted the same way; table
-        // names pass through unquoted on both paths.  String keys compare
-        // through a VARCHAR cast: the writer maps StringType to Derby
-        // CLOB, and CLOB = CLOB is not a supported comparison.
-        def q(c: String) = "\"" + c + "\""
-        val stringCols = df.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
-        }.toSet
-        def keyRef(alias: String, k: String) =
-          if (stringCols(k)) s"CAST($alias.${q(k)} AS VARCHAR(32672))"
-          else s"$alias.${q(k)}"
-        val keyMatch =
-          keys.map(k => s"${keyRef("s", k)} = ${keyRef("t", k)}").mkString(" AND ")
-        val colList = cols.map(q).mkString(", ")
-        st.executeUpdate(
-          s"DELETE FROM $table t WHERE EXISTS " +
-            s"(SELECT 1 FROM $staging s WHERE $keyMatch)")
-        st.executeUpdate(
-          s"INSERT INTO $table ($colList) SELECT $colList FROM $staging")
+        swap(dialect, st, staging)
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e
@@ -285,7 +299,7 @@ object Sinks {
       try {
         conn.setAutoCommit(true) // the drop is its own statement-transaction
         val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $staging")
+        try st.executeUpdate(SqlDialect.forUrl(url).dropTable(staging))
         catch { case _: java.sql.SQLException => } finally st.close()
       } finally conn.close()
     }

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{JdbcEnv, RunConfig, Sinks, Sources}
+
+/** End-to-end proof of the pipeline runner (the `run_etl` analog): the
+  * full P1–P6 graph runs extract → transform → keyed reload into a temp
+  * warehouse, and re-running is byte-identical per table — the
+  * reference's idempotency contract carried through the WHOLE job graph,
+  * not just the sink primitives. */
+class RunnerSpec extends SparkSpec {
+
+  // 3 months back keeps the fechamento range small; semantics identical.
+  private val cfg = RunConfig(monthsBack = 3)
+
+  private def tableRows(out: String, table: String): Seq[String] =
+    spark.read.parquet(s"$out/$table").collect()
+      .map(_.toString).sorted.toSeq
+
+  test("full graph: all six pipelines load, run-twice equals run-once") {
+    val out = Files.createTempDirectory("graft_e2e").toString
+    val first = Run.runAll(spark, Sf001, out, cfg)
+    assert(first.size == 6)
+    assert(first.forall(_.ok), s"failures: ${first.filterNot(_.ok)}")
+    assert(first.forall(_.rows > 0))
+    val snap = first.map(r => r.table -> tableRows(out, r.table)).toMap
+    // Reported row count is the stored row count.
+    first.foreach(r => assert(snap(r.table).size.toLong == r.rows))
+
+    val second = Run.runAll(spark, Sf001, out, cfg)
+    assert(second.forall(_.ok))
+    second.foreach { r =>
+      assert(tableRows(out, r.table) == snap(r.table),
+        s"${r.table} drifted on re-run")
+    }
+  }
+
+  test("farmer-scoped reload touches only that farmer, like DELETE WHERE farmer_id") {
+    val out = Files.createTempDirectory("graft_e2e_scope").toString
+    assert(Run.runAll(spark, Sf001, out, cfg,
+      Set("receita_farmer_m_passado")).forall(_.ok))
+    val before = tableRows(out, "receita_farmer_m_passado")
+    val othersBefore = spark.read.parquet(s"$out/receita_farmer_m_passado")
+      .filter("farmer_id <> 7").collect().map(_.toString).sorted.toSeq
+    val filesBefore = Sinks.dataFiles(spark, s"$out/receita_farmer_m_passado")
+      .filterNot(_.toString.contains("farmer_id=7")).map(_.toString).sorted
+
+    // Scoped re-run: farmer 7 reloads; everyone else's partitions must
+    // survive UNOPENED (the keyed-DELETE semantics at file granularity).
+    val scoped = Run.runAll(spark, Sf001, out, cfg.copy(farmerId = Some(7)),
+      Set("receita_farmer_m_passado"))
+    assert(scoped.forall(_.ok) && scoped.head.rows > 0)
+    assert(tableRows(out, "receita_farmer_m_passado") == before)
+    assert(spark.read.parquet(s"$out/receita_farmer_m_passado")
+      .filter("farmer_id <> 7").collect().map(_.toString).sorted.toSeq
+      == othersBefore)
+    assert(Sinks.dataFiles(spark, s"$out/receita_farmer_m_passado")
+      .filterNot(_.toString.contains("farmer_id=7")).map(_.toString).sorted
+      == filesBefore)
+  }
+
+  test("a failing pipeline is captured per-result; unknown --kpi rejects") {
+    val out = Files.createTempDirectory("graft_e2e_fail").toString
+    val res = Run.runAll(spark, "/nonexistent_sf_dir", out, cfg,
+      Set("receita_farmer_m_passado"))
+    assert(res.size == 1 && res.head.error.isDefined)
+    intercept[IllegalArgumentException] {
+      Run.runAll(spark, Sf001, out, cfg, Set("no_such_kpi"))
+    }
+  }
+
+  test("jdbc sink mode drives the same graph through the transactional Derby path") {
+    val env = JdbcEnv.fromEnv(Map(
+      "DB_URL" -> "jdbc:derby:memory:graft_runner;create=true"))
+    val out = Files.createTempDirectory("graft_e2e_jdbc").toString
+    val kpis = Set("receita_farmer_m_passado", "fechamento_farmer_m_presente")
+    val first = Run.runAll(spark, Sf001, out, cfg, kpis, jdbc = Some(env))
+    assert(first.forall(_.ok), s"failures: ${first.filterNot(_.ok)}")
+    val counts = first.map(r =>
+      r.table -> Sources.jdbc(spark, env.url, r.table).count()).toMap
+    first.foreach(r => assert(counts(r.table) == r.rows))
+    // Run-twice ≡ run-once through DELETE+INSERT on one transaction.
+    val second = Run.runAll(spark, Sf001, out, cfg, kpis, jdbc = Some(env))
+    assert(second.forall(_.ok))
+    second.foreach(r =>
+      assert(Sources.jdbc(spark, env.url, r.table).count() == counts(r.table)))
+  }
+}
