@@ -421,4 +421,63 @@ class StreamingSpec extends SparkSpec {
     val sevenClick = table.find(r => r.head == 7L && r(1) == "click").get
     assert(sevenClick.contains(4L), s"late data regressed the row: $sevenClick")
   }
+
+  test("CDC upsert survives stop + crash + restart from checkpoint (exactly-once)") {
+    // The restart-recovery proof the batch-cut tests can't give: the
+    // query is STOPPED mid-stream, the stored table is left in the
+    // mid-swap crash state (renamed aside — the r7 ADVICE #1 window),
+    // and a NEW query resumes from the same checkpoint.  A file source
+    // (not MemoryStream) makes the restart real: offsets come from the
+    // checkpoint, data from disk.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_restart")
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/table", s"$dir/ckpt")
+    val schema = toDf(Nil)
+      .withColumn("user_id", lit(0L)).select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).schema
+    def land(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start() = EventsStream.writeCdcUpsert(
+      spark.readStream.schema(schema).parquet(in), out, ckpt)
+
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "view", 2.0))
+    val b2 = Seq(
+      (3L, ts("2024-01-02 09:00:00"), 7L, "click", 3.0),
+      (4L, ts("2024-01-02 10:00:00"), 9L, "view", 4.0))
+    val b3 = Seq( // arrives only after the restart; older than stored (7,click)
+      (5L, ts("2024-01-01 09:00:00"), 7L, "click", 99.0),
+      (6L, ts("2024-01-02 11:00:00"), 8L, "click", 5.0))
+
+    land(b1)
+    val q1 = start()
+    try { q1.processAllAvailable(); land(b2); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // Crash simulation: a merge died between its two renames — table
+    // gone, .bak holding the data.  A restart must NOT treat the next
+    // batch as a first write.
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + ".bak")))
+
+    land(b3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val table = spark.read.parquet(out)
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    val want = graft.ops.OperatorQueries.keepLatestOf(
+      (b1 ++ b2 ++ b3)
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    // Exactly-once across the restart: pre-stop keys survive the crash
+    // window, the replay added nothing twice, and the late (7, click)
+    // row lost against the RESTORED store.
+    assert(table == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + ".bak")))
+  }
 }
