@@ -38,3 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc conf experiments against a FRESH forked JVM (SparkConf picks up
+// -Dspark.* system properties), e.g.
+//   SPARK_EXTRA_OPTS="-Dspark.sql.codegen.methodSplitThreshold=256" sbt "runMain ..."
+javaOptions ++= sys.env.get("SPARK_EXTRA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
