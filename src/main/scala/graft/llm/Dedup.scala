@@ -89,6 +89,22 @@ object Dedup {
     * arithmetic ([[graft.functions.MinHashSignature]], [[minhashOracle]]). */
   def minhashCandidates(spark: SparkSession, dir: String,
       minEstJaccard: Double = 0.2): DataFrame = {
+    val (sigs, pairs) = minhashPairs(spark, dir)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))
+                | / CAST($NumHashes AS DOUBLE)""".stripMargin).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** The banding stage of [[minhashCandidates]] split out so the scale
+    * probe can measure the CANDIDATE-pair population (the quantity the
+    * Σ bucket² bound governs) separately from scoring: returns the
+    * cached signature table and the distinct band-collision id pairs. */
+  private[graft] def minhashPairs(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     // The signature pipeline is consumed three times (band generation plus
     // both sides of the pair join); higher-order-function evaluation is the
     // dominant cost, so spread it across cores (a small parquet file arrives
@@ -121,13 +137,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))
-                | / CAST($NumHashes AS DOUBLE)""".stripMargin).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstJaccard)
+    (sigs, pairs)
   }
 
   /** Incremental near-dup detection — the daily-batch shape of
@@ -396,6 +406,26 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       minJaccard: Double = 0.3, n: Int = 1): DataFrame = {
+    val (docs, candidates) = ngramJaccardCandidates(spark, dir, minJaccard, n)
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) + size(toks_b)
+               |      - size(array_intersect(toks_a, toks_b)) AS DOUBLE)""".stripMargin)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The AllPairs prefix-filter stage of [[ngramJaccard]] split out so the
+    * scale probe can measure the candidate-pair population the prefix
+    * bound admits, separately from exact scoring.  Returns the cached
+    * shingle-set frame and the distinct candidate id pairs. */
+  private[graft] def ngramJaccardCandidates(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.3, n: Int = 1): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // The shingle sets are consumed three times (the prefix pipeline plus
     // both sides of the scoring join) and their construction dominates the
@@ -440,17 +470,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("lang", "source", "doc_a", "doc_b")
       .distinct()
-    candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        "doc_b")
-      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        expr("""size(array_intersect(toks_a, toks_b)) /
-               | CAST(size(toks_a) + size(toks_b)
-               |      - size(array_intersect(toks_a, toks_b)) AS DOUBLE)""".stripMargin)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    (docs, candidates)
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors colliding in ANY of
@@ -740,6 +760,24 @@ object Dedup {
     * stores anyway. */
   def containment(spark: SparkSession, dir: String,
       minContainment: Double = 0.3, n: Int = 3): DataFrame = {
+    val (docs, candidates) =
+      containmentCandidates(spark, dir, minContainment, n)
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) AS DOUBLE)""".stripMargin)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /** The asymmetric prefix-filter stage of [[containment]] split out for
+    * the scale probe — candidate (doc_a ⊂? doc_b) ordered pairs. */
+  private[graft] def containmentCandidates(spark: SparkSession, dir: String,
+      minContainment: Double = 0.3, n: Int = 3): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.WordNgramShingles.register(spark)
     val docs = Sources.documents(spark, dir)
@@ -768,16 +806,7 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .select("lang", "doc_a", "doc_b")
       .distinct()
-    candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        "doc_b")
-      .select(col("lang"), col("doc_a"), col("doc_b"),
-        expr("""size(array_intersect(toks_a, toks_b)) /
-               | CAST(size(toks_a) AS DOUBLE)""".stripMargin)
-          .as("containment"))
-      .filter(col("containment") >= minContainment)
+    (docs, candidates)
   }
 
   def containmentOracle(minContainment: Double = 0.3, n: Int = 3): String =

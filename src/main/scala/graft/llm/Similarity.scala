@@ -251,7 +251,14 @@ object Similarity {
     * quantizer would drop in by replacing `centroids`; the plumbing
     * (assignment, probing, scoring) is identical. */
   def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    rankTopK(ivfScored(spark, dir, numQueries, nlist, nprobe), k)
+
+  /** The list-pruned scoring stage of [[ivfTopK]] split out so the scale
+    * probe can measure the scanned (query, vector) candidate population —
+    * Σ over probed lists of list size — separately from the top-K rank. */
+  private[graft] def ivfScored(spark: SparkSession, dir: String,
+      numQueries: Int, nlist: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = withNorm(Sources.embeddings(spark, dir))
     val centroids = emb.filter(col("vec_id") < nlist)
@@ -274,12 +281,11 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"), col("norm").as("q_norm"))
-    val scored = assigned
+    assigned
       .join(broadcast(probes), Seq("cid")) // list pruning
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("cosine", expr(s"$dot / (norm * q_norm)"))
-    rankTopK(scored, k)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
