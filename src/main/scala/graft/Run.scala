@@ -132,7 +132,12 @@ object Run {
         }
         val rows = write(df, t, s"$outDir/${t.table}", cfg, jdbc)
         val secs = (System.nanoTime() - t0) / 1e9
-        log(f"[${t.kpi}] loaded $rows rows into ${t.table} in $secs%.1f s")
+        if (rows == 0)
+          // The reference skips the load on an empty frame and leaves the
+          // target untouched ("DataFrame vazio", load.py:29-32) — an empty
+          // extraction must not truncate a table a previous run filled.
+          log(f"[${t.kpi}] empty result - ${t.table} left untouched ($secs%.1f s)")
+        else log(f"[${t.kpi}] loaded $rows rows into ${t.table} in $secs%.1f s")
         PipelineResult(t.kpi, t.table, rows, secs, None)
       } catch {
         case e: Throwable =>
@@ -150,6 +155,7 @@ object Run {
       cfg: RunConfig, jdbc: Option[JdbcEnv]): Long = {
     val df = df0.localCheckpoint() // one execution; write + count reuse it
     val rows = df.count()
+    if (rows == 0) return 0L // reference semantics: empty batch = no load
     val fullReload = t.fullWhenUnscoped &&
       (cfg.farmerId.isEmpty || !t.farmerScoped)
     jdbc match {

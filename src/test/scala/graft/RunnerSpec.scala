@@ -70,6 +70,54 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs through the FULL load path: empty extraction never truncates") {
+    import org.apache.spark.sql.functions.lit
+    val tables = Seq("lineitem", "orders", "customer", "nation",
+      "supplier", "part", "region", "events", "documents", "embeddings")
+    def stage(tag: String)(xf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): String = {
+      val dir = Files.createTempDirectory(s"graft_run_degen_$tag").toString
+      tables.foreach { t =>
+        xf(graft.core.Sources.table(spark, Sf001, t))
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      dir
+    }
+    val emptyDir = stage("empty")(_.limit(0))
+
+    // A healthy warehouse, then an EMPTY extraction over it: the reference
+    // skips the load on an empty frame ("DataFrame vazio", load.py:29-32),
+    // so every table must survive byte-identical — an upstream outage must
+    // never truncate analysis tables.
+    val out = Files.createTempDirectory("graft_run_degen_wh").toString
+    val healthy = Run.runAll(spark, Sf001, out, cfg)
+    assert(healthy.forall(_.ok))
+    val snap = healthy.map(r => r.table -> tableRows(out, r.table)).toMap
+    val emptyRun = Run.runAll(spark, emptyDir, out, cfg)
+    assert(emptyRun.forall(_.ok), s"failures: ${emptyRun.filterNot(_.ok)}")
+    assert(emptyRun.forall(_.rows == 0))
+    healthy.foreach(r =>
+      assert(tableRows(out, r.table) == snap(r.table),
+        s"${r.table} was touched by an empty run"))
+
+    // All-NULL measures through the full write path: no pipeline throws,
+    // the write lands, and the reload stays idempotent.
+    val nullDir = stage("nulls") { df =>
+      Seq("l_extendedprice", "l_quantity", "l_discount", "o_totalprice")
+        .filter(df.columns.contains).foldLeft(df)((d, c) =>
+          d.withColumn(c, lit(null).cast(d.schema(c).dataType)))
+    }
+    val out2 = Files.createTempDirectory("graft_run_degen_wh2").toString
+    val nullRun = Run.runAll(spark, nullDir, out2, cfg)
+    assert(nullRun.forall(_.ok), s"failures: ${nullRun.filterNot(_.ok)}")
+    val snap2 = nullRun.filter(_.rows > 0)
+      .map(r => r.table -> tableRows(out2, r.table)).toMap
+    val nullRun2 = Run.runAll(spark, nullDir, out2, cfg)
+    assert(nullRun2.forall(_.ok))
+    snap2.keys.foreach(t =>
+      assert(tableRows(out2, t) == snap2(t), s"$t drifted on re-run"))
+  }
+
   test("jdbc sink mode drives the same graph through the transactional Derby path") {
     val env = JdbcEnv.fromEnv(Map(
       "DB_URL" -> "jdbc:derby:memory:graft_runner;create=true"))
