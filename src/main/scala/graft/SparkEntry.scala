@@ -143,6 +143,9 @@ object SparkEntry {
     Q("q_dedup_containment", // asymmetric |A∩B|/|A|: doc-inside-doc detection
       (s, d) => llm.Dedup.containment(s, d),
       Some(llm.Dedup.containmentOracle())),
+    Q("q_dedup_containment_hashed", // scale twin: 8-byte hashed shingles in the scorer
+      (s, d) => llm.Dedup.containmentHashed(s, d),
+      Some(llm.Dedup.containmentHashedOracle())),
     Q("q_ann_brute_force",
       (s, d) => llm.Similarity.bruteForceTopK(s, d),
       Some(llm.Similarity.bruteForceOracle())),

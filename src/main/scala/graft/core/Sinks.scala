@@ -262,6 +262,39 @@ object Sinks {
       st.executeUpdate(dialect.insertFromStaging(table, staging, df.columns))
     }
 
+  /** Row-level MERGE over JDBC — [[merge]]'s database twin, and the sink
+    * that exercises [[SqlDialect.upsertFromStaging]]: on Postgres the swap
+    * is ONE native `INSERT ... ON CONFLICT (keys) DO UPDATE` statement
+    * (no delete bloat under MVCC, single index probe per row); dialects
+    * without a native upsert (Derby) express the identical semantics as
+    * delete-matching + insert on the same transaction — both paths are
+    * run-twice ≡ run-once and leave unmatched target keys untouched.
+    * Note the contract difference vs [[overwriteByKeyJdbc]]: that entry
+    * REPLACES whole key groups (a key present in the target but absent
+    * from the batch within a reloaded group is deleted); this one only
+    * upserts the batch's exact rows.  Like [[merge]], `updates` must be
+    * one-row-per-key (compact CDC feeds with keepLatest first); the
+    * Postgres statement would otherwise raise `ON CONFLICT ... cannot
+    * affect row a second time` — same contract, enforced by the engine. */
+  def mergeJdbc(updates: DataFrame, url: String, table: String,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "mergeJdbc requires at least one key")
+    stagedJdbcLoad(updates, url, table) { (dialect, st, staging) =>
+      dialect.upsertFromStaging(table, staging, keys, updates.columns) match {
+        case Some(upsert) => st.executeUpdate(upsert)
+        case None =>
+          val stringCols = updates.schema.fields.collect {
+            case f if f.dataType == org.apache.spark.sql.types.StringType =>
+              f.name
+          }.toSet
+          st.executeUpdate(
+            dialect.deleteMatching(table, staging, keys, stringCols))
+          st.executeUpdate(
+            dialect.insertFromStaging(table, staging, updates.columns))
+      }
+    }
+  }
+
   /** Shared mechanics of the staged JDBC loads: bootstrap the target on
     * first load, append the batch into a unique staging table in parallel,
     * run `swap` on one driver-side transaction (rollback on any failure),

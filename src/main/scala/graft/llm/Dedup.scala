@@ -774,6 +774,57 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Scale variant of [[containment]]: the exact scorer carries 8-byte
+    * hashed shingles instead of shingle STRINGS.  The candidate stage is
+    * byte-identical (same [[containmentCandidates]]); only the scoring
+    * join changes — each doc's shingle set maps to md5-prefix BIGINTs, so
+    * the pair-join shuffle moves fixed 8-byte keys instead of ~20–40-byte
+    * n-gram strings and the intersect compares longs, the constant-factor
+    * target `docs/SCALE_r08.md` names (candidates are linear; the string
+    * payload is the remaining per-candidate cost at 100 TB).
+    *
+    * Hash = first 15 hex chars of md5 → BIGINT (< 2^60): md5 bytes agree
+    * across engines (Spark hashes the UTF-8 cast, DuckDB the string's
+    * UTF-8), Spark renders via `conv(…,16,10)`, DuckDB via CAST of a
+    * `0x…` literal — so the ORACLE computes the identical hashed
+    * containment and the gate stays exact.  A collision can only inflate
+    * an intersection (P ≈ |A|·|B|/2^60 per pair — immaterial), and the
+    * result equals [[containment]]'s whenever no collision fires. */
+  def containmentHashed(spark: SparkSession, dir: String,
+      minContainment: Double = 0.3, n: Int = 3): DataFrame = {
+    val (docs, candidates) =
+      containmentCandidates(spark, dir, minContainment, n)
+    val hdocs = docs.select(col("doc_id"), expr(
+      """transform(toks,
+        |  s -> CAST(conv(substr(md5(CAST(s AS BINARY)), 1, 15), 16, 10)
+        |            AS BIGINT))""".stripMargin).as("htoks"))
+    candidates
+      .join(hdocs.select(col("doc_id").as("doc_a"), col("htoks").as("toks_a")),
+        "doc_a")
+      .join(hdocs.select(col("doc_id").as("doc_b"), col("htoks").as("toks_b")),
+        "doc_b")
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) AS DOUBLE)""".stripMargin)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  def containmentHashedOracle(minContainment: Double = 0.3,
+      n: Int = 3): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(${ngramSetOracleExpr("text", n)},
+       |      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS toks
+       |  FROM documents)
+       |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) AS DOUBLE) AS containment
+       |FROM docs a JOIN docs b
+       |  ON a.lang = b.lang AND a.doc_id <> b.doc_id
+       |WHERE len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) AS DOUBLE) >= $minContainment""".stripMargin
+
   /** The asymmetric prefix-filter stage of [[containment]] split out for
     * the scale probe — candidate (doc_a ⊂? doc_b) ordered pairs. */
   private[graft] def containmentCandidates(spark: SparkSession, dir: String,

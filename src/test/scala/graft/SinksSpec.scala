@@ -199,6 +199,30 @@ class SinksSpec extends SparkSpec {
     assert(readJdbc("kpi_farmer") == expected)
   }
 
+  test("JDBC merge upserts matched keys, inserts new, preserves the rest (Derby fallback path)") {
+    dropJdbc("kpi_merge")
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    Sinks.mergeJdbc(v1, jdbcUrl, "kpi_merge", Seq("k"))
+    val updates = Seq((2L, "B", 21.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    // Derby has no native upsert → the dialect falls back to
+    // delete-matching + insert on one transaction; with one-row-per-key
+    // batches the semantics are identical to Postgres ON CONFLICT
+    // (whose statement text DialectSpec pins).
+    Sinks.mergeJdbc(updates, jdbcUrl, "kpi_merge", Seq("k"))
+    val expected = Seq((1L, "a", 10.0), (2L, "B", 21.0), (3L, "c", 30.0),
+      (4L, "d", 40.0))
+    assert(readJdbc3("kpi_merge") == expected)
+    Sinks.mergeJdbc(updates, jdbcUrl, "kpi_merge", Seq("k")) // idempotent
+    assert(readJdbc3("kpi_merge") == expected)
+  }
+
+  private def readJdbc3(table: String): Seq[(Long, String, Double)] =
+    graft.core.Sources.jdbc(spark, jdbcUrl, table)
+      .select("k", "name", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+
   test("JDBC keyed overwrite on composite keys (S7 month+flag semantics)") {
     dropJdbc("kpi_fech")
     val v1 = Seq((1L, "2024-01", 10.0), (1L, "2024-02", 11.0),
