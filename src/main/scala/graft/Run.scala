@@ -160,8 +160,8 @@ object Run {
       (cfg.farmerId.isEmpty || !t.farmerScoped)
     jdbc match {
       case Some(env) =>
-        if (fullReload) Sinks.overwriteAllJdbc(df, env.url, t.table)
-        else Sinks.overwriteByKeyJdbc(df, env.url, t.table, t.keys)
+        if (fullReload) Sinks.overwriteAllJdbc(df, env, t.table)
+        else Sinks.overwriteByKeyJdbc(df, env, t.table, t.keys)
       case None =>
         if (fullReload)
           // Static partitioned overwrite: whole-table truncate (the

@@ -238,9 +238,13 @@ object Sinks {
     * what the sandbox executes, Postgres — the reference's real target —
     * is the same code path with its statements pinned in DialectSpec. */
   def overwriteByKeyJdbc(df: DataFrame, url: String, table: String,
+      keys: Seq[String]): Unit =
+    overwriteByKeyJdbc(df, JdbcEnv(url, None, None), table, keys)
+
+  def overwriteByKeyJdbc(df: DataFrame, env: JdbcEnv, table: String,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "overwriteByKeyJdbc requires at least one key")
-    stagedJdbcLoad(df, url, table) { (dialect, st, staging) =>
+    stagedJdbcLoad(df, env, table) { (dialect, st, staging) =>
       val stringCols = df.schema.fields.collect {
         case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
       }.toSet
@@ -257,7 +261,10 @@ object Sinks {
     * Spark `mode("overwrite")` JDBC write (TRUNCATE + append, two
     * statements, no wrapping transaction) does not guarantee. */
   def overwriteAllJdbc(df: DataFrame, url: String, table: String): Unit =
-    stagedJdbcLoad(df, url, table) { (dialect, st, staging) =>
+    overwriteAllJdbc(df, JdbcEnv(url, None, None), table)
+
+  def overwriteAllJdbc(df: DataFrame, env: JdbcEnv, table: String): Unit =
+    stagedJdbcLoad(df, env, table) { (dialect, st, staging) =>
       st.executeUpdate(dialect.deleteAll(table))
       st.executeUpdate(dialect.insertFromStaging(table, staging, df.columns))
     }
@@ -277,9 +284,13 @@ object Sinks {
     * Postgres statement would otherwise raise `ON CONFLICT ... cannot
     * affect row a second time` — same contract, enforced by the engine. */
   def mergeJdbc(updates: DataFrame, url: String, table: String,
+      keys: Seq[String]): Unit =
+    mergeJdbc(updates, JdbcEnv(url, None, None), table, keys)
+
+  def mergeJdbc(updates: DataFrame, env: JdbcEnv, table: String,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "mergeJdbc requires at least one key")
-    stagedJdbcLoad(updates, url, table) { (dialect, st, staging) =>
+    stagedJdbcLoad(updates, env, table) { (dialect, st, staging) =>
       dialect.upsertFromStaging(table, staging, keys, updates.columns) match {
         case Some(upsert) => st.executeUpdate(upsert)
         case None =>
@@ -298,13 +309,19 @@ object Sinks {
   /** Shared mechanics of the staged JDBC loads: bootstrap the target on
     * first load, append the batch into a unique staging table in parallel,
     * run `swap` on one driver-side transaction (rollback on any failure),
-    * and always drop staging. */
-  private def stagedJdbcLoad(df: DataFrame, url: String, table: String)(
+    * and always drop staging.  Credentials come from the [[JdbcEnv]]
+    * (the reference's `.env` surface) — driver-side connection and
+    * executor-side writer both use them; they never ride in the URL. */
+  private def stagedJdbcLoad(df: DataFrame, env: JdbcEnv, table: String)(
       swap: (SqlDialect, java.sql.Statement, String) => Unit): Unit = {
-    val dialect = SqlDialect.forUrl(url)
+    val dialect = SqlDialect.forUrl(env.url)
     val staging =
       table + "_stg_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = (env.user, env.password) match {
+      case (Some(u), Some(p)) =>
+        java.sql.DriverManager.getConnection(env.url, u, p)
+      case _ => java.sql.DriverManager.getConnection(env.url)
+    }
     try {
       val tableExists =
         try {
@@ -316,10 +333,10 @@ object Sinks {
         // Bootstrap an empty target with the batch's schema, then load
         // through the same staged path (first run ≡ every later run).
         df.limit(0).write.format("jdbc")
-          .option("url", url).option("dbtable", table).mode("append").save()
+          .options(env.options).option("dbtable", table).mode("append").save()
       }
       df.write.format("jdbc")
-        .option("url", url).option("dbtable", staging).mode("append").save()
+        .options(env.options).option("dbtable", staging).mode("append").save()
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
@@ -332,7 +349,7 @@ object Sinks {
       try {
         conn.setAutoCommit(true) // the drop is its own statement-transaction
         val st = conn.createStatement()
-        try st.executeUpdate(SqlDialect.forUrl(url).dropTable(staging))
+        try st.executeUpdate(dialect.dropTable(staging))
         catch { case _: java.sql.SQLException => } finally st.close()
       } finally conn.close()
     }

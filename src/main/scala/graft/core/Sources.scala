@@ -104,6 +104,13 @@ object Sources {
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).load()
 
+  /** Credentialed read via the environment-driven connection config (the
+    * reference's `.env` surface) — user/password ride as JDBC OPTIONS,
+    * never in the URL (they would leak into plans and logs). */
+  def jdbc(spark: SparkSession, env: JdbcEnv, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .options(env.options).option("dbtable", table).load()
+
   /** Partition-parallel JDBC read: `numPartitions` disjoint range scans on
     * an indexed numeric column, the unit of parallelism for bulk pulls. */
   def jdbcPartitioned(spark: SparkSession, url: String, table: String,

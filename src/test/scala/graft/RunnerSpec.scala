@@ -119,19 +119,23 @@ class RunnerSpec extends SparkSpec {
   }
 
   test("jdbc sink mode drives the same graph through the transactional Derby path") {
+    // Credentials included: Derby without authentication accepts any
+    // user/password, so this exercises the credentialed connection +
+    // writer-options path end-to-end (the code Postgres would hit).
     val env = JdbcEnv.fromEnv(Map(
-      "DB_URL" -> "jdbc:derby:memory:graft_runner;create=true"))
+      "DB_URL" -> "jdbc:derby:memory:graft_runner;create=true",
+      "DB_USER" -> "etl", "DB_PASSWORD" -> "secret"))
     val out = Files.createTempDirectory("graft_e2e_jdbc").toString
     val kpis = Set("receita_farmer_m_passado", "fechamento_farmer_m_presente")
     val first = Run.runAll(spark, Sf001, out, cfg, kpis, jdbc = Some(env))
     assert(first.forall(_.ok), s"failures: ${first.filterNot(_.ok)}")
     val counts = first.map(r =>
-      r.table -> Sources.jdbc(spark, env.url, r.table).count()).toMap
+      r.table -> Sources.jdbc(spark, env, r.table).count()).toMap
     first.foreach(r => assert(counts(r.table) == r.rows))
     // Run-twice ≡ run-once through DELETE+INSERT on one transaction.
     val second = Run.runAll(spark, Sf001, out, cfg, kpis, jdbc = Some(env))
     assert(second.forall(_.ok))
     second.foreach(r =>
-      assert(Sources.jdbc(spark, env.url, r.table).count() == counts(r.table)))
+      assert(Sources.jdbc(spark, env, r.table).count() == counts(r.table)))
   }
 }
