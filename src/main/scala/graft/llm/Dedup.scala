@@ -677,6 +677,38 @@ object Dedup {
       : DataFrame =
     corpusOverlapOf(Sources.documents(spark, dir), n)
 
+  /** Cross-engine-exact hash of a shingle string to BIGINT — first 15 hex
+    * chars of md5 (< 2^60).  Spark renders via `conv(…,16,10)`; the
+    * DuckDB twin CASTs a `0x…` literal.  md5 agrees because both engines
+    * hash the UTF-8 bytes.  This is the hash that finally makes the
+    * "strings → 8-byte keys at scale" representation change ORACLE-legal
+    * (xxhash64 has no independent-engine reproduction — the round-2
+    * SimHash lesson); collisions can only merge two shingles
+    * (P ≈ set²/2^60, immaterial) and both engines merge identically. */
+  private[graft] def shingleHashSpark(c: String): String =
+    s"CAST(conv(substr(md5(CAST($c AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+  private[graft] def shingleHashDuck(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** Scale twin of [[corpusOverlap]] — the representation the 100 TB
+    * deployment ships: the distinct (source, shingle) set carries 8-byte
+    * hashed keys instead of the n-gram STRINGS (which average tens of
+    * bytes through a distinct, a self-join, and two size aggregations).
+    * Same join shape, same Σ_shingle sources² bound; fully
+    * DuckDB-hash-checked via [[shingleHashDuck]]. */
+  def corpusOverlapHashed(spark: SparkSession, dir: String, n: Int = 3)
+      : DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val sh = docs
+      .select(col("source"),
+        explode(expr(ngramSetExpr("text", n))).as("shingle_s"))
+      .select(col("source"),
+        expr(shingleHashSpark("shingle_s")).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    overlapTail(sh)
+  }
+
   /** Core over a (source, text) document frame — spec-testable on
     * synthetic corpora.
     *
@@ -693,6 +725,13 @@ object Dedup {
         explode(expr(ngramSetExpr("text", n))).as("shingle"))
       .distinct()
       .localCheckpoint()
+    overlapTail(sh)
+  }
+
+  /** Pairwise tail shared by the string and hashed overlap forms: the
+    * per-shingle self-join (multiplicity ≤ #sources) + broadcast size
+    * joins over a materialized distinct (source, shingle-key) set. */
+  private def overlapTail(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("sz"))
     val inter = sh.select(col("source").as("src_a"), col("shingle"))
@@ -719,6 +758,27 @@ object Dedup {
        |  SELECT source, UNNEST(${ngramSetOracleExpr("text", n)}) AS shingle
        |  FROM documents),
        |d AS (SELECT DISTINCT source, shingle FROM sh),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM d a JOIN d b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, common, sz_a, sz_b,
+       |  $OverlapJaccardExpr AS jaccard
+       |FROM (
+       |  SELECT i.src_a, i.src_b, i.common, za.sz AS sz_a, zb.sz AS sz_b
+       |  FROM inter i
+       |  JOIN sizes za ON i.src_a = za.source
+       |  JOIN sizes zb ON i.src_b = zb.source)""".stripMargin
+
+  def corpusOverlapHashedOracle(n: Int = 3): String =
+    s"""WITH sh AS (
+       |  SELECT source, UNNEST(${ngramSetOracleExpr("text", n)}) AS shingle_s
+       |  FROM documents),
+       |d AS (SELECT DISTINCT source,
+       |  ${shingleHashDuck("shingle_s")} AS shingle FROM sh),
        |sizes AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY 1),
        |inter AS (
@@ -794,10 +854,8 @@ object Dedup {
       minContainment: Double = 0.3, n: Int = 3): DataFrame = {
     val (docs, candidates) =
       containmentCandidates(spark, dir, minContainment, n)
-    val hdocs = docs.select(col("doc_id"), expr(
-      """transform(toks,
-        |  s -> CAST(conv(substr(md5(CAST(s AS BINARY)), 1, 15), 16, 10)
-        |            AS BIGINT))""".stripMargin).as("htoks"))
+    val hdocs = docs.select(col("doc_id"),
+      expr(s"transform(toks, s -> ${shingleHashSpark("s")})").as("htoks"))
     candidates
       .join(hdocs.select(col("doc_id").as("doc_a"), col("htoks").as("toks_a")),
         "doc_a")
@@ -815,7 +873,7 @@ object Dedup {
     s"""WITH docs AS (
        |  SELECT doc_id, lang,
        |    list_transform(${ngramSetOracleExpr("text", n)},
-       |      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS toks
+       |      s -> ${shingleHashDuck("s")}) AS toks
        |  FROM documents)
        |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  len(list_intersect(a.toks, b.toks)) /
