@@ -137,6 +137,9 @@ object SparkEntry {
     Q("q_dedup_token_jaccard",
       (s, d) => llm.Dedup.ngramJaccard(s, d),
       Some(llm.Dedup.ngramJaccardOracle())),
+    Q("q_dedup_token_jaccard_hashed", // scale twin: 8-byte shingle keys in the scorer
+      (s, d) => llm.Dedup.ngramJaccardHashed(s, d),
+      Some(llm.Dedup.ngramJaccardHashedOracle())),
     Q("q_dedup_ngram_jaccard", // word-3-gram shingle sets, same prefix filter
       (s, d) => llm.Dedup.ngramJaccard(s, d, minJaccard = 0.2, n = 3),
       Some(llm.Dedup.ngramJaccardOracle(minJaccard = 0.2, n = 3))),

@@ -420,6 +420,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Scale twin of [[ngramJaccard]] — identical (lossless) candidate
+    * stage, scoring on md5-prefix BIGINT shingles instead of strings
+    * (the [[containmentHashed]] pattern: the pair join's payload drops
+    * from ~20–40-byte n-grams to fixed 8-byte keys, and the intersect
+    * compares longs).  Fully oracle-checked via [[shingleHashDuck]];
+    * collisions inflate-only at P ≈ |A|·|B|/2^60 per pair. */
+  def ngramJaccardHashed(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.3, n: Int = 1): DataFrame = {
+    val (docs, candidates) = ngramJaccardCandidates(spark, dir, minJaccard, n)
+    val hdocs = docs.select(col("doc_id"),
+      expr(s"transform(toks, s -> ${shingleHashSpark("s")})").as("htoks"))
+    candidates
+      .join(hdocs.select(col("doc_id").as("doc_a"), col("htoks").as("toks_a")),
+        "doc_a")
+      .join(hdocs.select(col("doc_id").as("doc_b"), col("htoks").as("toks_b")),
+        "doc_b")
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        expr("""size(array_intersect(toks_a, toks_b)) /
+               | CAST(size(toks_a) + size(toks_b)
+               |      - size(array_intersect(toks_a, toks_b)) AS DOUBLE)""".stripMargin)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  def ngramJaccardHashedOracle(minJaccard: Double = 0.3,
+      n: Int = 1): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, source,
+       |    list_transform(${ngramSetOracleExpr("text", n)},
+       |      s -> ${shingleHashDuck("s")}) AS toks
+       |  FROM documents)
+       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) + len(b.toks)
+       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+       |FROM docs a JOIN docs b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.toks, b.toks)) /
+       |    CAST(len(a.toks) + len(b.toks)
+       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |  >= $minJaccard""".stripMargin
+
   /** The AllPairs prefix-filter stage of [[ngramJaccard]] split out so the
     * scale probe can measure the candidate-pair population the prefix
     * bound admits, separately from exact scoring.  Returns the cached
