@@ -45,7 +45,8 @@ import graft.kpi._
   * fechamento_farmer_m_passado|fechamento_farmer_m_presente`,
   * `--farmer-id N`, `--months-back N`, `--run-date yyyy-MM-dd`,
   * `--in <sfDir>`, `--out <warehouse>`, `--sink parquet|jdbc`,
-  * `--log-file <path>`.  Unset CLI values fall back to the environment
+  * `--log-file <path>`, `--summary-json <path>` (machine-readable
+  * per-pipeline results).  Unset CLI values fall back to the environment
   * ([[graft.core.RunConfig.fromEnv]]), then to pipeline defaults.
   * Exit code 0 = all pipelines loaded; 1 = at least one failed (failures
   * are logged and do NOT stop later pipelines, matching `run_etl.ps1`'s
@@ -78,6 +79,27 @@ object Run {
       kpi: String, table: String, rows: Long, seconds: Double,
       error: Option[String]) {
     def ok: Boolean = error.isEmpty
+  }
+
+  /** Machine-readable run summary (`--summary-json`) — what a scheduler
+    * or monitor consumes instead of scraping the log (the reference only
+    * offers log files + exit codes).  One JSON object, stable keys. */
+  def summaryJson(results: Seq[PipelineResult]): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val items = results.map { r =>
+      s"""{"kpi":"${esc(r.kpi)}","table":"${esc(r.table)}",""" +
+        s""""rows":${r.rows},"seconds":${f"${r.seconds}%.3f"},""" +
+        s""""ok":${r.ok}""" +
+        r.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    }
+    s"""{"ok":${results.forall(_.ok)},"pipelines":[${items.mkString(",")}],""" +
+      s""""total_rows":${results.map(_.rows).sum}}"""
   }
 
   /** The six reference pipelines.  P5 runs the whole `--months-back`
@@ -208,6 +230,9 @@ object Run {
 
     try {
       val results = runAll(spark, sfDir, outDir, cfg, kpis, jdbc, log)
+      a.get("summary-json").foreach(p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          summaryJson(results)))
       val failed = results.filterNot(_.ok)
       log(s"ETL finished: ${results.count(_.ok)}/${results.size} pipelines " +
         s"ok, ${results.map(_.rows).sum} rows loaded" +
@@ -225,7 +250,7 @@ object Run {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val known = Set("kpi", "farmer-id", "months-back", "run-date", "in",
-      "out", "sink", "log-level", "log-file")
+      "out", "sink", "log-level", "log-file", "summary-json")
     args.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") && known(k.drop(2)) =>
         k.drop(2) -> v

@@ -116,8 +116,14 @@ object Sources {
   def jdbcPartitioned(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
       numPartitions: Int): DataFrame =
+    jdbcPartitioned(spark, JdbcEnv(url, None, None), table,
+      partitionColumn, lowerBound, upperBound, numPartitions)
+
+  def jdbcPartitioned(spark: SparkSession, env: JdbcEnv, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): DataFrame =
     spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table)
+      .options(env.options).option("dbtable", table)
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", lowerBound).option("upperBound", upperBound)
       .option("numPartitions", numPartitions)

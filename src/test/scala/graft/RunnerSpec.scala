@@ -60,6 +60,25 @@ class RunnerSpec extends SparkSpec {
       == filesBefore)
   }
 
+  test("summary JSON is valid and carries per-pipeline status") {
+    val out = Files.createTempDirectory("graft_e2e_sum").toString
+    val ok = Run.runAll(spark, Sf001, out, cfg, Set("receita_farmer_m_passado"))
+    val bad = Run.runAll(spark, "/nonexistent_sf_dir", out, cfg,
+      Set("receita_cliente"))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Run.summaryJson(ok ++ bad))
+    assert((j \ "ok") == JBool(false))
+    val pipes = (j \ "pipelines").asInstanceOf[JArray].arr
+    assert(pipes.size == 2)
+    assert((pipes.head \ "kpi") == JString("receita_farmer_m_passado"))
+    assert((pipes.head \ "ok") == JBool(true))
+    assert((pipes(1) \ "ok") == JBool(false))
+    assert((pipes(1) \ "error").isInstanceOf[JString])
+    val JInt(total) = (j \ "total_rows"): @unchecked
+    assert(total == ok.head.rows)
+  }
+
   test("a failing pipeline is captured per-result; unknown --kpi rejects") {
     val out = Files.createTempDirectory("graft_e2e_fail").toString
     val res = Run.runAll(spark, "/nonexistent_sf_dir", out, cfg,
