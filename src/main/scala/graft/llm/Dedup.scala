@@ -605,14 +605,18 @@ object Dedup {
     * (benchmarks are MBs against 100 TB), so the distinct bench shingles
     * broadcast and the corpus side — a scan-fused explode — never
     * shuffles for the join; the only shuffle is the final per-doc count.
-    * Exact string shingles via the proven [[ngramSetExpr]] /
-    * [[ngramSetOracleExpr]] pair, so the whole output hash-matches
-    * DuckDB ([[decontaminateOracle]]). */
+    * Exact string shingles via the codegen'd
+    * [[graft.functions.WordNgramShingles]] kernel (≡ [[ngramSetExpr]] /
+    * [[ngramSetOracleExpr]], WordNgramShinglesSpec — the declarative
+    * lambda re-tokenizes per shingle index, O(tokens²) interpreted
+    * string work per doc), so the whole output hash-matches DuckDB
+    * ([[decontaminateOracle]]). */
   def decontaminate(spark: SparkSession, dir: String,
       benchSource: String = "src5", n: Int = 8): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
     val shingled = Sources.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        explode(expr(ngramSetExpr("text", n))).as("shingle"))
+        explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
     val benchShingles = shingled.filter(col("source") === benchSource)
       .select("shingle").distinct()
     shingled.filter(col("source") =!= benchSource)
@@ -740,10 +744,11 @@ object Dedup {
     * DuckDB-hash-checked via [[shingleHashDuck]]. */
   def corpusOverlapHashed(spark: SparkSession, dir: String, n: Int = 3)
       : DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
     val docs = Sources.documents(spark, dir)
     val sh = docs
       .select(col("source"),
-        explode(expr(ngramSetExpr("text", n))).as("shingle_s"))
+        explode(expr(s"ngram_shingles(text, $n)")).as("shingle_s"))
       .select(col("source"),
         expr(shingleHashSpark("shingle_s")).as("shingle"))
       .distinct()
@@ -762,9 +767,10 @@ object Dedup {
     * set is also the production shape: it is the expensive pass, and a
     * 100 TB run would land it in storage before the pairwise stage. */
   private[graft] def corpusOverlapOf(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.WordNgramShingles.register(docs.sparkSession)
     val sh = docs
       .select(col("source"),
-        explode(expr(ngramSetExpr("text", n))).as("shingle"))
+        explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
       .distinct()
       .localCheckpoint()
     overlapTail(sh)
