@@ -457,6 +457,9 @@ object SparkEntry {
     Q("q_dedup_corpus_overlap_hashed", // scale twin: 8-byte shingle keys
       (s, d) => llm.Dedup.corpusOverlapHashed(s, d),
       Some(llm.Dedup.corpusOverlapHashedOracle())),
+    Q("q_dedup_resolve", // cluster resolution: canonical doc, keep/drop lineage
+      (s, d) => llm.Dedup.resolveDuplicates(s, d),
+      Some(llm.Dedup.resolveOracle())),
     Q("q_an_basket_pairs", // basket-local part co-occurrence with lift
       (s, d) => graft.ops.Basket.pairAffinity(s, d),
       Some(graft.ops.Basket.pairAffinityOracle())),

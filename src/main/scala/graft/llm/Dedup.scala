@@ -300,6 +300,63 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-cluster RESOLUTION — the step that turns near-dup
+    * detection into a CLEANED corpus: every document gets its cluster
+    * (singletons are their own), the cluster's canonical representative
+    * (longest text wins, lowest doc_id breaks ties — a deterministic
+    * stand-in for a quality score), and a keep/drop verdict.  Filtering
+    * `keep` yields the deduplicated corpus; the dropped rows carry the
+    * winner they lost to, which is the lineage a data audit wants.
+    *
+    * Scale: one labels join ([[duplicateClusters]]' fixpoint already
+    * bounded), then per-cluster max-length + min-id — two aggregations
+    * and two joins all keyed on cluster_id, so the exchanges reuse one
+    * partitioning; nothing is broadcast because cluster cardinality is
+    * corpus-order at 100 TB.  The argmax is the cross-engine-safe
+    * two-step (max length per cluster, then min doc_id among maxima) —
+    * both engines order (BIGINT, BIGINT) identically, where struct/
+    * arg_max ordering semantics would diverge. */
+  def resolveDuplicates(spark: SparkSession, dir: String,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val clusters = duplicateClusters(spark, dir, minEstJaccard)
+    val member = Sources.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .localCheckpoint() // referenced three times below
+    val agg = member.groupBy("cluster_id")
+      .agg(max(col("text_len")).as("max_len"),
+        count(lit(1)).cast("bigint").as("cluster_size"))
+    val canon = member.join(agg, "cluster_id")
+      .filter(col("text_len") === col("max_len"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("canonical_id"))
+    member.join(agg, "cluster_id").join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  def resolveOracle(minEstJaccard: Double = 0.2): String =
+    s"""WITH clusters AS (SELECT * FROM (${clustersOracle(minEstJaccard)}) c),
+       |member AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |    CAST(len(d.text) AS BIGINT) AS text_len
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+       |agg AS (
+       |  SELECT cluster_id, MAX(text_len) AS max_len,
+       |    CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM member GROUP BY 1),
+       |canon AS (
+       |  SELECT m.cluster_id, MIN(m.doc_id) AS canonical_id
+       |  FROM member m JOIN agg a
+       |    ON m.cluster_id = a.cluster_id AND m.text_len = a.max_len
+       |  GROUP BY 1)
+       |SELECT m.doc_id, m.cluster_id, a.cluster_size, c.canonical_id,
+       |  m.doc_id = c.canonical_id AS keep
+       |FROM member m
+       |JOIN agg a ON m.cluster_id = a.cluster_id
+       |JOIN canon c ON m.cluster_id = c.cluster_id""".stripMargin
+
   def clustersOracle(minEstJaccard: Double = 0.2): String =
     s"""WITH RECURSIVE $minhashBandCtes,
        |pairs AS (

@@ -290,4 +290,34 @@ class DedupSpec extends SparkSpec {
       assert(sizes(r.getString(1)) === r.getLong(4))
     }
   }
+
+  test("cluster resolution keeps one canonical doc per cluster, longest wins") {
+    import spark.implicits._
+    // Docs 1,2,3 near-identical (one cluster; 3 is longest → canonical);
+    // doc 4 unrelated (singleton, keeps itself).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = java.nio.file.Files.createTempDirectory("resolve").toString
+    Seq(
+      (1L, base, "en", "a", base.length.toLong),
+      (2L, base + " phi", "en", "a", (base + " phi").length.toLong),
+      (3L, base + " phi chi", "en", "a", (base + " phi chi").length.toLong),
+      (4L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen", "en", "b", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.resolveDuplicates(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 4)
+    // One cluster of {1,2,3}: min-label cluster_id 1, canonical = 3 (longest).
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(rows(id)._2 == 1L && rows(id)._3 == 3L && rows(id)._4 == 3L)
+    }
+    assert(Seq(1L, 2L, 3L).map(rows(_)._5) == Seq(false, false, true))
+    // Singleton: own cluster, size 1, keeps itself.
+    assert(rows(4L) == ((4L, 4L, 1L, 4L, true)))
+    // Filtering keep yields exactly the cleaned corpus.
+    assert(rows.values.count(_._5) == 2)
+  }
 }
