@@ -460,6 +460,9 @@ object SparkEntry {
     Q("q_dedup_resolve", // cluster resolution: canonical doc, keep/drop lineage
       (s, d) => llm.Dedup.resolveDuplicates(s, d),
       Some(llm.Dedup.resolveOracle())),
+    Q("q_llm_sample_by_quality", // rulebook quality bands x mix31 keep rates
+      (s, d) => llm.Sampling.sampleByQuality(s, d),
+      Some(llm.Sampling.sampleByQualityOracle())),
     Q("q_an_basket_pairs", // basket-local part co-occurrence with lift
       (s, d) => graft.ops.Basket.pairAffinity(s, d),
       Some(graft.ops.Basket.pairAffinityOracle())),

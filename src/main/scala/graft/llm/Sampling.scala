@@ -285,4 +285,78 @@ object Sampling {
        |SELECT h.lang, h.doc_id, h.source, h.n_chars
        |FROM h JOIN rk ON h.lang = rk.lang AND h.h = rk.h
        |WHERE rk.rk <= $k""".stripMargin
+
+  /** Quality-banded subsampling — the curation move that couples the
+    * [[graft.llm.TextAnalysis]] quality signals to the deterministic
+    * sampler: a C4-style RULEBOOK (fixed thresholds, not quantiles — no
+    * corpus-wide pass, no drift between runs) bands each document
+    * low/mid/high, and each band gets its own [[Mix31]] keep rate
+    * (heavy down-sample of short/repetitive docs, keep everything
+    * natural-looking).  Summarized per (lang, band) for the gate; at
+    * scale the per-doc keep verdict IS the sampled corpus and the whole
+    * thing stays one scan-fused projection + one tiny aggregate — zero
+    * extra shuffle, the [[stratifiedSample]] shape.
+    *
+    * Determinism: band predicates compare IEEE divisions of exact
+    * integers (identical in both engines); the keep predicate is the
+    * engine-wide mix31 bucket. */
+  def sampleByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Sources.documents(spark, dir).selectExpr(
+      "doc_id", "lang",
+      "size(split(text, ' ')) AS n_tokens",
+      "size(array_distinct(split(text, ' '))) AS n_uniq",
+      """size(filter(split(text, ' '),
+        | x -> x IN ('the', 'and', 'of', 'a', 'to'))) AS n_stop""".stripMargin,
+      "size(regexp_extract_all(text, '[.!?,;:]', 0)) AS n_punct")
+      .withColumn("band", expr(QualityBandCase))
+      .withColumn("rate_bp", expr(BandRateCase))
+    banded
+      .withColumn("kept",
+        expr(s"${Mix31.sparkSql("doc_id")} % 10000").cast("int")
+          < col("rate_bp"))
+      .groupBy(col("lang"), col("band"), col("rate_bp"))
+      .agg(count(lit(1)).as("total_docs"),
+        count(when(col("kept"), 1)).as("sampled_docs"))
+      .withColumn("observed_bp",
+        round(col("sampled_docs") * lit(10000.0) / col("total_docs"), 4))
+  }
+
+  // Shared rulebook text (Spark and DuckDB dialects agree on every
+  // construct used): short or repetitive → low; stopword-bearing
+  // punctuated prose → high; else mid.
+  private val QualityBandCase =
+    """CASE WHEN n_tokens < 15
+      |       OR n_uniq / CAST(n_tokens AS DOUBLE) < 0.5 THEN 'low'
+      |     WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.04
+      |       AND n_punct >= 3 THEN 'high'
+      |     ELSE 'mid' END""".stripMargin
+  private val BandRateCase =
+    """CASE band WHEN 'low' THEN 500
+      |          WHEN 'mid' THEN 5000
+      |          ELSE 10000 END""".stripMargin
+
+  def sampleByQualityOracle(): String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN ('the', 'and', 'of', 'a', 'to'))) AS n_stop,
+       |    len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct
+       |  FROM documents),
+       |banded AS (
+       |  SELECT *, $QualityBandCase AS band FROM sig),
+       |rated AS (
+       |  SELECT *, $BandRateCase AS rate_bp FROM banded),
+       |k AS (
+       |  SELECT lang, band, rate_bp,
+       |    CASE WHEN ${Mix31.duckSql("doc_id")} % 10000 < rate_bp
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM rated)
+       |SELECT lang, band, rate_bp,
+       |  COUNT(*) AS total_docs,
+       |  COUNT(CASE WHEN kept = 1 THEN 1 END) AS sampled_docs,
+       |  ROUND(COUNT(CASE WHEN kept = 1 THEN 1 END) * 10000.0 / COUNT(*), 4)
+       |    AS observed_bp
+       |FROM k GROUP BY 1, 2, 3""".stripMargin
 }

@@ -138,4 +138,29 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again === got.toSet)
   }
+
+  test("quality-banded sampling: rulebook bands land where designed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qsample").toString
+    val natural = "the quick brown fox, jumps over the lazy dog. " +
+      "and then a second sentence follows: with more words of text to " +
+      "clear the length gate!" // stopwords + ≥3 punct + ≥15 diverse tokens
+    val repetitive = ("spam ham " * 20).trim          // diversity 2/40 → low
+    val short_ = "tiny doc"                           // <15 tokens → low
+    val plain = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho"          // no stopwords → mid
+    Seq((1L, natural, "en", "a", 1L), (2L, repetitive, "en", "a", 1L),
+      (3L, short_, "en", "a", 1L), (4L, plain, "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bands = Sampling.sampleByQuality(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(bands("high") == ((10000, 1L))) // natural prose, kept at 100%
+    assert(bands("low") == ((500, 2L)))    // short + repetitive
+    assert(bands("mid") == ((5000, 1L)))
+    // A high-band doc at rate 10000 bp is always kept.
+    val kept = Sampling.sampleByQuality(spark, dir)
+      .filter(col("band") === "high").head
+    assert(kept.getLong(4) == 1L) // sampled_docs
+  }
 }
