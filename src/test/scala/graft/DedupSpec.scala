@@ -320,4 +320,27 @@ class DedupSpec extends SparkSpec {
     // Filtering keep yields exactly the cleaned corpus.
     assert(rows.values.count(_._5) == 2)
   }
+
+  test("cluster resolution invariants hold over the real corpus") {
+    import spark.implicits._
+    val res = Dedup.resolveDuplicates(spark, Sf001)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    // Total coverage: one verdict per document.
+    val nDocs = graft.core.Sources.documents(spark, Sf001).count()
+    assert(res.length.toLong == nDocs)
+    val byCluster = res.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      // Exactly one keeper per cluster, and it IS the canonical id every
+      // member points at.
+      val keepers = members.filter(_._5)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      assert(members.map(_._4).distinct.toSeq == Seq(keepers.head._1))
+      // Reported size is the real membership.
+      assert(members.forall(_._3 == members.length.toLong))
+      // Min-label convention: cluster id is a member.
+      assert(members.exists(_._1 == cid))
+    }
+    // Cleaned-corpus size = number of clusters.
+    assert(res.count(_._5) == byCluster.size)
+  }
 }
