@@ -463,6 +463,9 @@ object SparkEntry {
     Q("q_llm_sample_by_quality", // rulebook quality bands x mix31 keep rates
       (s, d) => llm.Sampling.sampleByQuality(s, d),
       Some(llm.Sampling.sampleByQualityOracle())),
+    Q("q_text_leak_matrix", // which benchmarks leak into which corpus slices
+      (s, d) => llm.Dedup.leakMatrix(s, d),
+      Some(llm.Dedup.leakMatrixOracle())),
     Q("q_an_basket_pairs", // basket-local part co-occurrence with lift
       (s, d) => graft.ops.Basket.pairAffinity(s, d),
       Some(graft.ops.Basket.pairAffinityOracle())),

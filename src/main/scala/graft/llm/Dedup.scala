@@ -682,6 +682,61 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("hits"))
   }
 
+  /** Multi-benchmark LEAK MATRIX — the report a decontamination run
+    * starts from: for every (benchmark source, corpus source) pair, how
+    * many corpus documents share at least one verbatim n-token shingle
+    * with the benchmark, and how many distinct shingles leak.  The
+    * single-benchmark [[decontaminate]] is the removal tool; this is the
+    * triage view that says WHICH benchmarks contaminate WHICH corpus
+    * slices (run it before choosing what to scrub).
+    *
+    * Scale shape: the bench side (benchmarks are MBs against 100 TB) is
+    * a distinct (bench_source, shingle) set small enough to broadcast;
+    * the corpus side is a scan-fused explode that never shuffles for the
+    * join — per-shingle multiplicity on the bench side is ≤ #benchmarks,
+    * so join output is corpus-shingles × #matching-benchmarks, never a
+    * pair blowup.  One aggregate keyed on the (bench, corpus-source,
+    * doc) grain, then the tiny matrix rollup. */
+  def leakMatrix(spark: SparkSession, dir: String,
+      benchSources: Seq[String] = Seq("src5", "src6"),
+      n: Int = 8): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
+    val shingled = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
+    val bench = shingled.filter(col("source").isin(benchSources: _*))
+      .select(col("source").as("bench_source"), col("shingle")).distinct()
+    val perDoc = shingled.filter(!col("source").isin(benchSources: _*))
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("bench_source"), col("source"), col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("doc_hits"))
+    perDoc.groupBy(col("bench_source"), col("source"))
+      .agg(count(lit(1)).as("leaked_docs"),
+        sum(col("doc_hits")).as("leaked_shingles"))
+  }
+
+  def leakMatrixOracle(benchSources: Seq[String] = Seq("src5", "src6"),
+      n: Int = 8): String = {
+    val benchList = benchSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    UNNEST(${ngramSetOracleExpr("text", n)}) AS shingle
+       |  FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT source AS bench_source, shingle FROM sh
+       |  WHERE source IN ($benchList)),
+       |per_doc AS (
+       |  SELECT b.bench_source, s.source, s.doc_id,
+       |    COUNT(DISTINCT s.shingle) AS doc_hits
+       |  FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |  WHERE s.source NOT IN ($benchList)
+       |  GROUP BY 1, 2, 3)
+       |SELECT bench_source, source,
+       |  CAST(COUNT(*) AS BIGINT) AS leaked_docs,
+       |  CAST(SUM(doc_hits) AS BIGINT) AS leaked_shingles
+       |FROM per_doc GROUP BY 1, 2""".stripMargin
+  }
+
   def decontaminateOracle(benchSource: String = "src5", n: Int = 8): String =
     s"""WITH sh AS (
        |  SELECT doc_id, source,

@@ -125,7 +125,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_text_lm_score", "q_ops_unpivot", "q_llm_sample_kmv",
     // r7 ADVICE #3: rake's explode/doc-window path over an empty corpus
     // and runs_test's NULLIF guards over empty/all-zero-delta events.
-    "q_text_rake", "q_an_runs_test")
+    "q_text_rake", "q_an_runs_test",
+    // Round-8 additions with division-bearing aggregates over empty or
+    // all-degenerate corpora.
+    "q_llm_sample_by_quality")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
