@@ -128,6 +128,15 @@ object Run {
       (s, d, c) => Fechamento(s, d, c.currentMonthStart, isCurrent = true, c,
         periodAsArray = !jdbcMode)))
 
+  /** Beyond-reference targets, selected by NAME only — `--kpi all`
+    * stays exactly run_etl's six.  `corpus_curation` lands the curated
+    * training corpus ([[graft.llm.CorpusPipeline.curated]]: exact dedup +
+    * quality gate) lang-partitioned in the warehouse. */
+  def extraTargets: Seq[Target] = Seq(
+    Target("corpus_curation", "documents_curated",
+      Seq("lang"), fullWhenUnscoped = true, farmerScoped = false,
+      (s, d, _) => graft.llm.CorpusPipeline.curated(s, d)))
+
   /** Library entry: run the selected pipelines, write each through its
     * sink, return per-pipeline results.  Never throws for a pipeline
     * failure — the error is captured in its result, later pipelines
@@ -137,7 +146,8 @@ object Run {
       jdbc: Option[JdbcEnv] = None,
       log: String => Unit = _ => ()): Seq[PipelineResult] = {
     val selected = targets(jdbc.nonEmpty).filter(t =>
-      kpis.contains("all") || kpis.contains(t.kpi))
+      kpis.contains("all") || kpis.contains(t.kpi)) ++
+      extraTargets.filter(t => kpis.contains(t.kpi))
     require(selected.nonEmpty,
       s"--kpi matched no pipeline (got: ${kpis.mkString(",")})")
     selected.map { t =>

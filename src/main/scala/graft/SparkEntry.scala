@@ -466,6 +466,10 @@ object SparkEntry {
     Q("q_text_leak_matrix", // which benchmarks leak into which corpus slices
       (s, d) => llm.Dedup.leakMatrix(s, d),
       Some(llm.Dedup.leakMatrixOracle())),
+    Q("q_llm_corpus_curated", // the curated corpus itself (verdict view)
+      (s, d) => llm.CorpusPipeline.curated(s, d)
+        .select("doc_id", "lang", "source", "n_tokens"),
+      Some(llm.CorpusPipeline.curatedOracle)),
     Q("q_an_basket_pairs", // basket-local part co-occurrence with lift
       (s, d) => graft.ops.Basket.pairAffinity(s, d),
       Some(graft.ops.Basket.pairAffinityOracle())),

@@ -38,6 +38,42 @@ object CorpusPipeline {
         min(col("doc_id")).as("first_doc_id"))
   }
 
+  /** The curated corpus ITSELF (what [[apply]] summarizes): exact-dedup
+    * survivors passing the quality gate, carrying their text and token
+    * counts — the frame the runner's `corpus_curation` target lands in
+    * the warehouse (lang-partitioned) as training input.  Same stages,
+    * same shuffle budget; the per-language stats remain the registered
+    * summary view. */
+  def curated(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(col("source")).as("source"))
+      .selectExpr(
+        "doc_id", "lang", "source", "text",
+        "size(split(text, ' ')) AS n_tokens",
+        """size(array_distinct(split(text, ' ')))
+          | / CAST(size(split(text, ' ')) AS DOUBLE) AS diversity""".stripMargin)
+      .filter(col("n_tokens") >= MinTokens &&
+        col("diversity") >= expr(MinDiversity))
+      .drop("diversity")
+
+  /** Gate view of [[curated]] (text projected away — the hash gate needs
+    * the verdict set, not 500 full documents in the artifact). */
+  def curatedOracle: String =
+    s"""WITH kept AS (
+       |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+       |    MIN(source) AS source, text
+       |  FROM documents GROUP BY text),
+       |scored AS (
+       |  SELECT doc_id, lang, source,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' ')))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity
+       |  FROM kept)
+       |SELECT doc_id, lang, source, n_tokens FROM scored
+       |WHERE n_tokens >= $MinTokens AND diversity >= $MinDiversity""".stripMargin
+
   def oracle: String =
     s"""WITH kept AS (
        |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, text

@@ -60,6 +60,26 @@ class RunnerSpec extends SparkSpec {
       == filesBefore)
   }
 
+  test("corpus curation target: opt-in by name, lang-partitioned, idempotent") {
+    val out = Files.createTempDirectory("graft_e2e_cur").toString
+    // NOT part of --kpi all (run_etl's six reference pipelines only).
+    assert(Run.runAll(spark, Sf001, out, cfg).size == 6)
+    val res = Run.runAll(spark, Sf001, out, cfg, Set("corpus_curation"))
+    assert(res.size == 1 && res.head.ok && res.head.rows > 0)
+    val table = spark.read.parquet(s"$out/documents_curated")
+    assert(table.count() == res.head.rows)
+    // Curated = exact-dedup survivors passing the quality gate.
+    assert(table.columns.toSet ==
+      Set("doc_id", "lang", "source", "text", "n_tokens"))
+    assert(table.select("text").distinct().count() == res.head.rows)
+    // Lang-partitioned layout, run-twice idempotent.
+    assert(graft.core.Sinks.dataFiles(spark, s"$out/documents_curated")
+      .forall(_.getParent.getName.startsWith("lang=")))
+    val before = tableRows(out, "documents_curated")
+    Run.runAll(spark, Sf001, out, cfg, Set("corpus_curation"))
+    assert(tableRows(out, "documents_curated") == before)
+  }
+
   test("summary JSON is valid and carries per-pipeline status") {
     val out = Files.createTempDirectory("graft_e2e_sum").toString
     val ok = Run.runAll(spark, Sf001, out, cfg, Set("receita_farmer_m_passado"))
