@@ -568,6 +568,18 @@ object SparkEntry {
     Q("q_an_runs_test", // Wald–Wolfowitz randomness of daily deltas
       (s, d) => graft.ops.Changepoint.runsTest(s, d),
       Some(graft.ops.Changepoint.runsTestOracle)),
+    Q("q_llm_mixture_temperature", // p ∝ mass^α via exact sqrt chains
+      (s, d) => llm.Sampling.temperatureMixture(s, d),
+      Some(llm.Sampling.temperatureMixtureOracle())),
+    Q("q_text_readability", // FK grade bands, scan-fused integer counts
+      (s, d) => llm.TextAnalysis.readability(s, d),
+      Some(llm.TextAnalysis.readabilityOracle)),
+    Q("q_text_lexical", // TTR / Guiraud / Yule's K vocabulary richness
+      (s, d) => llm.TextAnalysis.lexicalDiversity(s, d),
+      Some(llm.TextAnalysis.lexicalDiversityOracle)),
+    Q("q_llm_quality_classifier", // hashed linear scorer, exact logits
+      (s, d) => llm.TextAnalysis.linearQualityScore(s, d),
+      Some(llm.TextAnalysis.linearQualityScoreOracle)),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

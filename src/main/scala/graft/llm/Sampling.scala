@@ -335,6 +335,65 @@ object Sampling {
       |          WHEN 'mid' THEN 5000
       |          ELSE 10000 END""".stripMargin
 
+  /** Temperature-scaled multilingual mixture — the XLM-R/mBERT rebalancing
+    * rule `p_lang ∝ mass_lang^α` for α ∈ {1, 1/2, 1/4}: lower temperature
+    * flattens the mixture toward uniform so low-resource languages are not
+    * drowned by the head language.  The α grid is deliberately the
+    * sqrt-CHAIN members of the family: for integer n,
+    * `floor(sqrt(n)) = floor(n^(1/2))` and
+    * `floor(sqrt(floor(sqrt(n)))) = floor(n^(1/4))` exactly, and IEEE
+    * sqrt is correctly rounded on both engines — whereas a generic
+    * `pow(x, 0.3)` is libm-dependent and would break the cross-engine
+    * hash contract.  Weights are exact BIGINTs; each share is ONE IEEE
+    * division of exact integers.
+    *
+    * Shape: one scan with map-side partial SUMs into ≤ #languages groups
+    * plus a 1-row broadcast of the three totals — nothing here grows with
+    * the corpus, so the plan is identical at 100 TB. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Sources.documents(spark, dir)
+      .withColumn("n_tok", expr("size(split(text, ' '))").cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_t05",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_t025",
+        expr("CAST(FLOOR(SQRT(CAST(w_t05 AS DOUBLE))) AS BIGINT)"))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).as("tot_raw"),
+      sum(col("w_t05")).as("tot_t05"),
+      sum(col("w_t025")).as("tot_t025"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"), col("w_t05"), col("w_t025"),
+        expr("ROUND(n_tokens / CAST(tot_raw AS DOUBLE), 6)").as("share_raw"),
+        expr("ROUND(w_t05 / CAST(tot_t05 AS DOUBLE), 6)").as("share_t05"),
+        expr("ROUND(w_t025 / CAST(tot_t025 AS DOUBLE), 6)").as("share_t025"))
+  }
+
+  def temperatureMixtureOracle(): String =
+    """WITH p AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_t05
+      |  FROM p),
+      |w2 AS (
+      |  SELECT lang, n_tokens, w_t05,
+      |    CAST(FLOOR(SQRT(CAST(w_t05 AS DOUBLE))) AS BIGINT) AS w_t025
+      |  FROM w),
+      |tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_raw,
+      |    CAST(SUM(w_t05) AS BIGINT) AS tot_t05,
+      |    CAST(SUM(w_t025) AS BIGINT) AS tot_t025
+      |  FROM w2)
+      |SELECT lang, n_tokens, w_t05, w_t025,
+      |  ROUND(n_tokens / CAST(tot_raw AS DOUBLE), 6) AS share_raw,
+      |  ROUND(w_t05 / CAST(tot_t05 AS DOUBLE), 6) AS share_t05,
+      |  ROUND(w_t025 / CAST(tot_t025 AS DOUBLE), 6) AS share_t025
+      |FROM w2, tot""".stripMargin
+
   def sampleByQualityOracle(): String =
     s"""WITH sig AS (
        |  SELECT doc_id, lang,

@@ -536,4 +536,161 @@ object TextAnalysis {
        |                 AND ps.phrase_id = ph.phrase_id)
        |SELECT doc_id, CAST(rnk AS INT) AS rnk, phrase, plen, score
        |FROM r WHERE rnk <= $topK""".stripMargin
+
+  /** Flesch–Kincaid-style readability grade per document — the classic
+    * surface-form difficulty signal curation pipelines band on (too-easy
+    * boilerplate vs impenetrable noise both correlate with low training
+    * value).  Sentences are sentence-ending punctuation runs, syllables
+    * the standard vowel-group approximation; both floored at 1 so
+    * degenerate texts (no punctuation, empty string) stay finite.
+    *
+    * Determinism: counts are exact integers, the grade is the published
+    * constant formula over TWO single IEEE divisions, written
+    * identically in both dialects, then ROUND-4 — no libm
+    * transcendentals.  Pure per-row projection: fuses into the scan,
+    * shuffles nothing at any corpus size. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Sources.documents(spark, dir))
+
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = docs
+    .selectExpr(
+      "doc_id", "lang",
+      "size(split(text, ' ')) AS n_words",
+      "greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS n_sentences",
+      """greatest(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)), 1)
+        | AS n_syllables""".stripMargin)
+    .withColumn("words_per_sentence",
+      expr("ROUND(n_words / CAST(n_sentences AS DOUBLE), 4)"))
+    .withColumn("syllables_per_word",
+      expr("ROUND(n_syllables / CAST(greatest(n_words, 1) AS DOUBLE), 4)"))
+    .withColumn("fk_grade", expr(
+      """ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+        | + 11.8 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE))
+        | - 15.59, 4)""".stripMargin))
+    .withColumn("band", expr(ReadabilityBandCase))
+
+  private val ReadabilityBandCase =
+    """CASE WHEN fk_grade < 6 THEN 'easy'
+      |     WHEN fk_grade < 12 THEN 'standard'
+      |     ELSE 'dense' END""".stripMargin
+
+  val readabilityOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+       |      AS n_sentences,
+       |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+       |      AS n_syllables
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       |    ROUND(n_words / CAST(n_sentences AS DOUBLE), 4)
+       |      AS words_per_sentence,
+       |    ROUND(n_syllables / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+       |      AS syllables_per_word,
+       |    ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+       |      + 11.8 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE))
+       |      - 15.59, 4) AS fk_grade
+       |  FROM c)
+       |SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       |  words_per_sentence, syllables_per_word, fk_grade,
+       |  $ReadabilityBandCase AS band
+       |FROM g""".stripMargin
+
+  /** Lexical-diversity profile per document: type count, type–token
+    * ratio, Guiraud's root-TTR (the length-robust variant), and Yule's K
+    * (`10⁴·(Σm² − N)/N²` over the per-type multiplicities m) — the
+    * vocabulary-richness trio quality filters use to separate natural
+    * prose from keyword stuffing and template spam.  TTR alone shrinks
+    * with document length; Guiraud divides by √N, and Yule's K is
+    * length-invariant and built from EXACT integers (Σm², N), so the
+    * only doubles are single divisions and a correctly-rounded sqrt.
+    *
+    * Scale: one (doc_id, token) exchange with map-side combine into the
+    * per-type multiplicities, then a per-doc rollup reusing the same
+    * partitioning — the [[tfidf]] shape without the vocabulary window. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOf(Sources.documents(spark, dir))
+
+  private[graft] def lexicalDiversityOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    .groupBy(col("doc_id"), col("tok"))
+    .agg(count(lit(1)).as("m"))
+    .groupBy(col("doc_id"))
+    .agg(sum(col("m")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("m") * col("m")).as("sum_m2"))
+    .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_m2"),
+      expr("ROUND(n_types / CAST(n_tokens AS DOUBLE), 6)").as("ttr"),
+      expr("ROUND(n_types / SQRT(CAST(n_tokens AS DOUBLE)), 6)")
+        .as("guiraud"),
+      expr("""ROUND(10000.0 * CAST(sum_m2 - n_tokens AS DOUBLE)
+        | / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)"""
+        .stripMargin).as("yule_k"))
+
+  val lexicalDiversityOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, tok, COUNT(*) AS m
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(m * m) AS BIGINT) AS sum_m2
+      |  FROM m GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_types, sum_m2,
+      |  ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+      |  ROUND(n_types / SQRT(CAST(n_tokens AS DOUBLE)), 6) AS guiraud,
+      |  ROUND(10000.0 * CAST(sum_m2 - n_tokens AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+      |    AS yule_k
+      |FROM d""".stripMargin
+
+  /** fastText-style hashed linear quality classifier — the GPT-3/CCNet
+    * curation move: score = Σ w(token) over hashed bag-of-words features
+    * with a FIXED weight table, threshold at 0.  Here the weight table is
+    * the hash itself mapped to an integer milli-weight in [-1000, 1000]
+    * (`(md5₆₀(token) mod 2001) − 1000` — a deterministic stand-in with
+    * the real model's exact execution shape: per-token hash → weight
+    * lookup → integer accumulation), so the logit is an EXACT BIGINT and
+    * the verdict/mean are cross-engine reproducible.  Swapping in trained
+    * weights = replacing the modular map with a broadcast lookup; the
+    * plan shape does not change.
+    *
+    * Scale: the whole classifier is one `aggregate(transform(...))`
+    * higher-order expression — scan-fused, zero shuffle, no UDF; at
+    * 100 TB it runs at parquet-read speed. */
+  def linearQualityScore(spark: SparkSession, dir: String): DataFrame =
+    linearQualityScoreOf(Sources.documents(spark, dir))
+
+  private[graft] def linearQualityScoreOf(docs: DataFrame): DataFrame = docs
+    .selectExpr(
+      "doc_id", "lang",
+      "size(split(text, ' ')) AS n_tokens",
+      s"""aggregate(
+         |  transform(split(text, ' '),
+         |    t -> (${Dedup.shingleHashSpark("t")} % 2001) - 1000),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS logit_milli"""
+        .stripMargin)
+    .withColumn("mean_w_milli",
+      expr("ROUND(logit_milli / CAST(n_tokens AS DOUBLE), 4)"))
+    .withColumn("verdict",
+      expr("CASE WHEN logit_milli >= 0 THEN 'keep' ELSE 'drop' END"))
+
+  val linearQualityScoreOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(text, ' '),
+       |          t -> (${Dedup.shingleHashDuck("t")} % 2001) - 1000)),
+       |      (acc, x) -> acc + x) AS logit_milli
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens, logit_milli,
+       |  ROUND(logit_milli / CAST(n_tokens AS DOUBLE), 4) AS mean_w_milli,
+       |  CASE WHEN logit_milli >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM s""".stripMargin
 }

@@ -128,7 +128,13 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_text_rake", "q_an_runs_test",
     // Round-8 additions with division-bearing aggregates over empty or
     // all-degenerate corpora.
-    "q_llm_sample_by_quality")
+    "q_llm_sample_by_quality",
+    // Round-8 continuation: the sqrt-chain totals over an empty corpus,
+    // the greatest-floored readability denominators, the per-type
+    // explode/rollup on empty text, and the aggregate() fold over the
+    // single-''-token list.
+    "q_llm_mixture_temperature", "q_text_readability", "q_text_lexical",
+    "q_llm_quality_classifier")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

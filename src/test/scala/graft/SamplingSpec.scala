@@ -163,4 +163,44 @@ class SamplingSpec extends SparkSpec {
       .filter(col("band") === "high").head
     assert(kept.getLong(4) == 1L) // sampled_docs
   }
+
+  test("temperature mixture: exact sqrt-chain weights, flattening shares") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tmix").toString
+    // en: 64 tokens, de: 4 tokens → weights 64/8/2 vs 4/2/1 by α=1,½,¼.
+    Seq((1L, Seq.fill(64)("w").mkString(" "), "en", "a", 1L),
+      (2L, "w w w w", "de", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = Sampling.temperatureMixture(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("en").getLong(1) == 64L && m("en").getLong(2) == 8L
+      && m("en").getLong(3) == 2L)
+    assert(m("de").getLong(1) == 4L && m("de").getLong(2) == 2L
+      && m("de").getLong(3) == 1L)
+    assert(m("en").getDouble(4) == math.rint(64.0 / 68 * 1e6) / 1e6)
+    assert(m("en").getDouble(5) == 0.8)                      // 8/10
+    assert(m("en").getDouble(6) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    // Lower temperature flattens: dominant share strictly decreases,
+    // scarce share strictly increases.
+    assert(m("en").getDouble(4) > m("en").getDouble(5))
+    assert(m("en").getDouble(5) > m("en").getDouble(6))
+    assert(m("de").getDouble(4) < m("de").getDouble(5))
+    assert(m("de").getDouble(5) < m("de").getDouble(6))
+  }
+
+  test("temperature mixture shares each sum to ~1 on the real corpus") {
+    val rows = Sampling.temperatureMixture(spark, dir).collect()
+    assert(rows.nonEmpty)
+    Seq(4, 5, 6).foreach { i =>
+      val s = rows.map(_.getDouble(i)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"share column $i sums to $s")
+    }
+    // floor(sqrt) chain really is the integer fourth root.
+    rows.foreach { r =>
+      val (n, w05, w025) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w05 == math.sqrt(n.toDouble).toLong)
+      assert(w025 == math.sqrt(w05.toDouble).toLong)
+    }
+  }
 }

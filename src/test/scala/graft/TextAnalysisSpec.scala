@@ -25,6 +25,97 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(5L))
   }
 
+  test("readability: hand-computed FK grade and degenerate-text guards") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.readabilityOf(Seq(
+      (1L, "The cat sat. A dog ran!", "en"),
+      (2L, "", "en")) // empty text: every denominator floored at 1
+      .toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // 6 words, 2 sentence runs, 6 vowel groups → wps 3, spw 1,
+    // fk = 0.39*3 + 11.8*1 - 15.59 = -2.62 → easy.
+    assert(r1.getInt(2) == 6 && r1.getInt(3) == 2 && r1.getInt(4) == 6)
+    assert(r1.getDouble(5) == 3.0 && r1.getDouble(6) == 1.0)
+    assert(r1.getDouble(7) == -2.62 && r1.getString(8) == "easy")
+    val r2 = out(2L)
+    assert(!r2.anyNull) // finite everywhere, no NaN/NULL leaks
+    assert(r2.getString(8) == "easy")
+  }
+
+  test("readability bands partition the real corpus") {
+    val rows = TextAnalysis.readability(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("easy", "standard", "dense").contains(r.getString(8)))
+      assert(!r.getDouble(7).isNaN)
+    }
+  }
+
+  test("lexical diversity: TTR / Guiraud / Yule's K hand-computed") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.lexicalDiversityOf(Seq(
+      (1L, "a a b"),   // N=3 V=2 Σm²=5 → yule 10000*2/9
+      (2L, "x y z"),   // all unique → yule 0
+      (3L, "q q q q")) // one type → ttr 0.25, yule 10000*(16-4)/16
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L && r1.getLong(3) == 5L)
+    assert(r1.getDouble(4) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(r1.getDouble(5) == math.rint(2.0 / math.sqrt(3.0) * 1e6) / 1e6)
+    assert(r1.getDouble(6) == math.rint(20000.0 / 9 * 1e6) / 1e6)
+    assert(out(2L).getDouble(6) == 0.0)
+    assert(out(3L).getDouble(4) == 0.25)
+    assert(out(3L).getDouble(6) == 7500.0)
+  }
+
+  test("lexical diversity bounds hold corpus-wide") {
+    val rows = TextAnalysis.lexicalDiversity(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, m2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(v >= 1 && v <= n)
+      assert(m2 >= n && m2 <= n * n)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
+  test("linear quality classifier: exact hashed logits, stable verdicts") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.linearQualityScoreOf(Seq(
+      (1L, "alpha", "en"),
+      (2L, "alpha", "en"),           // identical text → identical logit
+      (3L, "alpha alpha", "en"))     // doubled text → doubled logit
+      .toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // End-to-end hash pin: md5 first-15-hex-chars % 2001 - 1000.
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val expected = java.lang.Long.parseLong(md5, 16) % 2001 - 1000
+    assert(out(1L).getLong(3) == expected)
+    assert(out(2L).getLong(3) == expected)
+    assert(out(3L).getLong(3) == 2 * expected)
+    val v = out(1L).getString(5)
+    assert(v == (if (expected >= 0) "keep" else "drop"))
+  }
+
+  test("linear quality classifier bounds hold corpus-wide") {
+    val rows = TextAnalysis.linearQualityScore(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, logit) = (r.getInt(2).toLong, r.getLong(3))
+      assert(math.abs(logit) <= 1000L * n)
+      assert(math.abs(r.getDouble(4)) <= 1000.0)
+      assert(r.getString(5) == (if (logit >= 0) "keep" else "drop"))
+    }
+    // Both verdicts occur on a natural corpus (weights are ±symmetric).
+    val verdicts = rows.map(_.getString(5)).toSet
+    assert(verdicts == Set("keep", "drop"))
+  }
+
   test("novelty bounds and totals hold on the real corpus") {
     val rows = TextAnalysis.novelty(spark, Sf001).collect()
     assert(rows.nonEmpty)
