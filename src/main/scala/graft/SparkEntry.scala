@@ -580,6 +580,18 @@ object SparkEntry {
     Q("q_llm_quality_classifier", // hashed linear scorer, exact logits
       (s, d) => llm.TextAnalysis.linearQualityScore(s, d),
       Some(llm.TextAnalysis.linearQualityScoreOracle)),
+    Q("q_an_gini", // rank-form Lorenz inequality, exact Σ i·cᵢ
+      (s, d) => graft.ops.Concentration.gini(s, d),
+      Some(graft.ops.Concentration.giniOracle)),
+    Q("q_llm_bpe_pairs", // first BPE merge table over the word vocabulary
+      (s, d) => llm.Vocab.bpePairs(s, d),
+      Some(llm.Vocab.bpePairsOracle())),
+    Q("q_llm_split_leakage", // near-dup pairs straddling train/val/test
+      (s, d) => llm.Dedup.splitLeakage(s, d),
+      Some(llm.Dedup.splitLeakageOracle())),
+    Q("q_text_boilerplate", // top-K shared sentences by document frequency
+      (s, d) => llm.TextAnalysis.boilerplate(s, d),
+      Some(llm.TextAnalysis.boilerplateOracle())),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

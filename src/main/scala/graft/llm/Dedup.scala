@@ -249,6 +249,69 @@ object Dedup {
        |    AND a.doc_id < b2.doc_id)
        |${minhashScoreTail(minEstJaccard)}""".stripMargin
 
+  /** Train/val/test LEAKAGE audit — near-duplicate pairs that straddle a
+    * split boundary.  [[graft.llm.Sampling.splits]] assigns splits by
+    * mix31(doc_id), which is blind to content; any near-dup pair the
+    * banding surfaces whose members landed in different splits is exactly
+    * the eval-set contamination a training run must not ship (the
+    * held-out doc is "seen" via its twin).  Output is the split×split
+    * matrix of candidate pairs with the off-diagonal rows flagged
+    * `leaking` — the go/no-go artifact, complementing [[leakMatrix]]
+    * (external benchmarks) with the corpus's own split discipline.
+    *
+    * Scale: the pair population is the Σ bucket²-bounded banding output;
+    * the split labels are scan-fused mix31 projections on the id columns
+    * of the PAIRS (no join back to the corpus at all), and the rollup is
+    * a ≤9-row aggregate. */
+  def splitLeakage(spark: SparkSession, dir: String,
+      minEstJaccard: Double = 0.2,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    import graft.functions.Mix31
+    def splitCase(c: String) =
+      s"""CASE WHEN ${Mix31.sparkSql(c)} % 100 < $testPct THEN 'test'
+         |     WHEN ${Mix31.sparkSql(c)} % 100 < ${testPct + valPct}
+         |       THEN 'val'
+         |     ELSE 'train' END""".stripMargin
+    minhashCandidates(spark, dir, minEstJaccard)
+      .withColumn("split_a", expr(splitCase("doc_a")))
+      .withColumn("split_b", expr(splitCase("doc_b")))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        col("est_jaccard"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("est_jaccard")), 6).as("max_est_jaccard"))
+      .withColumn("leaking", col("split_lo") =!= col("split_hi"))
+  }
+
+  def splitLeakageOracle(minEstJaccard: Double = 0.2,
+      valPct: Int = 10, testPct: Int = 10): String = {
+    import graft.functions.Mix31
+    def splitCase(c: String) =
+      s"""CASE WHEN ${Mix31.duckSql(c)} % 100 < $testPct THEN 'test'
+         |     WHEN ${Mix31.duckSql(c)} % 100 < ${testPct + valPct}
+         |       THEN 'val'
+         |     ELSE 'train' END""".stripMargin
+    s"""WITH $minhashBandCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id),
+       |scored AS (${minhashScoreTail(minEstJaccard)}),
+       |lab AS (
+       |  SELECT least(${splitCase("doc_a")}, ${splitCase("doc_b")})
+       |           AS split_lo,
+       |         greatest(${splitCase("doc_a")}, ${splitCase("doc_b")})
+       |           AS split_hi,
+       |         est_jaccard
+       |  FROM scored)
+       |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+       |  ROUND(MAX(est_jaccard), 6) AS max_est_jaccard,
+       |  split_lo <> split_hi AS leaking
+       |FROM lab GROUP BY 1, 2""".stripMargin
+  }
+
   /** Duplicate CLUSTERS: connected components over the near-dup pair
     * graph, each doc labeled with the smallest doc_id reachable from it —
     * the canonical representative a curation pass keeps (`keep =

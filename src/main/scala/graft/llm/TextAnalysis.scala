@@ -693,4 +693,70 @@ object TextAnalysis {
        |  ROUND(logit_milli / CAST(n_tokens AS DOUBLE), 4) AS mean_w_milli,
        |  CASE WHEN logit_milli >= 0 THEN 'keep' ELSE 'drop' END AS verdict
        |FROM s""".stripMargin
+
+  /** Boilerplate/template mining — the global top-K SENTENCES by
+    * document frequency (appearing in ≥ minDocs distinct docs).  The
+    * C4-style move against headers, footers, cookie banners and license
+    * blurbs: [[novelty]] scores each document's uniqueness, this surfaces
+    * the shared text ITSELF so a cleaning pass can strip it corpus-wide.
+    * Sentences are normalized (trailing sentence punctuation stripped,
+    * trimmed) so "Foo bar." and "Foo bar!" collapse.
+    *
+    * Scale: explode → distinct (doc, sentence) → sentence-keyed count
+    * (one exchange, map-side combine), a document-frequency floor that
+    * cuts the tail BEFORE the top-K heap, and the [[Vocab.topK]]
+    * TakeOrderedAndProject cut — only the K survivors meet the ranking
+    * window.  The 1-row corpus total broadcasts for the share. */
+  def boilerplate(spark: SparkSession, dir: String,
+      minDocs: Int = 3, k: Int = 20): DataFrame =
+    boilerplateOf(Sources.documents(spark, dir), minDocs, k)
+
+  private[graft] def boilerplateOf(docs: DataFrame,
+      minDocs: Int = 3, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = docs.agg(countDistinct(col("doc_id")).as("total_docs"))
+    val sents = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "[.!?]+ ")).as("raw"))
+      .select(col("doc_id"),
+        trim(regexp_replace(col("raw"), "[.!?]+$", "")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+      .distinct()
+      .groupBy(col("sentence"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val top = sents.orderBy(col("n_docs").desc, col("sentence").asc).limit(k)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("sentence").asc)))
+      .select(col("rank"), col("sentence"), col("n_docs"),
+        expr("ROUND(n_docs / CAST(total_docs AS DOUBLE), 6)")
+          .as("doc_share"))
+  }
+
+  def boilerplateOracle(minDocs: Int = 3, k: Int = 20): String =
+    s"""WITH tot AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS total_docs
+       |  FROM documents),
+       |raw AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split_regex(text, '[.!?]+ ')) AS raw
+       |  FROM documents),
+       |s AS (
+       |  SELECT DISTINCT doc_id,
+       |    trim(regexp_replace(raw, '[.!?]+$$', '')) AS sentence
+       |  FROM raw),
+       |c AS (
+       |  SELECT sentence, COUNT(*) AS n_docs FROM s
+       |  WHERE length(sentence) > 0
+       |  GROUP BY 1 HAVING COUNT(*) >= $minDocs),
+       |top AS (
+       |  SELECT sentence, n_docs FROM c
+       |  ORDER BY n_docs DESC, sentence ASC LIMIT $k)
+       |SELECT
+       |  CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, sentence ASC) AS INT)
+       |    AS "rank",
+       |  sentence, n_docs,
+       |  ROUND(n_docs / CAST(tot.total_docs AS DOUBLE), 6) AS doc_share
+       |FROM top, tot""".stripMargin
 }

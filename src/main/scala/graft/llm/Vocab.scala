@@ -257,4 +257,51 @@ object Vocab {
        |  ON a.token < b.token
        | AND abs(len(a.token) - len(b.token)) <= $maxDist
        |WHERE levenshtein(a.token, b.token) <= $maxDist""".stripMargin
+
+  /** First-iteration BPE merge statistics: the corpus-weighted frequency
+    * of every ADJACENT CHARACTER PAIR inside words — exactly the table a
+    * byte-pair-encoding trainer builds to pick its first merge (Sennrich
+    * et al. 2016), and the natural companion to [[topK]]'s seed
+    * vocabulary.  Pair counts are weighted by word occurrence (the
+    * trainer's view), so the pipeline is: word-frequency aggregate first
+    * (vocabulary-sized — this is the compression BPE training relies on:
+    * pair extraction runs over DISTINCT words, not the corpus), then the
+    * in-word pair explode, a pair-keyed count, and the [[topK]]
+    * TakeOrderedAndProject cut.  Everything is exact integer counting.
+    *
+    * Scale: the corpus-sized stage is the one word-keyed exchange; the
+    * pair stage runs over the vocabulary (orders of magnitude smaller),
+    * and only alphabet²-bounded pair rows reach the final heap cut. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val words = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .filter(length(col("word")) >= 2)
+    val pairs = words
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc)))
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
+  def bpePairsOracle(k: Int = 20): String =
+    s"""WITH w AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+       |c AS (SELECT word, COUNT(*) AS wcnt FROM w GROUP BY 1
+       |      HAVING length(word) >= 2),
+       |p AS (
+       |  SELECT UNNEST(list_transform(generate_series(1, length(word) - 1),
+       |           i -> substr(word, i, 2))) AS pair, wcnt
+       |  FROM c),
+       |a AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM p GROUP BY 1),
+       |top AS (SELECT pair, cnt FROM a ORDER BY cnt DESC, pair ASC LIMIT $k)
+       |SELECT
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+       |    AS "rank",
+       |  pair, cnt
+       |FROM top""".stripMargin
 }

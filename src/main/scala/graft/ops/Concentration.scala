@@ -70,4 +70,64 @@ object Concentration {
        |  $HhiExpr AS hhi,
        |  $TopShareExpr AS top1_share
        |FROM m""".stripMargin
+
+  /** Shared verbatim: the rank-form Gini
+    * `G = (2·Σ i·cᵢ − (n+1)·T) / (n·T)` over exact integer operands —
+    * Σ i·cᵢ lifted to DECIMAL(38,0) like [[HhiExpr]]'s Σ cᵢ² (rank ×
+    * cents overflows int64 in the same regime), then one shared-verbatim
+    * IEEE chain. */
+  private val GiniExpr =
+    "ROUND((2.0 * CAST(s_ic AS DOUBLE) " +
+      "- (CAST(n_customers AS DOUBLE) + 1.0) * CAST(t AS DOUBLE)) " +
+      "/ (CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE)), 6)"
+
+  /** Gini coefficient of monthly customer-revenue inequality — [[hhi]]'s
+    * distribution-wide companion (HHI is dominated by the head; Gini sees
+    * the whole Lorenz curve).  Exactness: per-customer cents are exact
+    * integers, ranks come from a TOTAL order (`(c, o_custkey)` — ties
+    * broken by key, so the rank assignment and therefore Σ i·cᵢ are
+    * engine-independent), and the one divide happens at the end.
+    *
+    * Scale: same two hash aggregates as [[hhi]] plus one rank window
+    * PARTITIONED by month — each month's frame is its active-customer
+    * set, never the corpus, and the window reuses the (mes, o_custkey)
+    * exchange the aggregate already made. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("mes"))
+      .orderBy(col("c").asc, col("o_custkey").asc)
+    Sources.orders(spark, dir)
+      .select(expr(Frag.mes("o_orderdate")).as("mes"), col("o_custkey"),
+        expr(s"CAST(${Frag.money("o_totalprice")} * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("mes"), col("o_custkey"))
+      .agg(sum(col("cents")).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("mes"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c")).as("t"),
+        expr("CAST(SUM(CAST(rk AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))" +
+          " AS DECIMAL(38,0))").as("s_ic"))
+      .select(col("mes"), col("n_customers"), col("t").as("cents"),
+        expr(GiniExpr).as("gini"))
+  }
+
+  val giniOracle: String =
+    s"""WITH oc AS (
+       |  SELECT ${Frag.mes("o_orderdate")} AS mes, o_custkey,
+       |    SUM(CAST(${Frag.money("o_totalprice")} * 100 AS BIGINT)) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT mes, c,
+       |    ROW_NUMBER() OVER (PARTITION BY mes ORDER BY c, o_custkey) AS rk
+       |  FROM oc),
+       |m AS (
+       |  SELECT mes, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |    CAST(SUM(c) AS BIGINT) AS t,
+       |    CAST(SUM(CAST(rk AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+       |      AS DECIMAL(38,0)) AS s_ic
+       |  FROM rk GROUP BY 1)
+       |SELECT mes, n_customers, t AS cents,
+       |  $GiniExpr AS gini
+       |FROM m""".stripMargin
 }

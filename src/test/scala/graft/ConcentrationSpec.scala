@@ -44,6 +44,38 @@ class ConcentrationSpec extends SparkSpec {
     assert(mar.getDouble(mar.fieldIndex("top1_share")) === 0.75)
   }
 
+  private def giniOf(rows: Seq[(String, Long, Double)]) = {
+    val dir = Files.createTempDirectory("graft_gini_").toString
+    rows.map { case (d, c, v) => (Timestamp.valueOf(d + " 00:00:00"), c, v) }
+      .toDF("o_orderdate", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Concentration.gini(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+  }
+
+  test("gini: equality is 0, a 3:1 split is 0.25") {
+    val got = giniOf(Seq(
+      ("2024-01-05", 7L, 100.0),                          // single customer
+      ("2024-02-01", 1L, 100.0), ("2024-02-15", 2L, 100.0), // perfectly even
+      ("2024-03-01", 1L, 300.0), ("2024-03-15", 2L, 100.0))) // 3:1
+    assert(got("2024-01-01").getDouble(3) === 0.0)
+    assert(got("2024-02-01").getDouble(3) === 0.0)
+    // sorted cents (10000, 30000): G = (2·70000 − 3·40000)/(2·40000).
+    assert(got("2024-03-01").getDouble(3) === 0.25)
+  }
+
+  test("gini bounds hold per month on the real corpus") {
+    val rows = Concentration.gini(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val g = r.getDouble(3)
+      // Rank-form Gini over positive values lives in [0, 1 − 1/n].
+      assert(g >= -1e-6 && g <= 1.0 - 1.0 / n + 1e-6,
+        s"month ${r.getDate(0)}: gini $g outside [0, 1-1/$n]")
+    }
+  }
+
   test("real-corpus invariants: 1/n ≤ hhi ≤ top1 ≤ 1 and totals tile") {
     val rows = Concentration.hhi(spark, Sf001).collect()
     assert(rows.nonEmpty)

@@ -321,6 +321,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.count(_._5) == 2)
   }
 
+  test("split leakage tiles the candidate pairs and flags cross-split rows") {
+    graft.functions.MinHashSignature.register(spark)
+    val m = Dedup.splitLeakage(spark, Sf001).collect()
+    assert(m.nonEmpty)
+    val valid = Set("train", "val", "test")
+    m.foreach { r =>
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      assert(valid(lo) && valid(hi) && lo <= hi)
+      assert(r.getBoolean(4) == (lo != hi))
+      assert(r.getDouble(3) >= 0.2 && r.getDouble(3) <= 1.0)
+    }
+    // The matrix must tile the full candidate-pair population exactly.
+    val total = m.map(_.getLong(2)).sum
+    assert(total == Dedup.minhashCandidates(spark, Sf001).count())
+  }
+
   test("cluster resolution invariants hold over the real corpus") {
     import spark.implicits._
     val res = Dedup.resolveDuplicates(spark, Sf001)

@@ -134,7 +134,12 @@ class DegenerateInputsSpec extends SparkSpec {
     // explode/rollup on empty text, and the aggregate() fold over the
     // single-''-token list.
     "q_llm_mixture_temperature", "q_text_readability", "q_text_lexical",
-    "q_llm_quality_classifier")
+    "q_llm_quality_classifier",
+    // Batch 2: the per-month rank window over zero customers, the pair
+    // explode over an empty vocabulary, the banding/split matrix over an
+    // empty corpus, and the sentence df floor with zero sentences.
+    "q_an_gini", "q_llm_bpe_pairs", "q_llm_split_leakage",
+    "q_text_boilerplate")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -116,6 +116,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(verdicts == Set("keep", "drop"))
   }
 
+  test("boilerplate: shared sentences surface once, normalized and ranked") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.boilerplateOf(Seq(
+      (1L, "unique intro one. all rights reserved. visit our site!"),
+      (2L, "different body text here. all rights reserved. visit our site."),
+      (3L, "all rights reserved! another unique middle. visit our site."),
+      (4L, "totally unrelated content without shared lines"))
+      .toDF("doc_id", "text"), minDocs = 3, k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // Both 3-doc templates survive; punctuation variants collapsed; the
+    // 1–2-doc sentences fall under the floor.  Tie broken by text ASC.
+    assert(rows.toSeq == Seq(
+      (1, "all rights reserved", 3L, 0.75),
+      (2, "visit our site", 3L, 0.75)))
+  }
+
+  test("boilerplate respects the df floor on the real corpus") {
+    val rows = TextAnalysis.boilerplate(spark, Sf001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 3L)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getString(1).nonEmpty)
+    }
+  }
+
   test("novelty bounds and totals hold on the real corpus") {
     val rows = TextAnalysis.novelty(spark, Sf001).collect()
     assert(rows.nonEmpty)

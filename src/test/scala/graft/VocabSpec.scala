@@ -67,6 +67,30 @@ class VocabSpec extends SparkSpec {
     assert(Vocab.heavyHitters(spark, Sf001).count() > 0)
   }
 
+  test("bpe pairs: corpus-weighted adjacent-char counts, hand-computed") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // Vocabulary {ab (freq 3), abc (freq 1), x (freq 1)}:
+    //   'ab' ← 3 (from ab) + 1 (from abc) = 4; 'bc' ← 1; 'x' too short.
+    Seq((1L, "ab ab x", "en", "a", 1L), (2L, "ab abc", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Vocab.bpePairs(spark, dir, k = 10).collect()
+      .map(r => r.getString(1) -> ((r.getInt(0), r.getLong(2)))).toMap
+    assert(rows == Map("ab" -> ((1, 4L)), "bc" -> ((2, 1L))))
+  }
+
+  test("bpe pairs on the real corpus: ranked, every pair is two chars") {
+    val rows = Vocab.bpePairs(spark, Sf001, k = 20).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 20))
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length == 2)
+      assert(r.getAs[Long]("cnt") >= 1L)
+    }
+    val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cnt"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("bigram LM tables satisfy the probability-model invariants") {
     val rows = Vocab.bigramLm(spark, Sf001).collect()
     val byW1 = rows.groupBy(_.getAs[String]("w1"))
