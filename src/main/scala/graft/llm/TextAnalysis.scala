@@ -608,8 +608,9 @@ object TextAnalysis {
     * only doubles are single divisions and a correctly-rounded sqrt.
     *
     * Scale: one (doc_id, token) exchange with map-side combine into the
-    * per-type multiplicities, then a per-doc rollup reusing the same
-    * partitioning — the [[tfidf]] shape without the vocabulary window. */
+    * per-type multiplicities, then a per-doc rollup whose exchange
+    * carries only the already-combined per-type rows (far smaller than
+    * the corpus) — the [[tfidf]] shape without the vocabulary window. */
   def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
     lexicalDiversityOf(Sources.documents(spark, dir))
 
