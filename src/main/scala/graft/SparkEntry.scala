@@ -592,6 +592,12 @@ object SparkEntry {
     Q("q_text_boilerplate", // top-K shared sentences by document frequency
       (s, d) => llm.TextAnalysis.boilerplate(s, d),
       Some(llm.TextAnalysis.boilerplateOracle())),
+    Q("q_ops_dpp", // dynamic partition pruning: dim filter prunes fact dirs
+      (s, d) => graft.core.DynamicPruning.prunedRevenue(s, d),
+      Some(graft.core.DynamicPruning.prunedRevenueOracle)),
+    Q("q_dedup_lsh_eval", // banding precision/recall vs exact 3-gram pairs
+      (s, d) => llm.Dedup.lshEval(s, d),
+      Some(llm.Dedup.lshEvalOracle())),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

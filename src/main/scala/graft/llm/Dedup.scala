@@ -284,6 +284,64 @@ object Dedup {
       .withColumn("leaking", col("split_lo") =!= col("split_hi"))
   }
 
+  /** LSH quality evaluation — precision/recall of the MinHash banding
+    * pipeline against the EXACT word-3-gram Jaccard pairs (the same
+    * shingle space the signatures sketch).  The operator a curation team
+    * runs before trusting a band/row configuration on a new corpus:
+    * `fn` is real duplication the sketch would miss (banding is
+    * probabilistic — recall < 1 is expected and this measures it),
+    * `fp` is wasted scoring work.  One row out.
+    *
+    * Scale: both sides are the already-bounded pipelines (prefix-filter
+    * posting lists / Σ bucket² banding); the FULL OUTER JOIN runs on
+    * id-pair keys only, sized by the two candidate sets, never the
+    * corpus.  NULLIF guards make the empty-corpus row all-NULL ratios
+    * rather than division errors. */
+  def lshEval(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.2): DataFrame = {
+    val exact = ngramJaccard(spark, dir, minJaccard, n = 3)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_exact"))
+    val cand = minhashCandidates(spark, dir, minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_cand"))
+    exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(when(col("in_exact").isNotNull && col("in_cand").isNotNull, 1))
+          .as("tp"),
+        count(when(col("in_cand").isNotNull && col("in_exact").isNull, 1))
+          .as("fp"),
+        count(when(col("in_exact").isNotNull && col("in_cand").isNull, 1))
+          .as("fn"))
+      .select(
+        (col("tp") + col("fn")).as("n_exact"),
+        (col("tp") + col("fp")).as("n_candidates"),
+        col("tp"), col("fp"), col("fn"),
+        expr("ROUND(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6)")
+          .as("precision"),
+        expr("ROUND(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6)")
+          .as("recall"))
+  }
+
+  def lshEvalOracle(minJaccard: Double = 0.2): String =
+    s"""WITH ex AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardOracle(minJaccard, 3)}) e),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM (${minhashOracle(minJaccard)}) c),
+       |j AS (
+       |  SELECT ex.doc_a AS ea, cand.doc_a AS ca
+       |  FROM ex FULL OUTER JOIN cand
+       |    ON ex.doc_a = cand.doc_a AND ex.doc_b = cand.doc_b),
+       |agg AS (
+       |  SELECT
+       |    COUNT(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL THEN 1 END)
+       |      AS tp,
+       |    COUNT(CASE WHEN ca IS NOT NULL AND ea IS NULL THEN 1 END) AS fp,
+       |    COUNT(CASE WHEN ea IS NOT NULL AND ca IS NULL THEN 1 END) AS fn
+       |  FROM j)
+       |SELECT tp + fn AS n_exact, tp + fp AS n_candidates, tp, fp, fn,
+       |  ROUND(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6) AS precision,
+       |  ROUND(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall
+       |FROM agg""".stripMargin
+
   def splitLeakageOracle(minEstJaccard: Double = 0.2,
       valPct: Int = 10, testPct: Int = 10): String = {
     import graft.functions.Mix31

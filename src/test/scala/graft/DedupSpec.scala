@@ -337,6 +337,20 @@ class DedupSpec extends SparkSpec {
     assert(total == Dedup.minhashCandidates(spark, Sf001).count())
   }
 
+  test("lsh eval: counts tile both pair sets and ratios are consistent") {
+    graft.functions.MinHashSignature.register(spark)
+    graft.functions.WordNgramShingles.register(spark)
+    val r = Dedup.lshEval(spark, Sf001).collect().head
+    val (nExact, nCand, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nExact == tp + fn && nCand == tp + fp)
+    assert(nExact == Dedup.ngramJaccard(spark, Sf001, 0.2, n = 3).count())
+    assert(nCand == Dedup.minhashCandidates(spark, Sf001).count())
+    assert(tp > 0, "the corpus's near-dup fixtures must yield true positives")
+    assert(r.getDouble(5) == math.rint(tp.toDouble / nCand * 1e6) / 1e6)
+    assert(r.getDouble(6) == math.rint(tp.toDouble / nExact * 1e6) / 1e6)
+  }
+
   test("cluster resolution invariants hold over the real corpus") {
     import spark.implicits._
     val res = Dedup.resolveDuplicates(spark, Sf001)

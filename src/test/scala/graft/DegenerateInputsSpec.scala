@@ -139,7 +139,10 @@ class DegenerateInputsSpec extends SparkSpec {
     // explode over an empty vocabulary, the banding/split matrix over an
     // empty corpus, and the sentence df floor with zero sentences.
     "q_an_gini", "q_llm_bpe_pairs", "q_llm_split_leakage",
-    "q_text_boilerplate")
+    "q_text_boilerplate",
+    // The DPP staging short-circuit on a data-file-less source and the
+    // NULLIF precision/recall row over zero pairs.
+    "q_ops_dpp", "q_dedup_lsh_eval")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -43,6 +43,27 @@ class PartitionPruningSpec extends SparkSpec {
     assert(scanOf(unpruned).selectedPartitions.partitionCount == 3)
   }
 
+  test("dynamic partition pruning: the dim filter reaches the fact scan") {
+    val df = graft.core.DynamicPruning.prunedRevenue(spark, Sf001)
+    // The runtime filter is visible in the fact scan's partition filters.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in:\n$plan")
+    // And the result equals the direct month-window aggregate.
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.core.Sources.orders(spark, Sf001)
+      .filter(expr("month(o_orderdate) BETWEEN 1 AND 3"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mes"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    got.keys.foreach(m => assert(Set("01", "02", "03")(m.substring(5))))
+  }
+
   test("dynamic keyed overwrite leaves pruned siblings byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune2").toString
     val v1 = Seq((1L, "2024-01", 1.0), (2L, "2024-02", 2.0))
