@@ -598,6 +598,15 @@ object SparkEntry {
     Q("q_dedup_lsh_eval", // banding precision/recall vs exact 3-gram pairs
       (s, d) => llm.Dedup.lshEval(s, d),
       Some(llm.Dedup.lshEvalOracle())),
+    Q("q_text_winnowing", // MOSS winnowing fingerprints, scan-fused
+      (s, d) => llm.TextAnalysis.winnowing(s, d),
+      Some(llm.TextAnalysis.winnowingOracle())),
+    Q("q_an_spearman", // rank correlation vs time, exact integer ranks
+      (s, d) => graft.ops.StatTests.spearman(s, d),
+      Some(graft.ops.StatTests.spearmanOracle)),
+    Q("q_an_chi2", // dow x event-type independence, decimal-summed
+      (s, d) => graft.ops.StatTests.chi2Independence(s, d),
+      Some(graft.ops.StatTests.chi2IndependenceOracle)),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

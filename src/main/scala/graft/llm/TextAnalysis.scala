@@ -695,6 +695,67 @@ object TextAnalysis {
        |  CASE WHEN logit_milli >= 0 THEN 'keep' ELSE 'drop' END AS verdict
        |FROM s""".stripMargin
 
+  /** Winnowing document fingerprints (Schleimer, Wilkinson & Aiken 2003,
+    * the MOSS algorithm) — per sliding window of w consecutive k-gram
+    * hashes, select the window MINIMUM; the distinct selected hashes are
+    * the document's fingerprint set.  The guarantee [[fingerprint]]'s
+    * single rolling hash can't give: any shared substring of length
+    * ≥ w + k − 1 tokens contributes at least one COMMON fingerprint, at
+    * a fraction ≈ 2/(w+1) of the grams — local, position-robust
+    * plagiarism/copy detection with tunable density.
+    *
+    * Exactness: k-gram hashes are the engine-wide md5-prefix BIGINTs,
+    * window minima exact integer comparisons.  Scale: the whole selection
+    * is higher-order array work fused into the scan — zero shuffle; at
+    * 100 TB the fingerprint SETS would be exploded into an inverted
+    * (fingerprint → doc) index, the [[Dedup.verbatimSpans]] posting-list
+    * shape. */
+  def winnowing(spark: SparkSession, dir: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    graft.functions.WordNgramShingles.register(spark)
+    winnowingOf(Sources.documents(spark, dir), k, w)
+  }
+
+  private[graft] def winnowingOf(docs: DataFrame,
+      k: Int = 3, w: Int = 4): DataFrame = docs
+    .selectExpr("doc_id",
+      s"""transform(ngram_shingles(text, $k, false),
+         |  s -> ${Dedup.shingleHashSpark("s")}) AS h""".stripMargin)
+    .selectExpr("doc_id", "size(h) AS n_grams",
+      s"""CASE WHEN size(h) >= $w
+         |  THEN transform(sequence(1, size(h) - ${w - 1}),
+         |         j -> array_min(slice(h, j, $w)))
+         |  ELSE CAST(array() AS ARRAY<BIGINT>) END AS mins""".stripMargin)
+    .selectExpr("doc_id", "n_grams",
+      "size(mins) AS n_windows",
+      "size(array_distinct(mins)) AS n_fingerprints")
+    .withColumn("density", expr(
+      "ROUND(n_fingerprints / CAST(greatest(n_windows, 1) AS DOUBLE), 6)"))
+
+  def winnowingOracle(k: Int = 3, w: Int = 4): String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      generate_series(1,
+       |        greatest(len(string_split(text, ' ')) - ${k - 1}, 1)),
+       |      j -> ${Dedup.shingleHashDuck(
+      s"array_to_string(list_slice(string_split(text, ' '), j, j + ${k - 1}), ' ')")})
+       |      AS h
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(h) AS n_grams,
+       |    CASE WHEN len(h) >= $w
+       |      THEN list_transform(generate_series(1, len(h) - ${w - 1}),
+       |             j -> list_min(list_slice(h, j, j + ${w - 1})))
+       |      ELSE []::BIGINT[] END AS mins
+       |  FROM g)
+       |SELECT doc_id, n_grams,
+       |  len(mins) AS n_windows,
+       |  len(list_distinct(mins)) AS n_fingerprints,
+       |  ROUND(len(list_distinct(mins))
+       |    / CAST(greatest(len(mins), 1) AS DOUBLE), 6) AS density
+       |FROM m""".stripMargin
+
   /** Boilerplate/template mining — the global top-K SENTENCES by
     * document frequency (appearing in ≥ minDocs distinct docs).  The
     * C4-style move against headers, footers, cookie banners and license

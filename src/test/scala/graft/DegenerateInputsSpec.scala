@@ -142,7 +142,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_text_boilerplate",
     // The DPP staging short-circuit on a data-file-less source and the
     // NULLIF precision/recall row over zero pairs.
-    "q_ops_dpp", "q_dedup_lsh_eval")
+    "q_ops_dpp", "q_dedup_lsh_eval",
+    // The sub-window fingerprint CASE on tiny docs, the NULLIF rank
+    // denominator on 1-day series, and the empty contingency grid.
+    "q_text_winnowing", "q_an_spearman", "q_an_chi2")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.StatTests
+
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal events table with the columns the tests read. */
+  private def eventsDir(rows: Seq[(Long, String, Long, String, Double)])
+      : String = {
+    val dir = Files.createTempDirectory("graft_stats_").toString
+    rows.map { case (id, ts, uid, et, v) =>
+      (id, Timestamp.valueOf(ts), uid, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("spearman: monotone series score exactly ±1") {
+    val dir = eventsDir(
+      // 'up': strictly increasing daily totals; 'down': decreasing.
+      (1 to 5).map(d => (d.toLong, s"2024-01-0$d 10:00:00", 1L, "up",
+        d * 10.0)) ++
+      (1 to 5).map(d => (100L + d, s"2024-01-0$d 10:00:00", 1L, "down",
+        (6 - d) * 10.0)))
+    val rho = StatTests.spearman(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rho("up") == 1.0)
+    assert(rho("down") == -1.0)
+  }
+
+  test("spearman is outlier-robust where Pearson is not") {
+    // Monotone but wildly non-linear: ranks are still perfectly ordered.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "spike", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "spike", 2.0),
+      (3L, "2024-01-03 10:00:00", 1L, "spike", 3.0),
+      (4L, "2024-01-04 10:00:00", 1L, "spike", 1000000.0)))
+    val rho = StatTests.spearman(spark, dir).collect().head.getDouble(2)
+    assert(rho == 1.0)
+  }
+
+  test("spearman bounds and day counts hold on the real corpus") {
+    val rows = StatTests.spearman(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
+  test("chi2: a perfectly independent grid scores zero") {
+    // Two days (two distinct dows), two types, equal cell counts.
+    val dir = eventsDir(for {
+      d <- Seq("2024-01-01", "2024-01-02")
+      t <- Seq("a", "b")
+      i <- 1 to 3
+    } yield ((d + t + i).hashCode.toLong, s"$d 0$i:00:00", 1L, t, 1.0))
+    val r = StatTests.chi2Independence(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 12L)
+    assert(r.getDecimal(3).doubleValue() == 0.0)
+    assert(r.getLong(4) == 1L) // df = (2-1)(2-1)
+  }
+
+  test("chi2: a dow-dependent mix scores positive, df matches the grid") {
+    val dir = eventsDir(
+      // Day 1: only type a; day 2: only type b → maximal dependence.
+      (1 to 4).map(i => (i.toLong, s"2024-01-01 0$i:00:00", 1L, "a", 1.0)) ++
+      (1 to 4).map(i => (10L + i, s"2024-01-02 0$i:00:00", 1L, "b", 1.0)))
+    val r = StatTests.chi2Independence(spark, dir).collect().head
+    // 2x2 with perfect separation: chi2 = N = 8.
+    assert(r.getDecimal(3).doubleValue() == 8.0)
+  }
+
+  test("chi2 on the real corpus: nonnegative, full dow grid") {
+    val r = StatTests.chi2Independence(spark, Sf001).collect().head
+    assert(r.getLong(0) == 7L) // 30 days cover every weekday
+    assert(r.getDecimal(3).doubleValue() >= 0.0)
+    assert(r.getLong(4) == (r.getLong(0) - 1) * (r.getLong(1) - 1))
+  }
+}

@@ -116,6 +116,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(verdicts == Set("keep", "drop"))
   }
 
+  test("winnowing: counts match a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    graft.functions.WordNgramShingles.register(spark)
+    def hash(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16)
+    def expected(text: String, k: Int = 3, w: Int = 4) = {
+      val toks = text.split(" ", -1)
+      val grams = if (toks.length <= k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val h = grams.map(hash)
+      val mins = if (h.length >= w) h.sliding(w).map(_.min).toSeq else Seq()
+      (grams.length.toLong, mins.length.toLong, mins.distinct.length.toLong)
+    }
+    val texts = Seq(
+      (1L, "a b c d e f"),      // 4 grams, 1 window
+      (2L, "x y"),              // whole-text shingle, no window
+      (3L, "one two three four five six seven eight nine ten"))
+    val out = TextAnalysis.winnowingOf(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong))).toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id) == expected(t), s"doc $id")
+    }
+  }
+
+  test("winnowing density is bounded and fingerprints never exceed windows") {
+    val rows = TextAnalysis.winnowing(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, win, fp) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(win == math.max(g - 3, 0))
+      assert(fp <= win && (win == 0 || fp >= 1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("boilerplate: shared sentences surface once, normalized and ranked") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.boilerplateOf(Seq(
