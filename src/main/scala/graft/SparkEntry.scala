@@ -607,6 +607,12 @@ object SparkEntry {
     Q("q_an_chi2", // dow x event-type independence, decimal-summed
       (s, d) => graft.ops.StatTests.chi2Independence(s, d),
       Some(graft.ops.StatTests.chi2IndependenceOracle)),
+    Q("q_an_ks_weekend", // exact-integer two-sample KS, weekday vs weekend
+      (s, d) => graft.ops.StatTests.ksWeekend(s, d),
+      Some(graft.ops.StatTests.ksWeekendOracle)),
+    Q("q_an_mann_whitney", // tie-corrected rank-sum U in 2x integer units
+      (s, d) => graft.ops.StatTests.mannWhitney(s, d),
+      Some(graft.ops.StatTests.mannWhitneyOracle)),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

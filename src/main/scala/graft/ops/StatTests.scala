@@ -82,6 +82,156 @@ object StatTests {
        |  $RankCorrFormula AS spearman_rho
        |FROM m""".stripMargin
 
+  /** Daily revenue cells with the engine-neutral weekday flag — the
+    * shared frame of the two-sample tests below: sample A = weekday
+    * days, sample B = weekend days, observations = exact daily cents.
+    * Day/dow from pure epoch arithmetic (the [[Heatmap]] convention). */
+  private def weekendCells(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(col("ts").cast("bigint").as("sec"), col("event_type"),
+        col("value"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .withColumn("wknd", expr("(day + 3) % 7 + 1 >= 6"))
+
+  private val WeekendCellsCte: String =
+    s"""daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT event_type, t, ((day + 3) % 7 + 1 >= 6) AS wknd
+       |  FROM daily)""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between weekday and weekend
+    * daily-revenue distributions, per event type — "does the weekend
+    * change the SHAPE of daily load, not just its mean".  D is kept as
+    * an EXACT integer numerator (max |cumA·nB − cumB·nA| over the
+    * pooled value order) with one final division — no empirical-CDF
+    * doubles anywhere.
+    *
+    * Scale: the corpus collapses to ≤ #days cells per type in one
+    * exchange; the ranking window runs on calendar-sized frames. */
+  def ksWeekend(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("event_type")
+      .orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekendCells(spark, dir)
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(when(!col("wknd"), 1)).as("ca"),
+        count(when(col("wknd"), 1)).as("cb"))
+      .withColumn("cum_a", sum(col("ca")).over(byVal))
+      .withColumn("cum_b", sum(col("cb")).over(byVal))
+      .withColumn("na",
+        sum(col("ca")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("nb",
+        sum(col("cb")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_weekday"), max(col("nb")).as("n_weekend"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+          .as("d_num"))
+      .withColumn("ks_d", expr("ROUND(d_num / CAST(NULLIF(" +
+        "n_weekday * n_weekend, 0) AS DOUBLE), 6)"))
+  }
+
+  val ksWeekendOracle: String =
+    s"""WITH $WeekendCellsCte,
+       |g AS (
+       |  SELECT event_type, t,
+       |    COUNT(CASE WHEN NOT wknd THEN 1 END) AS ca,
+       |    COUNT(CASE WHEN wknd THEN 1 END) AS cb
+       |  FROM cells GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, ca, cb,
+       |    SUM(ca) OVER (PARTITION BY event_type ORDER BY t
+       |                  ROWS UNBOUNDED PRECEDING) AS cum_a,
+       |    SUM(cb) OVER (PARTITION BY event_type ORDER BY t
+       |                  ROWS UNBOUNDED PRECEDING) AS cum_b,
+       |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+       |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+       |  FROM g)
+       |SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_weekday,
+       |  CAST(MAX(nb) AS BIGINT) AS n_weekend,
+       |  CAST(MAX(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+       |  ROUND(MAX(abs(cum_a * nb - cum_b * na))
+       |    / CAST(NULLIF(MAX(na) * MAX(nb), 0) AS DOUBLE), 6) AS ks_d
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** Shared-verbatim Mann–Whitney z over exact operands: u2 = 2·U_A,
+    * tie = Σ(t³−t), all integers until the final chain. */
+  private val MwZFormula: String =
+    "ROUND((CAST(u2 AS DOUBLE) " +
+      "- CAST(n_weekday AS DOUBLE) * CAST(n_weekend AS DOUBLE)) / " +
+      "NULLIF(2.0 * sqrt(" +
+      "CAST(n_weekday AS DOUBLE) * CAST(n_weekend AS DOUBLE) / 12.0 " +
+      "* (CAST(nn AS DOUBLE) + 1.0 - CAST(tie AS DOUBLE) " +
+      "/ NULLIF(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0), 0.0))" +
+      "), 0.0), 6)"
+
+  /** Mann–Whitney U (weekday vs weekend daily revenue, per event type) —
+    * the rank-sum location test that needs no normality assumption,
+    * completing the family: [[spearman]] for trend, [[ksWeekend]] for
+    * shape, this for location shift.  Tie-averaged ranks are kept as
+    * EXACT integers by working in 2× units (2·avgrank = 2·cum_before +
+    * cnt + 1), so U itself is exact (emitted as u2 = 2U plus the .5-exact
+    * double), and the normal approximation applies the full tie
+    * correction Σ(t³−t).  Same calendar-bounded shape as [[ksWeekend]]. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("event_type")
+      .orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekendCells(spark, dir)
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(when(!col("wknd"), 1)).as("ca"),
+        count(when(col("wknd"), 1)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("r2",
+        lit(2) * (sum(col("cnt")).over(byVal) - col("cnt")) + col("cnt") + 1)
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_weekday"), sum(col("cb")).as("n_weekend"),
+        sum(col("ca") * col("r2")).as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+      .withColumn("nn", col("n_weekday") + col("n_weekend"))
+      .withColumn("u2",
+        col("r2a") - col("n_weekday") * (col("n_weekday") + 1))
+      // CAST before the divide: a bare `u2 / 2.0` parses as DECIMAL
+      // division in Spark (literal 2.0 is DECIMAL(2,1)).
+      .withColumn("u", expr("CAST(u2 AS DOUBLE) / 2.0"))
+      .withColumn("z", expr(MwZFormula))
+      .select("event_type", "n_weekday", "n_weekend", "u2", "u", "z")
+  }
+
+  val mannWhitneyOracle: String =
+    s"""WITH $WeekendCellsCte,
+       |g AS (
+       |  SELECT event_type, t,
+       |    COUNT(CASE WHEN NOT wknd THEN 1 END) AS ca,
+       |    COUNT(CASE WHEN wknd THEN 1 END) AS cb
+       |  FROM cells GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, ca, cb, ca + cb AS cnt,
+       |    2 * (SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY t
+       |                            ROWS UNBOUNDED PRECEDING) - (ca + cb))
+       |      + (ca + cb) + 1 AS r2
+       |  FROM g),
+       |m AS (
+       |  SELECT event_type,
+       |    CAST(SUM(ca) AS BIGINT) AS n_weekday,
+       |    CAST(SUM(cb) AS BIGINT) AS n_weekend,
+       |    CAST(SUM(ca * r2) AS BIGINT) AS r2a,
+       |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+       |  FROM r GROUP BY 1),
+       |f AS (
+       |  SELECT event_type, n_weekday, n_weekend,
+       |    n_weekday + n_weekend AS nn,
+       |    r2a - n_weekday * (n_weekday + 1) AS u2, tie
+       |  FROM m)
+       |SELECT event_type, n_weekday, n_weekend, CAST(u2 AS BIGINT) AS u2,
+       |  CAST(u2 AS DOUBLE) / 2.0 AS u, $MwZFormula AS z
+       |FROM f""".stripMargin
+
   /** Shared-verbatim χ² cell term over exact operands: observed count o,
     * expected e = row_total·col_total/N. */
   private val Chi2Term: String =

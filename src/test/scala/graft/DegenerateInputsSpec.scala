@@ -145,7 +145,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_ops_dpp", "q_dedup_lsh_eval",
     // The sub-window fingerprint CASE on tiny docs, the NULLIF rank
     // denominator on 1-day series, and the empty contingency grid.
-    "q_text_winnowing", "q_an_spearman", "q_an_chi2")
+    "q_text_winnowing", "q_an_spearman", "q_an_chi2",
+    // Two-sample tests over empty / single-sample day cells (NULLIF
+    // denominators on both).
+    "q_an_ks_weekend", "q_an_mann_whitney")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -77,6 +77,65 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDecimal(3).doubleValue() == 8.0)
   }
 
+  test("ks: identical weekday/weekend distributions score 0, disjoint 1") {
+    // 2024-01-01 is a Monday; 01-06/07 the weekend.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "same", 10.0),
+      (2L, "2024-01-02 10:00:00", 1L, "same", 20.0),
+      (3L, "2024-01-06 10:00:00", 1L, "same", 10.0),
+      (4L, "2024-01-07 10:00:00", 1L, "same", 20.0),
+      (5L, "2024-01-01 10:00:00", 1L, "shift", 1.0),
+      (6L, "2024-01-02 10:00:00", 1L, "shift", 2.0),
+      (7L, "2024-01-06 10:00:00", 1L, "shift", 3.0),
+      (8L, "2024-01-07 10:00:00", 1L, "shift", 4.0)))
+    val ks = StatTests.ksWeekend(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ks("same").getLong(1) == 2L && ks("same").getLong(2) == 2L)
+    assert(ks("same").getDouble(4) == 0.0)
+    assert(ks("shift").getLong(3) == 4L) // d_num = nA*nB
+    assert(ks("shift").getDouble(4) == 1.0)
+  }
+
+  test("mann-whitney: hand-computed U and z on disjoint and tied samples") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "shift", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "shift", 2.0),
+      (3L, "2024-01-06 10:00:00", 1L, "shift", 3.0),
+      (4L, "2024-01-07 10:00:00", 1L, "shift", 4.0),
+      (5L, "2024-01-01 10:00:00", 1L, "tied", 10.0),
+      (6L, "2024-01-02 10:00:00", 1L, "tied", 20.0),
+      (7L, "2024-01-06 10:00:00", 1L, "tied", 10.0),
+      (8L, "2024-01-07 10:00:00", 1L, "tied", 20.0)))
+    val mw = StatTests.mannWhitney(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sh = mw("shift") // A = {1,2}, B = {3,4}: U_A = 0
+    assert(sh.getLong(3) == 0L && sh.getDouble(4) == 0.0)
+    // z = (0 - 2) / sqrt(2*2/12 * 5) = -2/sqrt(5/3)
+    assert(sh.getDouble(5) ==
+      math.rint(-2.0 / math.sqrt(5.0 / 3.0) * 1e6) / 1e6)
+    val ti = mw("tied") // symmetric ties: U = mu -> z = 0
+    assert(ti.getLong(3) == 4L && ti.getDouble(4) == 2.0)
+    assert(ti.getDouble(5) == 0.0)
+  }
+
+  test("two-sample tests on the real corpus: bounds and day tiling") {
+    val ks = StatTests.ksWeekend(spark, Sf001).collect()
+    assert(ks.nonEmpty)
+    ks.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(1) + r.getLong(2) >= 1L)
+    }
+    val mw = StatTests.mannWhitney(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ks.foreach { r =>
+      val m = mw(r.getString(0))
+      // Same cells: day counts agree across the two tests.
+      assert(m.getLong(1) == r.getLong(1) && m.getLong(2) == r.getLong(2))
+      // 0 <= U <= nA*nB always.
+      assert(m.getLong(3) >= 0L && m.getLong(3) <= 2 * m.getLong(1) * m.getLong(2))
+    }
+  }
+
   test("chi2 on the real corpus: nonnegative, full dow grid") {
     val r = StatTests.chi2Independence(spark, Sf001).collect().head
     assert(r.getLong(0) == 7L) // 30 days cover every weekday
