@@ -613,6 +613,12 @@ object SparkEntry {
     Q("q_an_mann_whitney", // tie-corrected rank-sum U in 2x integer units
       (s, d) => graft.ops.StatTests.mannWhitney(s, d),
       Some(graft.ops.StatTests.mannWhitneyOracle)),
+    Q("q_ann_recall", // IVF recall@k vs brute-force ground truth
+      (s, d) => llm.Similarity.annRecall(s, d),
+      Some(llm.Similarity.annRecallOracle())),
+    Q("q_text_langid_eval", // language-ID confusion matrix + shares
+      (s, d) => llm.TextAnalysis.langIdEval(s, d),
+      Some(llm.TextAnalysis.langIdEvalOracle)),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

@@ -475,4 +475,55 @@ object Similarity {
        |FROM ranked WHERE rnk <= $k""".stripMargin
     sb.toString
   }
+
+  /** ANN quality evaluation — recall@k of the IVF index against the
+    * brute-force ground truth, the [[graft.llm.Dedup.lshEval]] companion
+    * for the similarity side: nprobe < nlist trades recall for scan
+    * fraction, and this measures what the trade actually bought on THIS
+    * corpus (the number an index deployment must publish).  One row:
+    * total hits/truth, the exact-rational mean recall, and the worst
+    * query's hit count (a mean can hide a zero-recall query).
+    *
+    * Scale: both sides are the already-registered pipelines; the join is
+    * on (query, neighbor) id pairs — numQueries·k rows. */
+  def annRecall(spark: SparkSession, dir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_ivf"))
+    bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_truth"), count(col("in_ivf")).as("n_hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("k_truth")).as("n_truth"),
+        sum(col("n_hit")).as("n_hits"),
+        min(col("n_hit")).as("worst_query_hits"))
+      .withColumn("recall_at_k",
+        expr("ROUND(n_hits / CAST(NULLIF(n_truth, 0) AS DOUBLE), 6)"))
+  }
+
+  def annRecallOracle(numQueries: Int = 8, k: Int = 5): String =
+    s"""WITH bf AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${bruteForceOracle(numQueries, k)}) b),
+       |iv AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${ivfOracle(numQueries, k)}) i),
+       |j AS (
+       |  SELECT bf.query_id,
+       |    CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bf LEFT JOIN iv
+       |    ON bf.query_id = iv.query_id
+       |   AND bf.neighbor_id = iv.neighbor_id),
+       |p AS (
+       |  SELECT query_id, COUNT(*) AS kt, SUM(hit) AS nh
+       |  FROM j GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(kt) AS BIGINT) AS n_truth,
+       |  CAST(SUM(nh) AS BIGINT) AS n_hits,
+       |  CAST(MIN(nh) AS BIGINT) AS worst_query_hits,
+       |  ROUND(SUM(nh) / CAST(NULLIF(SUM(kt), 0) AS DOUBLE), 6)
+       |    AS recall_at_k
+       |FROM p""".stripMargin
 }

@@ -695,6 +695,43 @@ object TextAnalysis {
        |  CASE WHEN logit_milli >= 0 THEN 'keep' ELSE 'drop' END AS verdict
        |FROM s""".stripMargin
 
+  /** Language-ID confusion matrix — [[langId]] evaluated against the
+    * corpus's labeled `lang` column: one row per (true, predicted) pair
+    * with the within-language share, the classifier-QA artifact
+    * completing the evaluation family ([[graft.llm.Dedup.lshEval]] for
+    * dedup, [[graft.llm.Similarity.annRecall]] for ANN).  The diagonal
+    * shares ARE per-language accuracy; off-diagonal mass says which
+    * languages the marker heuristic confuses.
+    *
+    * Scale: the scan-fused predictions collapse into a ≤ #langs² grid in
+    * one exchange; the share window runs over grid rows. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        expr("ROUND(n / CAST(lang_total AS DOUBLE), 6)").as("share"),
+        (col("lang") === col("predicted_lang")).as("is_correct"))
+  }
+
+  val langIdEvalOracle: String =
+    s"""WITH pred AS (
+       |  SELECT lang, predicted_lang FROM ($langIdOracle) p),
+       |g AS (
+       |  SELECT lang, predicted_lang, COUNT(*) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |w AS (
+       |  SELECT lang, predicted_lang, n,
+       |    SUM(n) OVER (PARTITION BY lang) AS lang_total
+       |  FROM g)
+       |SELECT lang, predicted_lang, n,
+       |  ROUND(n / CAST(lang_total AS DOUBLE), 6) AS share,
+       |  lang = predicted_lang AS is_correct
+       |FROM w""".stripMargin
+
   /** Winnowing document fingerprints (Schleimer, Wilkinson & Aiken 2003,
     * the MOSS algorithm) — per sliding window of w consecutive k-gram
     * hashes, select the window MINIMUM; the distinct selected hashes are

@@ -148,7 +148,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_text_winnowing", "q_an_spearman", "q_an_chi2",
     // Two-sample tests over empty / single-sample day cells (NULLIF
     // denominators on both).
-    "q_an_ks_weekend", "q_an_mann_whitney")
+    "q_an_ks_weekend", "q_an_mann_whitney",
+    // Evaluation harnesses over empty truth sets (NULLIF recall) and an
+    // empty prediction grid.
+    "q_ann_recall", "q_text_langid_eval")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

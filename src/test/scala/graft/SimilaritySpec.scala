@@ -38,6 +38,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann recall tiles the truth set and matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val r = Similarity.annRecall(spark, Sf001).collect().head
+    val (nq, nTruth, nHits, worst) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nq == 8L && nTruth == 40L) // 8 queries x k=5 ground truths
+    val bf = Similarity.bruteForceTopK(spark, Sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val iv = Similarity.ivfTopK(spark, Sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nHits == (bf & iv).size.toLong)
+    assert(worst >= 0 && worst * nq <= nHits) // min never exceeds the mean
+    assert(r.getDouble(4) ==
+      math.rint(nHits.toDouble / nTruth * 1e6) / 1e6)
+  }
+
   test("codegen'd hyperplane buckets equal the built-in SQL formulation bit-for-bit") {
     import org.apache.spark.sql.functions.{col, expr}
     graft.functions.HyperplaneBuckets.register(spark)

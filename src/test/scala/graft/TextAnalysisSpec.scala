@@ -116,6 +116,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(verdicts == Set("keep", "drop"))
   }
 
+  test("langid confusion matrix: shares tile each language, diagonal = accuracy") {
+    import org.apache.spark.sql.functions._
+    val conf = TextAnalysis.langIdEval(spark, Sf001).collect()
+    assert(conf.nonEmpty)
+    // Per-language counts tile the corpus and shares sum to 1.
+    val byLang = conf.groupBy(_.getString(0))
+    val docsPerLang = graft.core.Sources.documents(spark, Sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(2)).sum == docsPerLang(lang))
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+      rows.foreach(r => assert(
+        r.getBoolean(4) == (r.getString(0) == r.getString(1))))
+    }
+    // Diagonal mass equals langId's own agreement count.
+    val diag = conf.filter(_.getBoolean(4)).map(_.getLong(2)).sum
+    val agrees = TextAnalysis.langId(spark, Sf001)
+      .filter(col("agrees")).count()
+    assert(diag == agrees)
+  }
+
   test("winnowing: counts match a driver-side recomputation") {
     import org.apache.spark.sql.functions._
     graft.functions.WordNgramShingles.register(spark)
