@@ -619,6 +619,15 @@ object SparkEntry {
     Q("q_text_langid_eval", // language-ID confusion matrix + shares
       (s, d) => llm.TextAnalysis.langIdEval(s, d),
       Some(llm.TextAnalysis.langIdEvalOracle)),
+    Q("q_dedup_threshold_sweep", // exact pair-Jaccard histogram, 0.1 bins
+      (s, d) => llm.Dedup.thresholdSweep(s, d),
+      Some(llm.Dedup.thresholdSweepOracle())),
+    Q("q_dedup_source_matrix", // near-dup doc pairs per source pair
+      (s, d) => llm.Dedup.sourceMatrix(s, d),
+      Some(llm.Dedup.sourceMatrixOracle())),
+    Q("q_an_anova_dow", // eta^2 + F of daily revenue by weekday
+      (s, d) => graft.ops.StatTests.anovaDow(s, d),
+      Some(graft.ops.StatTests.anovaDowOracle)),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

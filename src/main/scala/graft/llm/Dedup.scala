@@ -342,6 +342,83 @@ object Dedup {
        |  ROUND(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6) AS recall
        |FROM agg""".stripMargin
 
+  /** Threshold-tuning histogram — the exact pairwise-Jaccard DISTRIBUTION
+    * above a low floor, bucketed into 0.1 bins.  Picking a dedup
+    * threshold blind is guesswork; this one artifact shows where the
+    * corpus's pair mass sits (a bimodal histogram = clean threshold, a
+    * smear = there isn't one).  Bin = floor(j·10): both engines compute
+    * the identical IEEE ratio, so the floor is cross-engine-stable.
+    *
+    * Scale: the candidate set is the lossless AllPairs prefix filter AT
+    * THE FLOOR (0.1) — wider than a production threshold but still
+    * posting-list bounded; the histogram itself is a ≤10-row aggregate. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+      floorJ: Double = 0.1): DataFrame =
+    ngramJaccard(spark, dir, floorJ, n = 1)
+      .select(expr("CAST(FLOOR(jaccard * 10) AS INT)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      // CAST first: `bin / 10.0` would be DECIMAL division in Spark.
+      .withColumn("bin_lo", expr("ROUND(CAST(bin AS DOUBLE) / 10.0, 1)"))
+
+  def thresholdSweepOracle(floorJ: Double = 0.1): String =
+    s"""WITH pairs AS (
+       |  SELECT jaccard FROM (${ngramJaccardOracle(floorJ, 1)}) p),
+       |b AS (
+       |  SELECT CAST(FLOOR(jaccard * 10) AS INT) AS bin FROM pairs)
+       |SELECT bin, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(bin AS DOUBLE) / 10.0, 1) AS bin_lo
+       |FROM b GROUP BY 1""".stripMargin
+
+  /** Cross-source duplication matrix at DOCUMENT grain — which sources
+    * copy from which: the banding's near-dup pairs labeled with each
+    * member's source, rolled into an ordered source×source grid.
+    * [[corpusOverlap]] compares sources as whole shingle SETS; this
+    * counts actual near-duplicate document pairs, the lineage view a
+    * curation pass dedups across (`cross_source` rows are inter-source
+    * contamination; the diagonal is within-source redundancy).
+    *
+    * Scale: two id-keyed joins attach sources to the bounded pair set
+    * (pair count = the measured-linear banding population), then a
+    * ≤ #sources² aggregate. */
+  def sourceMatrix(spark: SparkSession, dir: String,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val src = Sources.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    minhashCandidates(spark, dir, minEstJaccard)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("est_jaccard"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("est_jaccard")), 6).as("max_est_jaccard"))
+      .withColumn("cross_source", col("source_lo") =!= col("source_hi"))
+  }
+
+  def sourceMatrixOracle(minEstJaccard: Double = 0.2): String =
+    s"""WITH $minhashBandCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id),
+       |scored AS (${minhashScoreTail(minEstJaccard)}),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_lo,
+       |         greatest(da.source, db.source) AS source_hi,
+       |         s.est_jaccard
+       |  FROM scored s
+       |  JOIN documents da ON da.doc_id = s.doc_a
+       |  JOIN documents db ON db.doc_id = s.doc_b)
+       |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+       |  ROUND(MAX(est_jaccard), 6) AS max_est_jaccard,
+       |  source_lo <> source_hi AS cross_source
+       |FROM lab GROUP BY 1, 2""".stripMargin
+
   def splitLeakageOracle(minEstJaccard: Double = 0.2,
       valPct: Int = 10, testPct: Int = 10): String = {
     import graft.functions.Mix31

@@ -232,6 +232,107 @@ object StatTests {
        |  CAST(u2 AS DOUBLE) / 2.0 AS u, $MwZFormula AS z
        |FROM f""".stripMargin
 
+  /** One-way ANOVA of daily revenue BY day-of-week, per event type —
+    * "how much of the day-to-day variance does the weekday explain":
+    * η² = SS_between/SS_total plus the F statistic, the variance-side
+    * companion to [[chi2Independence]] (which only sees the traffic MIX)
+    * and [[ksWeekend]]'s binary split.
+    *
+    * Determinism: group sums are exact BIGINTs; each group's S_g²/n_g
+    * term goes through the drift recipe (one shared IEEE chain → ROUND-9
+    * → DECIMAL(28,9)) before the DECIMAL sum, so the ≤7-term summation
+    * order cannot leak into the hash; SS_total subtracts the same
+    * correction term from the exact Σt².
+    *
+    * Scale: day cells in one exchange, then ≤ 7 rows per type. */
+  def anovaDow(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Sources.events(spark, dir)
+      .select(col("ts").cast("bigint").as("sec"), col("event_type"),
+        col("value"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .withColumn("dow", expr("CAST((day + 3) % 7 + 1 AS INT)"))
+    cells
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("ng"), sum(col("t")).as("sg"),
+        expr("CAST(SUM(CAST(t AS DECIMAL(18,0)) * CAST(t AS DECIMAL(18,0)))" +
+          " AS DECIMAL(38,0))").as("qg"))
+      .withColumn("term", expr(
+        "CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+          "/ CAST(ng AS DOUBLE), 9) AS DECIMAL(28,9))"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ng")).as("n_days"), count(lit(1)).as("k_dows"),
+        sum(col("sg")).as("s"),
+        expr("CAST(SUM(qg) AS DECIMAL(38,0))").as("q"),
+        expr("CAST(SUM(term) AS DECIMAL(38,9))").as("sum_terms"))
+      .withColumn("corr", expr(
+        "CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) " +
+          "/ CAST(n_days AS DOUBLE), 9) AS DECIMAL(28,9))"))
+      .withColumn("ss_between",
+        expr("CAST(sum_terms - corr AS DECIMAL(38,9))"))
+      .withColumn("ss_total",
+        expr("CAST(CAST(q AS DECIMAL(38,9)) - corr AS DECIMAL(38,9))"))
+      .withColumn("eta2", expr(
+        "ROUND(CAST(ss_between AS DOUBLE) " +
+          "/ NULLIF(CAST(ss_total AS DOUBLE), 0.0), 6)"))
+      .withColumn("f_stat", expr(
+        "ROUND((CAST(ss_between AS DOUBLE) / NULLIF(CAST(k_dows AS DOUBLE)" +
+          " - 1.0, 0.0)) / NULLIF((CAST(ss_total AS DOUBLE) " +
+          "- CAST(ss_between AS DOUBLE)) / NULLIF(CAST(n_days AS DOUBLE) " +
+          "- CAST(k_dows AS DOUBLE), 0.0), 0.0), 6)"))
+      .select("event_type", "n_days", "k_dows", "eta2", "f_stat")
+  }
+
+  val anovaDowOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT event_type, t, CAST((day + 3) % 7 + 1 AS INT) AS dow
+       |  FROM daily),
+       |g AS (
+       |  SELECT event_type, dow, COUNT(*) AS ng,
+       |    CAST(SUM(t) AS BIGINT) AS sg,
+       |    CAST(SUM(CAST(t AS DECIMAL(18,0)) * CAST(t AS DECIMAL(18,0)))
+       |      AS DECIMAL(38,0)) AS qg
+       |  FROM cells GROUP BY 1, 2),
+       |gt AS (
+       |  SELECT event_type, ng, sg, qg,
+       |    CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+       |      / CAST(ng AS DOUBLE), 9) AS DECIMAL(28,9)) AS term
+       |  FROM g),
+       |m AS (
+       |  SELECT event_type, CAST(SUM(ng) AS BIGINT) AS n_days,
+       |    CAST(COUNT(*) AS BIGINT) AS k_dows,
+       |    CAST(SUM(sg) AS BIGINT) AS s,
+       |    CAST(SUM(qg) AS DECIMAL(38,0)) AS q,
+       |    CAST(SUM(term) AS DECIMAL(38,9)) AS sum_terms
+       |  FROM gt GROUP BY 1),
+       |f AS (
+       |  SELECT event_type, n_days, k_dows,
+       |    CAST(sum_terms - CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |        / CAST(n_days AS DOUBLE), 9) AS DECIMAL(28,9))
+       |      AS DECIMAL(38,9)) AS ss_between,
+       |    CAST(CAST(q AS DECIMAL(38,9))
+       |      - CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |          / CAST(n_days AS DOUBLE), 9) AS DECIMAL(28,9))
+       |      AS DECIMAL(38,9)) AS ss_total
+       |  FROM m)
+       |SELECT event_type, n_days, k_dows,
+       |  ROUND(CAST(ss_between AS DOUBLE)
+       |    / NULLIF(CAST(ss_total AS DOUBLE), 0.0), 6) AS eta2,
+       |  ROUND((CAST(ss_between AS DOUBLE)
+       |      / NULLIF(CAST(k_dows AS DOUBLE) - 1.0, 0.0))
+       |    / NULLIF((CAST(ss_total AS DOUBLE) - CAST(ss_between AS DOUBLE))
+       |      / NULLIF(CAST(n_days AS DOUBLE) - CAST(k_dows AS DOUBLE), 0.0),
+       |      0.0), 6) AS f_stat
+       |FROM f""".stripMargin
+
   /** Shared-verbatim χ² cell term over exact operands: observed count o,
     * expected e = row_total·col_total/N. */
   private val Chi2Term: String =

@@ -351,6 +351,33 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(6) == math.rint(tp.toDouble / nExact * 1e6) / 1e6)
   }
 
+  test("threshold sweep bins tile the exact pair set") {
+    graft.functions.WordNgramShingles.register(spark)
+    val bins = Dedup.thresholdSweep(spark, Sf001).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val b = r.getInt(0)
+      assert(b >= 1 && b <= 10)
+      assert(r.getDouble(2) == b / 10.0)
+      assert(r.getLong(1) >= 1L)
+    }
+    val total = bins.map(_.getLong(1)).sum
+    assert(total == Dedup.ngramJaccard(spark, Sf001, 0.1, n = 1).count())
+  }
+
+  test("source matrix tiles the banding pairs with correct cross flags") {
+    graft.functions.MinHashSignature.register(spark)
+    val m = Dedup.sourceMatrix(spark, Sf001).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+      assert(r.getDouble(3) >= 0.2 && r.getDouble(3) <= 1.0)
+    }
+    assert(m.map(_.getLong(2)).sum ==
+      Dedup.minhashCandidates(spark, Sf001).count())
+  }
+
   test("cluster resolution invariants hold over the real corpus") {
     import spark.implicits._
     val res = Dedup.resolveDuplicates(spark, Sf001)

@@ -151,7 +151,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_ks_weekend", "q_an_mann_whitney",
     // Evaluation harnesses over empty truth sets (NULLIF recall) and an
     // empty prediction grid.
-    "q_ann_recall", "q_text_langid_eval")
+    "q_ann_recall", "q_text_langid_eval",
+    // The bin histogram over zero pairs, source joins over an empty pair
+    // set, and ANOVA's NULLIF df/SS denominators on degenerate series.
+    "q_dedup_threshold_sweep", "q_dedup_source_matrix", "q_an_anova_dow")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -136,6 +136,37 @@ class StatTestsSpec extends SparkSpec {
     }
   }
 
+  test("anova: zero within-group variance gives eta2 = 1, flat series NULL") {
+    val dir = eventsDir(Seq(
+      // 'det': constant within dow, different across dows (two Mondays
+      // at 10, two Tuesdays at 20) -> eta2 = 1, F undefined (SSw = 0).
+      (1L, "2024-01-01 10:00:00", 1L, "det", 10.0),
+      (2L, "2024-01-08 10:00:00", 1L, "det", 10.0),
+      (3L, "2024-01-02 10:00:00", 1L, "det", 20.0),
+      (4L, "2024-01-09 10:00:00", 1L, "det", 20.0),
+      // 'flat': identical everywhere -> SS_total = 0 -> eta2 NULL.
+      (5L, "2024-01-01 10:00:00", 1L, "flat", 7.0),
+      (6L, "2024-01-02 10:00:00", 1L, "flat", 7.0)))
+    val a = StatTests.anovaDow(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val det = a("det")
+    assert(det.getLong(1) == 4L && det.getLong(2) == 2L)
+    assert(det.getDouble(3) == 1.0)
+    assert(det.isNullAt(4)) // F's within-SS denominator is zero
+    assert(a("flat").isNullAt(3))
+  }
+
+  test("anova on the real corpus: eta2 in [0,1], full day tiling") {
+    val rows = StatTests.anovaDow(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 7L)
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) <= 1.0 + 1e-6)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("chi2 on the real corpus: nonnegative, full dow grid") {
     val r = StatTests.chi2Independence(spark, Sf001).collect().head
     assert(r.getLong(0) == 7L) // 30 days cover every weekday
