@@ -628,6 +628,33 @@ object SparkEntry {
     Q("q_an_anova_dow", // eta^2 + F of daily revenue by weekday
       (s, d) => graft.ops.StatTests.anovaDow(s, d),
       Some(graft.ops.StatTests.anovaDowOracle)),
+    Q("q_an_ewma", // α=1/2 exponential smoothing as an exact ordered fold
+      (s, d) => graft.ops.Forecast.ewma(s, d),
+      Some(graft.ops.Forecast.ewmaOracle)),
+    Q("q_dedup_band_tuning", // candidate cost of (bands x rows) settings
+      (s, d) => llm.Dedup.bandTuning(s, d),
+      Some(llm.Dedup.bandTuningOracle())),
+    Q("q_e2e_fechamento", // the runner through the composite-key sink
+      // Same proof shape as q_e2e_warehouse, but through the HARDEST
+      // load path: fechamento_farmer_m_passado reloads via dynamic
+      // partition overwrite on (mes, farmer_id), so the gate checks the
+      // month+farmer directory round trip of the stored bytes against
+      // DuckDB recomputation.  monthsBack scoped to 3 to keep the bench
+      // entry in the same cost class as the registered range query.
+      (s, d) => {
+        val e2eCfg = cfg.copy(monthsBack = 3)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_e2e_fech").toString
+        val res = Run.runAll(s, d, out, e2eCfg,
+          Set("fechamento_farmer_m_passado"))
+        require(res.forall(_.ok), s"runner failed: ${res.filterNot(_.ok)}")
+        val months = (1 to 3).map(cfg.currentMonthStart.minusMonths(_))
+        val colOrder = Fechamento.range(s, d, months, cfg).columns
+        s.read.parquet(s"$out/fechamento_farmer_m_passado")
+          .select(colOrder.map(col): _*)
+      },
+      Some(Fechamento.rangeOracle(
+        (1 to 3).map(cfg.currentMonthStart.minusMonths(_)), cfg))),
     Q("q_e2e_warehouse", // the run_etl-analog runner, end to end
       // Drive P1 through graft.Run's full load path (extract → transform
       // → farmer-partitioned reload into a temp warehouse), then read the

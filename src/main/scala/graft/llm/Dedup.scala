@@ -190,7 +190,9 @@ object Dedup {
     * bucketing ([[bandHashExpr]]), distinct ordered pairs, and the
     * estimated Jaccard (agreeing positions / 64, an exact multiple of
     * 1/64 in both engines). */
-  private def minhashBandCtes: String = {
+  /** The signature part of [[minhashBandCtes]] (toks → th → sh → sig),
+    * shared with the parameterized banding of [[bandTuningOracle]]. */
+  private def minhashSigCtes: String = {
     val P = graft.functions.MinHashSignature.Prime
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS T FROM documents),
@@ -216,15 +218,24 @@ object Dedup {
        |    list_transform(generate_series(0, ${NumHashes - 1}),
        |      i -> list_min(list_transform(shs,
        |        s -> ((2 * i + 1) * s + 7 * i + 3) % $P))) AS sig
-       |  FROM sh),
-       |bands AS (
-       |  SELECT doc_id, r.b AS band_id,
+       |  FROM sh)""".stripMargin
+  }
+
+  /** A banding CTE body for an arbitrary (bands × rows) split of the
+    * 64-position signature — the default configuration is (NumBands,
+    * BandRows). */
+  private def bandCteFor(name: String, b: Int, r: Int): String =
+    s"""$name AS (
+       |  SELECT doc_id, rr.b AS band_id,
        |    list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
-       |        list_slice(sig, r.b * $BandRows + 1, r.b * $BandRows + $BandRows)),
+       |        list_slice(sig, rr.b * $r + 1, rr.b * $r + $r)),
        |      (acc, x) -> (acc * 131 + x) % $BandMixPrime) AS band_hash
-       |  FROM sig CROSS JOIN range(0, $NumBands) r(b))""".stripMargin
-  }
+       |  FROM sig CROSS JOIN range(0, $b) rr(b))""".stripMargin
+
+  private def minhashBandCtes: String =
+    s"""$minhashSigCtes,
+       |${bandCteFor("bands", NumBands, BandRows)}""".stripMargin
 
   /** Scoring tail shared by the full and incremental oracles: joins the
     * signature CTE back onto whatever `pairs` CTE precedes it. */
@@ -418,6 +429,61 @@ object Dedup {
        |  ROUND(MAX(est_jaccard), 6) AS max_est_jaccard,
        |  source_lo <> source_hi AS cross_source
        |FROM lab GROUP BY 1, 2""".stripMargin
+
+  /** Banding-knob sweep — the candidate-pair population under several
+    * (bands × rows) splits of the SAME 64-position signatures, in one
+    * query.  The S-curve threshold moves with the split (more bands of
+    * fewer rows → recall shifts toward lower Jaccard but Σ bucket²
+    * grows); this measures the actual pair cost of each setting on THIS
+    * corpus, the companion to [[thresholdSweep]] (which tunes the score
+    * cut) and [[lshEval]] (which scores the chosen config).
+    *
+    * Scale: signatures computed ONCE and persisted; each config adds
+    * only its id-pair distinct — the same Σ bucket²-bounded shuffle as
+    * the production pipeline, measured per config. */
+  def bandTuning(spark: SparkSession, dir: String,
+      configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)))
+      : DataFrame = {
+    require(configs.forall { case (b, r) => b * r <= NumHashes })
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val sigs = minhashSignatures(docs).select("doc_id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    configs.map { case (b, r) =>
+      val bands = sigs.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${b - 1}),
+           |  bb -> struct(bb AS band_id,
+           |    ${bandHashExpr(s"slice(sig, bb * $r + 1, $r)")} AS band_hash))"""
+          .stripMargin)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      bands.select(col("band_id"), col("band_hash"),
+          col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_id"), col("band_hash"),
+          col("doc_id").as("doc_b")), Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_candidate_pairs"))
+    }.reduce(_ union _)
+  }
+
+  def bandTuningOracle(
+      configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8))): String = {
+    val ctes = configs.map { case (b, r) => bandCteFor(s"bb$b", b, r) }
+    val selects = configs.map { case (b, r) =>
+      s"""SELECT $b AS n_bands, $r AS rows_per_band,
+         |  CAST((SELECT COUNT(*) FROM (
+         |    SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+         |    FROM bb$b a JOIN bb$b b2
+         |      ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         |     AND a.doc_id < b2.doc_id) t) AS BIGINT) AS n_candidate_pairs"""
+        .stripMargin
+    }
+    s"""WITH $minhashSigCtes,
+       |${ctes.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   def splitLeakageOracle(minEstJaccard: Double = 0.2,
       valPct: Int = 10, testPct: Int = 10): String = {

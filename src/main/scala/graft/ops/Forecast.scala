@@ -124,6 +124,70 @@ object Forecast {
        |  $AutocorrFormula AS autocorr_lag7
        |FROM m""".stripMargin
 
+  /** Exponential smoothing (EWMA, α = ½) of the daily-revenue series per
+    * event type, with the one-step forecast MAE — the exponential member
+    * of the backtest family next to [[naiveBacktest]]'s lag baselines.
+    * α is DELIBERATELY ½: each update `(s + x)/2` divides by a power of
+    * two (exact in binary floating point), and the recursion is evaluated
+    * as ONE ordered left fold written identically in both engines, so the
+    * final level is bit-deterministic — a generic α through `pow` or a
+    * window-sum would not be.
+    *
+    * Scale: day cells in one exchange; the fold runs over a ≤ #days
+    * array per type (calendar-bounded, never corpus-sized). */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(day, t))), c -> c.t)")
+        .as("ts"))
+      .selectExpr("event_type", "size(ts) AS n_days",
+        """aggregate(
+          |  slice(ts, 2, size(ts) - 1),
+          |  named_struct('s', CAST(ts[0] AS DOUBLE),
+          |               'e', CAST(0.0 AS DOUBLE)),
+          |  (acc, x) -> named_struct(
+          |    's', (acc.s + CAST(x AS DOUBLE)) / 2.0,
+          |    'e', acc.e + abs(CAST(x AS DOUBLE) - acc.s))) AS st"""
+          .stripMargin)
+      .selectExpr("event_type", "n_days",
+        "ROUND(st.s, 4) AS ewma_cents",
+        "ROUND(st.e / CAST(greatest(n_days - 1, 1) AS DOUBLE), 4)" +
+          " AS mae_cents")
+
+  val ewmaOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, list(t ORDER BY day) AS ts
+       |  FROM daily GROUP BY 1),
+       |f AS (
+       |  SELECT event_type, len(ts) AS n_days,
+       |    -- Field ORDER is load-bearing: DuckDB evaluates the lambda's
+       |    -- struct fields sequentially and a later field sees acc with
+       |    -- the earlier fields already UPDATED (verified: s-then-e
+       |    -- accumulated |x - s_new|, halving every error term).  'e'
+       |    -- must therefore read acc.s before 's' overwrites it.  Spark's
+       |    -- named_struct is pure, so only this side needs the ordering.
+       |    list_reduce(
+       |      list_prepend(
+       |        {'e': CAST(0.0 AS DOUBLE), 's': CAST(ts[1] AS DOUBLE)},
+       |        list_transform(list_slice(ts, 2, len(ts)),
+       |          x -> {'e': CAST(0.0 AS DOUBLE), 's': CAST(x AS DOUBLE)})),
+       |      (acc, x) -> {'e': acc.e + abs(x.s - acc.s),
+       |                   's': (acc.s + x.s) / 2.0}) AS st
+       |  FROM g)
+       |SELECT event_type, n_days,
+       |  ROUND(st.s, 4) AS ewma_cents,
+       |  ROUND(st.e / CAST(greatest(n_days - 1, 1) AS DOUBLE), 4)
+       |    AS mae_cents
+       |FROM f""".stripMargin
+
   /** Daily new-vs-returning split — the audience-composition metric
     * next to retention: per day, events from users seen for the first
     * time that day vs. returning users, plus the count of users born

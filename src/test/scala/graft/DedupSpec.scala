@@ -378,6 +378,19 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashCandidates(spark, Sf001).count())
   }
 
+  test("band tuning: nested-band supersets, default config matches pipeline") {
+    graft.functions.MinHashSignature.register(spark)
+    val t = Dedup.bandTuning(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(t.keySet == Set((32, 2), (16, 4), (8, 8)))
+    // A 4-row band agreement implies both aligned 2-row sub-band
+    // agreements (and an 8-row band its two 4-row halves), so the pair
+    // sets nest: finer bands can only ADD candidates.
+    assert(t((32, 2)) >= t((16, 4)) && t((16, 4)) >= t((8, 8)))
+    // The (16, 4) row IS the production banding.
+    assert(t((16, 4)) == Dedup.minhashPairs(spark, Sf001)._2.count())
+  }
+
   test("cluster resolution invariants hold over the real corpus") {
     import spark.implicits._
     val res = Dedup.resolveDuplicates(spark, Sf001)

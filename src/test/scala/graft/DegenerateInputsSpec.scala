@@ -154,7 +154,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_ann_recall", "q_text_langid_eval",
     // The bin histogram over zero pairs, source joins over an empty pair
     // set, and ANOVA's NULLIF df/SS denominators on degenerate series.
-    "q_dedup_threshold_sweep", "q_dedup_source_matrix", "q_an_anova_dow")
+    "q_dedup_threshold_sweep", "q_dedup_source_matrix", "q_an_anova_dow",
+    // The ordered fold over empty/1-day series and the per-config pair
+    // joins over an empty signature table.
+    "q_an_ewma", "q_dedup_band_tuning")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

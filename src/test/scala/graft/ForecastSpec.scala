@@ -54,6 +54,41 @@ class ForecastSpec extends SparkSpec {
         ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
       .toMap
 
+  test("ewma: hand-computed halving fold and one-step MAE") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    (Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "ramp", 10.0),
+      (2L, "2024-01-02 10:00:00", 1L, "ramp", 20.0),
+      (3L, "2024-01-03 10:00:00", 1L, "ramp", 30.0),
+      (4L, "2024-01-01 10:00:00", 1L, "single", 5.0)))
+      .map { case (id, ts, uid, et, v) =>
+        (id, Timestamp.valueOf(ts), uid, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Forecast.ewma(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ramp = out("ramp")
+    // cents 1000,2000,3000: s = 1000 -> 1500 -> 2250;
+    // errors |2000-1000| + |3000-1500| = 2500 over 2 steps.
+    assert(ramp.getInt(1) == 3)
+    assert(ramp.getDouble(2) == 2250.0)
+    assert(ramp.getDouble(3) == 1250.0)
+    val single = out("single")
+    assert(single.getInt(1) == 1)
+    assert(single.getDouble(2) == 500.0 && single.getDouble(3) == 0.0)
+  }
+
+  test("ewma level stays within the observed range on the real corpus") {
+    val rows = Forecast.ewma(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1)
+      assert(r.getDouble(2) > 0.0) // revenue cents are positive
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("autocorr: a perfect period-7 series scores exactly 1") {
     val cycle = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
     val out = autocorr((1 to 21).map(d => ("a", d, cycle((d - 1) % 7))))
