@@ -631,6 +631,12 @@ object SparkEntry {
     Q("q_an_ewma", // α=1/2 exponential smoothing as an exact ordered fold
       (s, d) => graft.ops.Forecast.ewma(s, d),
       Some(graft.ops.Forecast.ewmaOracle)),
+    Q("q_an_dispersion", // Fano factor + CV from exact daily-count moments
+      (s, d) => graft.ops.StatTests.dispersion(s, d),
+      Some(graft.ops.StatTests.dispersionOracle)),
+    Q("q_an_mom_growth", // LAG-ratio month-over-month revenue growth
+      (s, d) => graft.ops.Forecast.momGrowth(s, d),
+      Some(graft.ops.Forecast.momGrowthOracle)),
     Q("q_dedup_band_tuning", // candidate cost of (bands x rows) settings
       (s, d) => llm.Dedup.bandTuning(s, d),
       Some(llm.Dedup.bandTuningOracle())),

@@ -188,6 +188,38 @@ object Forecast {
        |    AS mae_cents
        |FROM f""".stripMargin
 
+  /** Month-over-month revenue growth — the LAG-ratio BI staple over the
+    * exact monthly cents series: previous month's total rides in on a
+    * LAG window, growth is ONE division of exact integers (NULL on the
+    * first month and on a zero base, never a fake 0%).
+    *
+    * Scale: one orders scan → #months rows; the single-partition window
+    * runs over the calendar, not the corpus. */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("mes"))
+    Sources.orders(spark, dir)
+      .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
+      .agg(expr(s"CAST(SUM(CAST(${Frag.money("o_totalprice")} * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("growth", expr(
+        "ROUND((cents - prev_cents) " +
+          "/ CAST(NULLIF(prev_cents, 0) AS DOUBLE), 6)"))
+  }
+
+  val momGrowthOracle: String =
+    s"""WITH m AS (
+       |  SELECT ${Frag.mes("o_orderdate")} AS mes,
+       |    CAST(SUM(CAST(${Frag.money("o_totalprice")} * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1)
+       |SELECT mes, cents,
+       |  LAG(cents, 1) OVER (ORDER BY mes) AS prev_cents,
+       |  ROUND((cents - LAG(cents, 1) OVER (ORDER BY mes))
+       |    / CAST(NULLIF(LAG(cents, 1) OVER (ORDER BY mes), 0) AS DOUBLE),
+       |    6) AS growth
+       |FROM m""".stripMargin
+
   /** Daily new-vs-returning split — the audience-composition metric
     * next to retention: per day, events from users seen for the first
     * time that day vs. returning users, plus the count of users born

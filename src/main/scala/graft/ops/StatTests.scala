@@ -160,6 +160,55 @@ object StatTests {
        |    / CAST(NULLIF(MAX(na) * MAX(nb), 0) AS DOUBLE), 6) AS ks_d
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Shared verbatim: dispersion chain from exact integer moments
+    * (n, S = Σc, Q = Σc²).  Variance uses the unbiased (n−1) form. */
+  private val DispersionExprs = Seq(
+    "ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_events",
+    "ROUND((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) " +
+      "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) " +
+      "/ NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0), 6)" +
+      " AS var_events",
+    "ROUND(((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) " +
+      "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) " +
+      "/ NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0)) " +
+      "/ NULLIF(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 6) AS fano",
+    "ROUND(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) " +
+      "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) " +
+      "/ NULLIF(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0)) " +
+      "/ NULLIF(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 6) AS cv")
+
+  /** Daily-count dispersion per event type — Fano factor (variance/mean:
+    * 1 = Poisson, >1 overdispersed/bursty) and the coefficient of
+    * variation, the traffic-shape profile capacity planning reads before
+    * trusting any mean-based sizing.  All moments exact integers; the
+    * chains are single shared-verbatim IEEE expressions with NULLIF'd
+    * degenerate denominators.
+    *
+    * Scale: day-cell aggregate (one exchange) → ≤ #types rows. */
+  def dispersion(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        expr("CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))" +
+          " AS DECIMAL(38,0))").as("q"))
+      .selectExpr(Seq("event_type", "n") ++ DispersionExprs: _*)
+
+  val dispersionOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+       |      AS DECIMAL(38,0)) AS q
+       |  FROM daily GROUP BY 1)
+       |SELECT event_type, n, ${DispersionExprs.mkString(",\n  ")}
+       |FROM m""".stripMargin
+
   /** Shared-verbatim Mann–Whitney z over exact operands: u2 = 2·U_A,
     * tie = Σ(t³−t), all integers until the final chain. */
   private val MwZFormula: String =

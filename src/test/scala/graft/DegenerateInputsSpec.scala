@@ -157,7 +157,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_dedup_threshold_sweep", "q_dedup_source_matrix", "q_an_anova_dow",
     // The ordered fold over empty/1-day series and the per-config pair
     // joins over an empty signature table.
-    "q_an_ewma", "q_dedup_band_tuning")
+    "q_an_ewma", "q_dedup_band_tuning",
+    // Variance/ratio chains over single-day series and the LAG base
+    // NULLIF on a 0/1-month calendar.
+    "q_an_dispersion", "q_an_mom_growth")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

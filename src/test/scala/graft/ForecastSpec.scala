@@ -89,6 +89,20 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("mom growth: first month NULL, ratios recompute from cents") {
+    val rows = Forecast.momGrowth(spark, Sf001).collect()
+      .sortBy(_.getDate(0).toLocalDate.toEpochDay)
+    assert(rows.nonEmpty)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getLong(2) == prev.getLong(1))
+        val want = (cur.getLong(1) - cur.getLong(2)).toDouble / cur.getLong(2)
+        assert(cur.getDouble(3) == math.rint(want * 1e6) / 1e6)
+      case _ =>
+    }
+  }
+
   test("autocorr: a perfect period-7 series scores exactly 1") {
     val cycle = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
     val out = autocorr((1 to 21).map(d => ("a", d, cycle((d - 1) % 7))))

@@ -167,6 +167,29 @@ class StatTestsSpec extends SparkSpec {
     }
   }
 
+  test("dispersion: hand-computed Fano/CV, constant series is zero") {
+    val dir = eventsDir(
+      // 'b': daily counts 1,3 -> mean 2, var 2, fano 1, cv sqrt(2)/2.
+      Seq((1L, "2024-01-01 10:00:00", 1L, "b", 1.0),
+        (2L, "2024-01-02 10:00:00", 1L, "b", 1.0),
+        (3L, "2024-01-02 11:00:00", 1L, "b", 1.0),
+        (4L, "2024-01-02 12:00:00", 1L, "b", 1.0)) ++
+      // 'c': two days x 2 events -> var 0.
+      Seq((5L, "2024-01-01 10:00:00", 1L, "c", 1.0),
+        (6L, "2024-01-01 11:00:00", 1L, "c", 1.0),
+        (7L, "2024-01-02 10:00:00", 1L, "c", 1.0),
+        (8L, "2024-01-02 11:00:00", 1L, "c", 1.0)))
+    val d = StatTests.dispersion(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b = d("b")
+    assert(b.getLong(1) == 2L && b.getDouble(2) == 2.0)
+    assert(b.getDouble(3) == 2.0 && b.getDouble(4) == 1.0)
+    assert(b.getDouble(5) == math.rint(math.sqrt(2.0) / 2.0 * 1e6) / 1e6)
+    val c = d("c")
+    assert(c.getDouble(3) == 0.0 && c.getDouble(4) == 0.0
+      && c.getDouble(5) == 0.0)
+  }
+
   test("chi2 on the real corpus: nonnegative, full dow grid") {
     val r = StatTests.chi2Independence(spark, Sf001).collect().head
     assert(r.getLong(0) == 7L) // 30 days cover every weekday
