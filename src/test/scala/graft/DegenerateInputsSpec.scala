@@ -183,8 +183,15 @@ class DegenerateInputsSpec extends SparkSpec {
       assert(schema == healthySchemas(name), s"$name schema drifted on empty")
       // Global aggregates legitimately emit one all-degenerate row
       // (SQL semantics: agg over zero rows); grouped queries must not
-      // invent groups.
-      assert(rows.length <= 1, s"$name emitted ${rows.length} rows on empty")
+      // invent groups.  band_tuning is a UNION of one global aggregate
+      // PER CONFIGURATION, so its empty-corpus shape is exactly the
+      // config count (each with zero pairs) — pinned here rather than
+      // exempted.
+      val cap = if (name == "q_dedup_band_tuning") 3 else 1
+      assert(rows.length <= cap, s"$name emitted ${rows.length} rows on empty")
+      if (name == "q_dedup_band_tuning")
+        rows.foreach(r => assert(r.getLong(2) == 0L,
+          s"$name invented candidate pairs on empty"))
     }
   }
 
