@@ -640,6 +640,12 @@ object SparkEntry {
     Q("q_dedup_band_tuning", // candidate cost of (bands x rows) settings
       (s, d) => llm.Dedup.bandTuning(s, d),
       Some(llm.Dedup.bandTuningOracle())),
+    Q("q_an_kendall", // pair-concordance tau-b, exact integer pair counts
+      (s, d) => graft.ops.StatTests.kendall(s, d),
+      Some(graft.ops.StatTests.kendallOracle)),
+    Q("q_an_theil_sen", // median-of-pairwise-slopes robust trend
+      (s, d) => graft.ops.Forecast.theilSen(s, d),
+      Some(graft.ops.Forecast.theilSenOracle)),
     Q("q_e2e_fechamento", // the runner through the composite-key sink
       // Same proof shape as q_e2e_warehouse, but through the HARDEST
       // load path: fechamento_farmer_m_passado reloads via dynamic

@@ -220,6 +220,76 @@ object Forecast {
        |    6) AS growth
        |FROM m""".stripMargin
 
+  /** Theil–Sen slope of the daily revenue series per event type — the
+    * MEDIAN of all pairwise slopes (t_b − t_a)/(day_b − day_a), the
+    * robust-regression companion to the OLS trend
+    * ([[graft.ops.AnalyticsQueries]] linearTrend): one wild day drags an
+    * OLS slope arbitrarily far but moves the pairwise-slope median by at
+    * most one rank (spec-pinned with a 1000× outlier day).
+    *
+    * Determinism: x = the epoch day, so every slope is ONE IEEE division
+    * of exact integers (cents per day); the median rank walk orders by
+    * (slope, day_a, day_b) — a TOTAL order even when two pairs tie on
+    * slope — and averages the two middle ranks (one addition of two
+    * doubles: commutative, so engine-safe, unlike an n-term float sum).
+    *
+    * Scale: the [[graft.ops.StatTests]] pair-frame shape — corpus to
+    * calendar-bounded day cells in one exchange (localCheckpointed so
+    * both join sides reuse the materialized aggregate), then ≤ #days²/2
+    * pairs per type; the rank window runs over those calendar²-bounded
+    * frames, never the corpus. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Sources.events(spark, dir)
+      .select(col("ts").cast("bigint").as("sec"), col("event_type"),
+        col("value"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .localCheckpoint()
+    val a = cells.select(col("event_type"), col("day").as("da"),
+      col("t").as("ta"))
+    val b = cells.select(col("event_type"), col("day").as("db"),
+      col("t").as("tb"))
+    val byslope = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("da"), col("db"))
+    a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .withColumn("slope",
+        expr("CAST(tb - ta AS DOUBLE) / CAST(db - da AS DOUBLE)"))
+      .withColumn("rn", row_number().over(byslope))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(expr("rn = (m + 1) DIV 2 OR rn = m DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("n_pairs"),
+        expr("ROUND(AVG(slope), 6)").as("sen_slope_cents_per_day"))
+  }
+
+  val theilSenOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.event_type, a.day AS da, b.day AS db,
+       |    CAST(b.t - a.t AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+       |      AS slope
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.day < b.day),
+       |r AS (
+       |  SELECT event_type, slope,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |                       ORDER BY slope, da, db) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS m
+       |  FROM p)
+       |SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+       |  ROUND(AVG(slope), 6) AS sen_slope_cents_per_day
+       |FROM r
+       |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+       |GROUP BY 1""".stripMargin
+
   /** Daily new-vs-returning split — the audience-composition metric
     * next to retention: per day, events from users seen for the first
     * time that day vs. returning users, plus the count of users born

@@ -382,6 +382,72 @@ object StatTests {
        |      0.0), 6) AS f_stat
        |FROM f""".stripMargin
 
+  /** Shared-verbatim Kendall τ-b chain over exact pair counts.  With x =
+    * calendar day there are no x-ties (n1 = 0), so the denominator is
+    * √n0·√(n0 − tie_y). */
+  private val KendallFormula: String =
+    "ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) / " +
+      "NULLIF(sqrt(CAST(n0 AS DOUBLE)) " +
+      "* sqrt(CAST(n0 AS DOUBLE) - CAST(tie_y AS DOUBLE)), 0.0), 6)"
+
+  /** Kendall τ-b of the daily-revenue series against time, per event
+    * type — the pair-concordance companion to [[spearman]]: ρ asks "are
+    * the RANKS linear", τ asks "what FRACTION of day pairs move the same
+    * way", which is the quantity a human reads as "X% of the time a later
+    * day is bigger".  x = the epoch day (all distinct, so no x-ties and
+    * n1 = 0); ties in y are counted exactly pairwise (tie_y = n2 =
+    * Σ t(t−1)/2 without ever forming the tie groups), and every operand
+    * of the τ-b chain is an exact integer until one shared ROUND-6
+    * division.
+    *
+    * Scale: the corpus collapses to calendar-bounded day cells in ONE
+    * exchange; the pair join is keyed on event_type with day< as the
+    * range residual — #days²/2 pairs per type (a few thousand at any
+    * corpus size, since the calendar, not the data, bounds it).  The
+    * cells frame is localCheckpointed so both join sides read the
+    * materialized aggregate instead of re-scanning events. */
+  def kendall(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Sources.events(spark, dir)
+      .select(col("ts").cast("bigint").as("sec"), col("event_type"),
+        col("value"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .localCheckpoint()
+    val a = cells.select(col("event_type"), col("day").as("da"),
+      col("t").as("ta"))
+    val b = cells.select(col("event_type"), col("day").as("db"),
+      col("t").as("tb"))
+    a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("tb") > col("ta"), 1L).otherwise(0L)).as("conc"),
+        sum(when(col("tb") < col("ta"), 1L).otherwise(0L)).as("disc"),
+        sum(when(col("tb") === col("ta"), 1L).otherwise(0L)).as("tie_y"))
+      .withColumn("tau_b", expr(KendallFormula))
+  }
+
+  val kendallOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.event_type, a.t AS ta, b.t AS tb
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.day < b.day),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN tb > ta THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+       |    CAST(SUM(CASE WHEN tb < ta THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+       |    CAST(SUM(CASE WHEN tb = ta THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+       |  FROM p GROUP BY 1)
+       |SELECT event_type, n0, conc, disc, tie_y, $KendallFormula AS tau_b
+       |FROM m""".stripMargin
+
   /** Shared-verbatim χ² cell term over exact operands: observed count o,
     * expected e = row_total·col_total/N. */
   private val Chi2Term: String =

@@ -89,6 +89,40 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen: exact slope on a linear series, outlier-immune") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("theilsen").toString
+    ((1 to 5).map(d => (d.toLong, s"2024-01-0$d 10:00:00", 1L, "lin",
+      d * 10.0)) ++
+      // Linear 10..40 then a 1000000 blowup on day 5: six of the ten
+      // pairwise slopes are exactly 1000 cents/day, the four outlier
+      // pairs sort above them, and ranks 5 and 6 both land on 1000.
+      ((1 to 4).map(d => (100L + d, s"2024-01-0$d 10:00:00", 1L, "rob",
+        d * 10.0)) :+
+        (105L, "2024-01-05 10:00:00", 1L, "rob", 1000000.0)))
+      .map { case (id, ts, uid, et, v) =>
+        (id, Timestamp.valueOf(ts), uid, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Forecast.theilSen(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("lin") == ((10L, 1000.0)))
+    assert(out("rob") == ((10L, 1000.0)))
+  }
+
+  test("theil-sen pair counts are n(n-1)/2 on the real corpus") {
+    val days = graft.core.Sources.events(spark, Sf001)
+      .selectExpr("event_type", "CAST(ts AS BIGINT) DIV 86400 AS day")
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Forecast.theilSen(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = days(r.getString(0))
+      assert(r.getLong(1) == n * (n - 1) / 2)
+    }
+  }
+
   test("mom growth: first month NULL, ratios recompute from cents") {
     val rows = Forecast.momGrowth(spark, Sf001).collect()
       .sortBy(_.getDate(0).toLocalDate.toEpochDay)

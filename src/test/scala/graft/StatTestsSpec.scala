@@ -45,6 +45,36 @@ class StatTestsSpec extends SparkSpec {
     assert(rho == 1.0)
   }
 
+  test("kendall: monotone series score exactly ±1, ties shrink tau-b") {
+    val dir = eventsDir(
+      (1 to 5).map(d => (d.toLong, s"2024-01-0$d 10:00:00", 1L, "up",
+        d * 10.0)) ++
+      (1 to 5).map(d => (100L + d, s"2024-01-0$d 10:00:00", 1L, "down",
+        (6 - d) * 10.0)) ++
+      // 10, 10, 20: pairs = (tie, conc, conc) -> C=2 D=0 T=1 n0=3,
+      // tau-b = 2 / (sqrt(3) * sqrt(2)) = 0.816497 at ROUND-6.
+      Seq((201L, "2024-01-01 10:00:00", 1L, "tied", 10.0),
+        (202L, "2024-01-02 10:00:00", 1L, "tied", 10.0),
+        (203L, "2024-01-03 10:00:00", 1L, "tied", 20.0)))
+    val rows = graft.ops.StatTests.kendall(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(rows("up") == ((10L, 10L, 0L, 0L, 1.0)))
+    assert(rows("down") == ((10L, 0L, 10L, 0L, -1.0)))
+    assert(rows("tied") == ((3L, 2L, 0L, 1L, 0.816497)))
+  }
+
+  test("kendall stays within [-1, 1] on the real corpus and " +
+      "pairs tile n0") {
+    val rows = graft.ops.StatTests.kendall(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1))
+      assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9)
+    }
+  }
+
   test("spearman bounds and day counts hold on the real corpus") {
     val rows = StatTests.spearman(spark, Sf001).collect()
     assert(rows.nonEmpty)
