@@ -646,6 +646,12 @@ object SparkEntry {
     Q("q_an_theil_sen", // median-of-pairwise-slopes robust trend
       (s, d) => graft.ops.Forecast.theilSen(s, d),
       Some(graft.ops.Forecast.theilSenOracle)),
+    Q("q_dedup_lines", // C4-style line-level dedup with doc reconstruction
+      (s, d) => llm.Dedup.lineDedup(s, d),
+      Some(llm.Dedup.lineDedupOracle())),
+    Q("q_ops_sessionize_batch", // gap sessionization -> session-size histogram
+      (s, d) => graft.ops.Sessionize.sessionHistogram(s, d),
+      Some(graft.ops.Sessionize.sessionHistogramOracle())),
     Q("q_e2e_fechamento", // the runner through the composite-key sink
       // Same proof shape as q_e2e_warehouse, but through the HARDEST
       // load path: fechamento_farmer_m_passado reloads via dynamic

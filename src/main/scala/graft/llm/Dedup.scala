@@ -1368,4 +1368,79 @@ object Dedup {
        |WHERE len(list_intersect(a.toks, b.toks)) /
        |    CAST(len(a.toks) + len(b.toks)
        |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= $minJaccard""".stripMargin
+
+  /** C4-style LINE-level dedup: cut each document into fixed
+    * `window`-token lines ([[graft.llm.TextAnalysis]] chunking at stride
+    * = size, so lines tile the document exactly once), drop every line
+    * whose text appears in more than `maxDocs` distinct documents, and
+    * REBUILD the cleaned document from the survivors in original order —
+    * the within-document surgery that [[verbatimSpans]] only scores and
+    * [[exact]] (whole-document grain) cannot reach: boilerplate shared
+    * across otherwise-distinct pages is excised while the unique prose
+    * stays.
+    *
+    * Output per document: total lines, dropped lines, and the
+    * reconstructed `clean_text` (empty when everything was shared, e.g.
+    * an exact duplicate of another page).
+    *
+    * Scale: the line frame is corpus_tokens/window rows keyed by line
+    * text — the [[verbatimSpans]] posting-list class, ONE line-keyed
+    * exchange for the document-frequency cut (map-side partial
+    * distinct), one doc-keyed exchange to rebuild; the frame is
+    * localCheckpointed so the rebuild join reuses the materialized
+    * lines instead of re-splitting the corpus.  At 100 TB the line
+    * KEY becomes the [[shingleHashSpark]] 60-bit hash (payload swap,
+    * same plan) and the rebuild carries line text only on the doc side. */
+  def lineDedup(spark: SparkSession, dir: String,
+      window: Int = 8, maxDocs: Int = 1): DataFrame = {
+    val lines = Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, (greatest(size(split(text, ' ')) - 1, 0)) div $window),
+             |  j -> concat_ws(' ', slice(split(text, ' '),
+             |                 CAST(j * $window + 1 AS INT), $window)))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("int").as("j"),
+        col("col").as("line"))
+      .localCheckpoint()
+    val shared = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("line"), lit(true).as("dup"))
+    lines.join(shared, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+        expr("""array_join(
+                |  transform(
+                |    array_sort(collect_list(
+                |      CASE WHEN dup IS NULL THEN struct(j, line) END)),
+                |    s -> s.line), ' ')""".stripMargin).as("clean_text"))
+  }
+
+  def lineDedupOracle(window: Int = 8, maxDocs: Int = 1): String =
+    s"""WITH u AS (
+       |  SELECT doc_id, CAST(r.j AS INT) AS j, r.t AS line
+       |  FROM (
+       |    SELECT doc_id,
+       |      UNNEST(list_transform(
+       |        generate_series(0,
+       |          (greatest(len(string_split(text, ' ')) - 1, 0)) // $window),
+       |        j -> {'j': j,
+       |              't': array_to_string(list_slice(string_split(text, ' '),
+       |                     j * $window + 1, j * $window + $window), ' ')}))
+       |        AS r
+       |    FROM documents) x),
+       |s AS (
+       |  SELECT line FROM u GROUP BY 1
+       |  HAVING COUNT(DISTINCT doc_id) > $maxDocs),
+       |f AS (
+       |  SELECT u.doc_id, u.j, u.line, s.line IS NOT NULL AS dup
+       |  FROM u LEFT JOIN s USING (line))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' '
+       |             ORDER BY j), '') AS clean_text
+       |FROM f GROUP BY 1""".stripMargin
 }

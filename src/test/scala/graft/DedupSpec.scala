@@ -413,4 +413,48 @@ class DedupSpec extends SparkSpec {
     // Cleaned-corpus size = number of clusters.
     assert(res.count(_._5) == byCluster.size)
   }
+
+  test("line dedup: shared lines excised, survivors rebuilt in order") {
+    val aLine = (1 to 8).map(i => s"a$i").mkString(" ")
+    val bLine = (1 to 8).map(i => s"b$i").mkString(" ")
+    val cLine = (1 to 8).map(i => s"c$i").mkString(" ")
+    val eLine = (1 to 8).map(i => s"e$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("linededup").toString
+    Seq(
+      (1L, s"$aLine $bLine"), // shares its first line with docs 2 and 4
+      (2L, s"$aLine $cLine"),
+      (3L, "lonely short document"), // one partial line, unique
+      (4L, aLine + " tail one"), // 10 tokens: shared line + 2-token tail
+      (5L, eLine), (6L, eLine)) // exact dups: everything dropped
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, bLine)))
+    assert(out(2L) == ((2L, 1L, cLine)))
+    assert(out(3L) == ((1L, 0L, "lonely short document")))
+    // Line identity is offset-free: doc 4's aLine matches docs 1/2
+    // even though they carry it at other positions; the short tail
+    // line survives and rebuilds alone.
+    assert(out(4L) == ((2L, 1L, "tail one")))
+    assert(out(5L) == ((1L, 1L, "")))
+    assert(out(6L) == ((1L, 1L, "")))
+  }
+
+  test("line dedup on the real corpus: untouched docs rebuild verbatim") {
+    val joined = Dedup.lineDedup(spark, Sf001)
+      .join(graft.core.Sources.documents(spark, Sf001), "doc_id")
+      .select(col("n_lines"), col("n_dropped"), col("clean_text"),
+        col("text"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      if (r.getLong(1) == 0L)
+        assert(r.getString(2) == r.getString(3), "lossless rebuild broke")
+      else assert(r.getString(2).length < r.getString(3).length)
+    }
+  }
 }
