@@ -652,6 +652,9 @@ object SparkEntry {
     Q("q_ops_sessionize_batch", // gap sessionization -> session-size histogram
       (s, d) => graft.ops.Sessionize.sessionHistogram(s, d),
       Some(graft.ops.Sessionize.sessionHistogramOracle())),
+    Q("q_llm_label_centroids", // exact integer label centroids + cosines
+      (s, d) => llm.Clustering.labelCentroids(s, d),
+      Some(llm.Clustering.labelCentroidsOracle())),
     Q("q_e2e_fechamento", // the runner through the composite-key sink
       // Same proof shape as q_e2e_warehouse, but through the HARDEST
       // load path: fechamento_farmer_m_passado reloads via dynamic

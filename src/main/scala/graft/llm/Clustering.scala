@@ -204,4 +204,85 @@ object Clustering {
        |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
        |SELECT cid, vec_a, vec_b, ROUND(cos, 6) AS cosine
        |FROM scored WHERE cos >= $minCosine""".stripMargin
+
+  /** Exact BIGINT dot fold, Spark spelling (quantized centroids). */
+  private def intDotSpark(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
+
+  /** Same fold, DuckDB spelling. */
+  private def intDotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, len($a)),
+       |        i -> $a[i] * $b[i])),
+       |    (acc, v) -> acc + v)""".stripMargin
+
+  /** Per-LABEL centroid similarity matrix: the mean embedding of every
+    * label (the [[assignments]] rounded-integer-mean convention, so each
+    * centroid is an exact BIGINT vector) and the pairwise cosine between
+    * label centroids — the corpus-composition view a curation pass reads
+    * before [[semanticDedup]]: two labels whose centroids sit at cosine
+    * ≈ 1 are candidate merge/contamination classes, near-orthogonal
+    * labels are genuinely distinct material.
+    *
+    * Determinism: quantize → exact integer sums → ONE rounded division
+    * per (label, dim); both dot products and squared norms are integer
+    * folds (no float-sum order dependence), and the cosine is a single
+    * shared ROUND-6 chain.
+    *
+    * Scale: the centroid aggregate exchanges #labels × dim integer
+    * cells (map-side partial sums — the corpus vectors are NEVER
+    * shuffled), and the pair stage is a #labels-row broadcast
+    * nested-loop — bounded by the label vocabulary, not the data. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Sources.embeddings(spark, dir)
+      .select(col("label"), posexplode(expr(quantSpark)))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS BIGINT)")
+          .as("m"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+      .localCheckpoint()
+    val a = cents.select(col("label").as("label_a"),
+      col("n_vecs").as("n_a"), col("cv").as("ca"))
+    val b = cents.select(col("label").as("label_b"),
+      col("n_vecs").as("n_b"), col("cv").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("dot", expr(intDotSpark("ca", "cb")))
+      .withColumn("na2", expr(intDotSpark("ca", "ca")))
+      .withColumn("nb2", expr(intDotSpark("cb", "cb")))
+      .withColumn("cosine", expr(
+        "ROUND(CAST(dot AS DOUBLE) / NULLIF(" +
+          "sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)), 0.0), 6)"))
+      .select("label_a", "label_b", "n_a", "n_b", "dot", "cosine")
+  }
+
+  def labelCentroidsOracle(): String =
+    s"""WITH q AS (
+       |  SELECT label, $quantDuck AS qv FROM embeddings),
+       |px AS (
+       |  SELECT label, u.p AS pos, u.v AS v
+       |  FROM (SELECT label,
+       |          UNNEST(list_transform(generate_series(1, len(qv)),
+       |            i -> {'p': i - 1, 'v': qv[i]})) AS u
+       |        FROM q) t),
+       |g AS (
+       |  SELECT label, pos, COUNT(*) AS n,
+       |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |  FROM px GROUP BY 1, 2),
+       |c AS (
+       |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       |    list(m ORDER BY pos) AS cv
+       |  FROM g GROUP BY 1)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |  CAST(${intDotDuck("a.cv", "b.cv")} AS BIGINT) AS dot,
+       |  ROUND(CAST(${intDotDuck("a.cv", "b.cv")} AS DOUBLE) / NULLIF(
+       |    sqrt(CAST(${intDotDuck("a.cv", "a.cv")} AS DOUBLE))
+       |    * sqrt(CAST(${intDotDuck("b.cv", "b.cv")} AS DOUBLE)), 0.0), 6)
+       |    AS cosine
+       |FROM c a JOIN c b ON a.label < b.label""".stripMargin
 }

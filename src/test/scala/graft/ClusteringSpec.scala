@@ -123,4 +123,33 @@ class ClusteringSpec extends SparkSpec {
       .count()
     assert(crossCluster == 0)
   }
+
+  test("label centroids: hand-computed means, orthogonal and identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("centroids").toString
+    // Label 0 points along e1 (mean 1000, 0 after quantization), label 1
+    // along e2, label 2 a single e1 vector: cos(0,1) = 0, cos(0,2) = 1.
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.5f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Clustering.labelCentroids(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out((0, 1)) == ((2L, 2L, 0L, 0.0)))
+    assert(out((0, 2)) == ((2L, 1L, 500000L, 1.0)))
+    assert(out((1, 2)) == ((2L, 1L, 0L, 0.0)))
+  }
+
+  test("label centroid matrix covers every label pair on the real corpus") {
+    val labels = docs.select("label").distinct().count()
+    val rows = Clustering.labelCentroids(spark, dir).collect()
+    assert(rows.length == labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9)
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L)
+    }
+  }
 }
