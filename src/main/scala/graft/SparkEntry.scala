@@ -655,6 +655,12 @@ object SparkEntry {
     Q("q_llm_label_centroids", // exact integer label centroids + cosines
       (s, d) => llm.Clustering.labelCentroids(s, d),
       Some(llm.Clustering.labelCentroidsOracle())),
+    Q("q_text_fertility", // chars/word, chars/token, subword fertility per lang
+      (s, d) => llm.TextAnalysis.fertility(s, d),
+      Some(llm.TextAnalysis.fertilityOracle)),
+    Q("q_an_gap_histogram", // bit-length-bucketed inter-event silences
+      (s, d) => graft.ops.Sessionize.gapHistogram(s, d),
+      Some(graft.ops.Sessionize.gapHistogramOracle())),
     Q("q_e2e_fechamento", // the runner through the composite-key sink
       // Same proof shape as q_e2e_warehouse, but through the HARDEST
       // load path: fechamento_farmer_m_passado reloads via dynamic

@@ -95,6 +95,57 @@ object TextAnalysis {
       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
       |FROM documents""".stripMargin
 
+  /** Tokenizer fertility per language — the budgeting numbers a
+    * pretraining run reads before fixing a context length: characters
+    * per whitespace token, characters per BPE-ish token (the
+    * [[tokenCount]] regex tokenizer), and BPE-ish tokens per whitespace
+    * word (fertility proper: how many subword pieces an average word
+    * splits into, the metric that differs wildly across languages and
+    * drives per-language token budgets).
+    *
+    * All numerators/denominators are exact BIGINT corpus totals
+    * (map-side combine, one exchange to ≤ #langs rows); each ratio is a
+    * single shared ROUND-6 IEEE division. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Sources.documents(spark, dir)
+      .selectExpr("lang", "CAST(length(text) AS BIGINT) AS chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ws",
+        """CAST(size(regexp_extract_all(lower(text),
+          | '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS bpe"""
+          .stripMargin)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"),
+        sum(col("ws")).as("n_ws_tokens"), sum(col("bpe")).as("n_bpe_tokens"))
+      .selectExpr("lang", "n_docs", "n_chars", "n_ws_tokens", "n_bpe_tokens",
+        "ROUND(n_chars / CAST(NULLIF(n_ws_tokens, 0) AS DOUBLE), 6)" +
+          " AS chars_per_word",
+        "ROUND(n_chars / CAST(NULLIF(n_bpe_tokens, 0) AS DOUBLE), 6)" +
+          " AS chars_per_token",
+        "ROUND(n_bpe_tokens / CAST(NULLIF(n_ws_tokens, 0) AS DOUBLE), 6)" +
+          " AS fertility")
+
+  val fertilityOracle: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(chars) AS BIGINT) AS n_chars,
+      |    CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+      |    CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+      |  ROUND(n_chars / CAST(NULLIF(n_ws_tokens, 0) AS DOUBLE), 6)
+      |    AS chars_per_word,
+      |  ROUND(n_chars / CAST(NULLIF(n_bpe_tokens, 0) AS DOUBLE), 6)
+      |    AS chars_per_token,
+      |  ROUND(n_bpe_tokens / CAST(NULLIF(n_ws_tokens, 0) AS DOUBLE), 6)
+      |    AS fertility
+      |FROM m""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over tokens, exact
     * 64-bit integer math (identical fold in both engines). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -84,4 +84,59 @@ object Sessionize {
        |  CAST(SUM(dur) AS BIGINT) AS total_duration_sec,
        |  CAST(MAX(dur) AS BIGINT) AS max_duration_sec
        |FROM s GROUP BY 1""".stripMargin
+
+  /** Log₂-bucketed inter-event gap histogram — the distribution the
+    * [[sessionHistogram]] gap threshold should be READ OFF: per user the
+    * silence before each event, bucketed by binary order of magnitude
+    * (bucket b holds gaps in [2^b − 1, 2^(b+1) − 1)), with exact min/max
+    * per bucket and the share of all gaps.  A clean bimodal histogram
+    * (intra-session seconds vs inter-session hours) justifies the
+    * threshold; a flat one says gap sessionization is the wrong model.
+    *
+    * The bucket is `length(bin(gap + 1)) − 1` — the BIT LENGTH, exact
+    * integer arithmetic in both engines, deliberately not
+    * `floor(log2(x))`, whose last-ULP rounding at exact powers of two is
+    * not guaranteed to agree across engines.
+    *
+    * Scale: the same single user_id exchange as [[sessionHistogram]];
+    * the histogram is ≤ 40 rows and the share's global window runs over
+    * those rows only. */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("event_id"))
+    Sources.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("bigint").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket",
+        expr("CAST(length(bin(gap + 1)) - 1 AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_sec"),
+        max(col("gap")).as("max_gap_sec"))
+      .withColumn("share", expr("ROUND(n_gaps / CAST(SUM(n_gaps) OVER ()" +
+        " AS DOUBLE), 6)"))
+  }
+
+  def gapHistogramOracle(): String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |g AS (
+      |  SELECT sec - LAG(sec) OVER (PARTITION BY user_id
+      |                              ORDER BY sec, event_id) AS gap
+      |  FROM ev),
+      |b AS (
+      |  SELECT CAST(length(bin(gap + 1)) - 1 AS INT) AS bucket, gap
+      |  FROM g WHERE gap IS NOT NULL),
+      |h AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(MIN(gap) AS BIGINT) AS min_gap_sec,
+      |    CAST(MAX(gap) AS BIGINT) AS max_gap_sec
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n_gaps, min_gap_sec, max_gap_sec,
+      |  ROUND(n_gaps / CAST(SUM(n_gaps) OVER () AS DOUBLE), 6) AS share
+      |FROM h""".stripMargin
 }

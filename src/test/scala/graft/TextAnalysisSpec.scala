@@ -446,4 +446,41 @@ class TextAnalysisSpec extends SparkSpec {
       } else assert(!got.contains(id), s"doc $id should have no phrases")
     }
   }
+
+  test("fertility: hand-computed ratios on a two-language fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fertility").toString
+    Seq(
+      // "ab cd": 5 chars, 2 words, 2 letter-run tokens.
+      (1L, "ab cd", "aa", "s", 5L),
+      // "a1!": 3 chars, 1 word, 3 BPE-ish tokens (a / 1 / !).
+      (2L, "a1!", "bb", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.fertility(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out("aa") == ((1L, 5L, 2L, 2L, 2.5, 2.5, 1.0)))
+    assert(out("bb") == ((1L, 3L, 1L, 3L, 3.0, 1.0, 3.0)))
+  }
+
+  test("fertility totals recompute from tokenCount on the real corpus") {
+    val fromCounts = TextAnalysis.tokenCount(spark, Sf001)
+      .join(graft.core.Sources.documents(spark, Sf001), "doc_id")
+      .groupBy(org.apache.spark.sql.functions.col("lang"))
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          "CAST(SUM(ws_tokens) AS BIGINT)").as("ws"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(SUM(bpe_ish_tokens) AS BIGINT)").as("bpe"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = TextAnalysis.fertility(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(3), r.getLong(4)) == fromCounts(r.getString(0)))
+      assert(r.getDouble(7) >= 1.0) // a word is at least one subword
+    }
+  }
 }
