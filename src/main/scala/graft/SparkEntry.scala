@@ -661,6 +661,12 @@ object SparkEntry {
     Q("q_an_gap_histogram", // bit-length-bucketed inter-event silences
       (s, d) => graft.ops.Sessionize.gapHistogram(s, d),
       Some(graft.ops.Sessionize.gapHistogramOracle())),
+    Q("q_text_zipf", // OLS log-log fit over the vocabulary head
+      (s, d) => llm.Vocab.zipfFit(s, d),
+      Some(llm.Vocab.zipfFitOracle())),
+    Q("q_llm_embedding_stats", // exact per-label norm audit + zero vectors
+      (s, d) => llm.Clustering.embeddingStats(s, d),
+      Some(llm.Clustering.embeddingStatsOracle())),
     Q("q_e2e_fechamento", // the runner through the composite-key sink
       // Same proof shape as q_e2e_warehouse, but through the HARDEST
       // load path: fechamento_farmer_m_passado reloads via dynamic

@@ -285,4 +285,47 @@ object Clustering {
        |    * sqrt(CAST(${intDotDuck("b.cv", "b.cv")} AS DOUBLE)), 0.0), 6)
        |    AS cosine
        |FROM c a JOIN c b ON a.label < b.label""".stripMargin
+
+  /** Per-label embedding QUALITY audit — the vector-side twin of the
+    * corpus profiler: exact squared-norm extremes, zero-vector count
+    * (broken upstream encoders emit all-zero rows; a single one poisons
+    * cosine math downstream), and the RMS norm back in original units.
+    * Reads go through the same `round(x·1000)` quantization as
+    * [[assignments]], so every aggregate operand is an exact BIGINT and
+    * the output hash-checks bit-for-bit.
+    *
+    * Scale: one scan, norm² fused into the projection (integer fold per
+    * row), then a #labels-row aggregate with map-side partials — the
+    * vectors themselves never shuffle. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Sources.embeddings(spark, dir)
+      .select(col("label"), expr(quantSpark).as("qv"))
+      .withColumn("norm2", expr(intDotSpark("qv", "qv")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"),
+        sum(col("norm2")).as("sum_norm2"),
+        sum(when(col("norm2") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("rms_norm", expr(
+        "ROUND(sqrt(CAST(sum_norm2 AS DOUBLE) / CAST(n_vecs AS DOUBLE))" +
+          " / 1000.0, 6)"))
+
+  def embeddingStatsOracle(): String =
+    s"""WITH q AS (
+       |  SELECT label, $quantDuck AS qv FROM embeddings),
+       |n AS (
+       |  SELECT label, ${intDotDuck("qv", "qv")} AS norm2 FROM q),
+       |m AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+       |    CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+       |    CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
+       |    CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero
+       |  FROM n GROUP BY 1)
+       |SELECT label, n_vecs, min_norm2, max_norm2, sum_norm2, n_zero,
+       |  ROUND(sqrt(CAST(sum_norm2 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+       |    / 1000.0, 6) AS rms_norm
+       |FROM m""".stripMargin
 }

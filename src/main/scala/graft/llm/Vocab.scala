@@ -304,4 +304,94 @@ object Vocab {
        |    AS "rank",
        |  pair, cnt
        |FROM top""".stripMargin
+
+  /** Shared-verbatim OLS chains over the decimal-summed log-log moments
+    * (operands n, sx, sy, sxy, sxx, syy). */
+  private val ZipfSlope: String =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+  private val ZipfR2: String =
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+      "* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / " +
+      "NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)"
+
+  /** Zipf's-law fit: OLS of ln(count) against ln(rank) over the
+    * [[topK]] vocabulary head — slope ≈ −1 is the signature of natural
+    * language; a flat or convex log-log head flags templated or
+    * machine-generated corpora before they poison a token budget.
+    *
+    * Determinism: ranks and counts are exact integers under the
+    * (cnt DESC, word ASC) total order; each ln() is ONE IEEE op per row,
+    * every moment term goes through the drift recipe (ROUND-9 →
+    * DECIMAL(28,9) → DECIMAL SUM — the [[graft.llm.TextAnalysis]] χ²
+    * convention) so no float-sum order leaks, and slope/intercept/R² are
+    * shared-verbatim chains with NULLIF'd degenerate denominators.
+    *
+    * Scale: the vocabulary aggregate is the [[topK]] shape (map-side
+    * combine, TakeOrderedAndProject cut); the fit itself sees k rows. */
+  def zipfFit(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val counts = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    counts.orderBy(col("cnt").desc, col("word").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .selectExpr(
+        "ROUND(ln(CAST(rank AS DOUBLE)), 9) AS x",
+        "ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS y")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) " +
+          "AS DECIMAL(38,9))").as("sx"),
+        expr("CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) " +
+          "AS DECIMAL(38,9))").as("sy"),
+        expr("CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) " +
+          "AS DECIMAL(38,9))").as("sxy"),
+        expr("CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) " +
+          "AS DECIMAL(38,9))").as("sxx"),
+        expr("CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) " +
+          "AS DECIMAL(38,9))").as("syy"))
+      .selectExpr("n",
+        s"ROUND($ZipfSlope, 6) AS slope",
+        s"ROUND((CAST(sy AS DOUBLE) - ($ZipfSlope) * CAST(sx AS DOUBLE))" +
+          " / CAST(n AS DOUBLE), 6) AS intercept",
+        s"ROUND($ZipfR2, 6) AS r2")
+  }
+
+  def zipfFitOracle(k: Int = 100): String =
+    s"""WITH w AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+       |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT $k),
+       |r AS (
+       |  SELECT ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC)
+       |                        AS DOUBLE)), 9) AS x,
+       |    ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS y
+       |  FROM top),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+       |      AS sx,
+       |    CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+       |      AS sy,
+       |    CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+       |      AS sxy,
+       |    CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+       |      AS sxx,
+       |    CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
+       |      AS syy
+       |  FROM r)
+       |SELECT n, ROUND($ZipfSlope, 6) AS slope,
+       |  ROUND((CAST(sy AS DOUBLE) - ($ZipfSlope) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE), 6) AS intercept,
+       |  ROUND($ZipfR2, 6) AS r2
+       |FROM m""".stripMargin
 }

@@ -143,6 +143,32 @@ class ClusteringSpec extends SparkSpec {
     assert(out((1, 2)) == ((2L, 1L, 0L, 0.0)))
   }
 
+  test("embedding stats: hand-computed norms and a zero-vector flag") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("embstats").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.5f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Clustering.embeddingStats(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // Quantized norms²: 1000² and 500²; RMS = sqrt(1250000/2)/1000.
+    assert(out(0) == ((2L, 250000L, 1000000L, 1250000L, 0L, 0.790569)))
+    assert(out(1) == ((1L, 0L, 0L, 0L, 1L, 0.0)))
+  }
+
+  test("embedding stats tile the corpus and bound the norms") {
+    val rows = Clustering.embeddingStats(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) >= r.getLong(3)) // sum >= max
+      assert(r.getLong(5) >= 0L && r.getDouble(6) >= 0.0)
+    }
+  }
+
   test("label centroid matrix covers every label pair on the real corpus") {
     val labels = docs.select("label").distinct().count()
     val rows = Clustering.labelCentroids(spark, dir).collect()

@@ -133,4 +133,26 @@ class VocabSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(got === want)
   }
+
+  test("zipf fit: an exact 1/rank frequency head scores slope -1, r2 1") {
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    // Counts 12/rank: 12, 6, 4, 3 — ln(cnt) = ln 12 − ln(rank) exactly.
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c")
+      ++ Seq.fill(3)("d")).mkString(" ")
+    Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Vocab.zipfFit(spark, dir).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0)
+    assert(r.getDouble(2) == 2.484907) // ln 12 at ROUND-6
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("zipf fit is sane on the real corpus: negative slope, r2 in [0,1]") {
+    val r = Vocab.zipfFit(spark, Sf001).collect().head
+    assert(r.getLong(0) >= 2L)
+    assert(r.getDouble(1) < 0.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+  }
 }
