@@ -667,6 +667,15 @@ object SparkEntry {
     Q("q_llm_embedding_stats", // exact per-label norm audit + zero vectors
       (s, d) => llm.Clustering.embeddingStats(s, d),
       Some(llm.Clustering.embeddingStatsOracle())),
+    Q("q_llm_split_balance", // chi^2 of split x lang over the hash split
+      (s, d) => llm.Sampling.splitBalance(s, d),
+      Some(llm.Sampling.splitBalanceOracle())),
+    Q("q_text_burstiness", // Church-Gale cf/df over the vocabulary head
+      (s, d) => llm.TextAnalysis.burstiness(s, d),
+      Some(llm.TextAnalysis.burstinessOracle())),
+    Q("q_ops_key_skew", // count-of-counts key-skew profile, exact ranks
+      (s, d) => graft.ops.Concentration.keySkew(s, d),
+      Some(graft.ops.Concentration.keySkewOracle())),
     Q("q_e2e_fechamento", // the runner through the composite-key sink
       // Same proof shape as q_e2e_warehouse, but through the HARDEST
       // load path: fechamento_farmer_m_passado reloads via dynamic

@@ -418,4 +418,74 @@ object Sampling {
        |  ROUND(COUNT(CASE WHEN kept = 1 THEN 1 END) * 10000.0 / COUNT(*), 4)
        |    AS observed_bp
        |FROM k GROUP BY 1, 2, 3""".stripMargin
+
+  /** Split-balance audit: χ² independence of (split × lang) over the
+    * deterministic [[splits]] assignment — "did the hash split
+    * accidentally stratify by language".  A sound Mix31 bucket split is
+    * independent of every document attribute, so χ² should sit near its
+    * df; a large value means the doc_id space is correlated with
+    * language and per-split metrics will not be comparable.  The grid is
+    * DENSIFIED the [[graft.ops.StatTests]] way (structural zeros
+    * contribute their full (0−e)²/e mass — the term chain is shared
+    * verbatim with the dow×type test) and the χ² sum rides the ROUND-9 →
+    * DECIMAL drift recipe.
+    *
+    * Scale: one documents scan into a ≤ 3×#langs aggregate; everything
+    * downstream is cell-count-sized. */
+  def splitBalance(spark: SparkSession, dir: String,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = splits(spark, dir, valPct, testPct)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val splitsRow = observed.agg(collect_set(col("split")).as("ss"))
+    val cells = observed.select(col("lang")).distinct()
+      .crossJoin(broadcast(splitsRow))
+      .select(col("lang"), explode(col("ss")).as("split"))
+      .join(observed, Seq("split", "lang"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("split"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy(lit(1))))
+      .withColumn("term", expr(graft.ops.StatTests.Chi2Term))
+      .agg(
+        countDistinct(col("split")).as("n_splits"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("nn")).as("n_docs"),
+        expr("CAST(SUM(CAST(ROUND(term, 9) AS DECIMAL(28,9))) " +
+          "AS DECIMAL(38,9))").as("chi2"))
+      .withColumn("df",
+        ((col("n_splits") - 1) * (col("n_langs") - 1)).cast("long"))
+  }
+
+  def splitBalanceOracle(valPct: Int = 10, testPct: Int = 10): String =
+    s"""WITH sp AS (
+       |  SELECT lang,
+       |    CASE WHEN ${Mix31.duckSql("doc_id")} % 100 < $testPct THEN 'test'
+       |         WHEN ${Mix31.duckSql("doc_id")} % 100 < ${testPct + valPct}
+       |           THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents),
+       |obs AS (
+       |  SELECT split, lang, COUNT(*) AS o FROM sp GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT s.split, l.lang, COALESCE(obs.o, 0) AS o
+       |  FROM (SELECT DISTINCT split FROM obs) s
+       |  CROSS JOIN (SELECT DISTINCT lang FROM obs) l
+       |  LEFT JOIN obs ON obs.split = s.split AND obs.lang = l.lang),
+       |marg AS (
+       |  SELECT split, lang, o,
+       |    SUM(o) OVER (PARTITION BY split) AS r,
+       |    SUM(o) OVER (PARTITION BY lang) AS c,
+       |    SUM(o) OVER () AS nn
+       |  FROM cells)
+       |SELECT CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(MAX(nn) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CAST(ROUND(${graft.ops.StatTests.Chi2Term}, 9)
+       |    AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS chi2,
+       |  CAST((COUNT(DISTINCT split) - 1) * (COUNT(DISTINCT lang) - 1)
+       |    AS BIGINT) AS df
+       |FROM marg""".stripMargin
 }

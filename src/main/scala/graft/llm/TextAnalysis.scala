@@ -146,6 +146,59 @@ object TextAnalysis {
       |    AS fertility
       |FROM m""".stripMargin
 
+  /** Token burstiness over the vocabulary head: corpus frequency vs
+    * document frequency per word — burstiness cf/df is the average
+    * number of occurrences in a document that contains the word at all
+    * (Church & Gale's observation: content words are "bursty", function
+    * words are spread evenly), and df_share is the fraction of documents
+    * touched.  A content word ranking high on burstiness but low on
+    * df_share is topical; a high-df low-burstiness word is a stopword —
+    * the split a stopword-list builder actually wants measured, not
+    * assumed.
+    *
+    * Scale: one explode into a word-keyed aggregate (cf and df in the
+    * same pass — df is a COUNT(DISTINCT doc_id) whose partial
+    * aggregation Spark plans as the standard two-phase distinct); the
+    * (cf DESC, word ASC) top-K cut and rank window run over K rows, and
+    * the 1-row doc total broadcasts for the share. */
+  def burstiness(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Sources.documents(spark, dir)
+    val total = docs.agg(countDistinct(col("doc_id")).as("total_docs"))
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+    val w = Window.orderBy(col("cf").desc, col("word").asc)
+    counts.orderBy(col("cf").desc, col("word").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .selectExpr("rank", "word", "cf", "df",
+        "ROUND(cf / CAST(df AS DOUBLE), 6) AS burstiness",
+        "ROUND(df / CAST(total_docs AS DOUBLE), 6) AS df_share")
+  }
+
+  def burstinessOracle(k: Int = 30): String =
+    s"""WITH tot AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS total_docs
+       |  FROM documents),
+       |wrd AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |c AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cf,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM wrd GROUP BY 1),
+       |top AS (SELECT word, cf, df FROM c
+       |        ORDER BY cf DESC, word ASC LIMIT $k)
+       |SELECT
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, word ASC) AS INT)
+       |    AS "rank",
+       |  word, cf, df,
+       |  ROUND(cf / CAST(df AS DOUBLE), 6) AS burstiness,
+       |  ROUND(df / CAST(tot.total_docs AS DOUBLE), 6) AS df_share
+       |FROM top, tot""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over tokens, exact
     * 64-bit integer math (identical fold in both engines). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -130,4 +130,83 @@ object Concentration {
        |SELECT mes, n_customers, t AS cents,
        |  $GiniExpr AS gini
        |FROM m""".stripMargin
+
+  /** Join-key skew profile — the diagnostic that decides whether a key
+    * needs salting ([[SkewJoin]]) or AQE skew handling BEFORE the job
+    * ships: per audited (relation, key), the count distribution of the
+    * key collapsed to a count-of-counts frame, from which exact lower
+    * median and p99 fall out of an integer rank walk (smallest count
+    * whose cumulative key tally crosses the threshold — the comparison
+    * is cross-multiplied, `100·cum ≥ 99·keys`, so no floating
+    * percentile anywhere), plus max, top-1 share and the max/avg skew
+    * factor as single ROUND-6 chains.
+    *
+    * Scale: one exchange to per-key counts (map-side combine), a second
+    * tiny exchange to count-of-counts (≤ #distinct counts rows — data-
+    * sketch-sized, NOT key-sized); the rank-walk window runs over that
+    * bounded frame.  Registered over the two natural skew suspects:
+    * `events.user_id` and `lineitem.l_orderkey`. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkewOf(Sources.events(spark, dir), "user_id", "events.user_id")
+      .unionAll(keySkewOf(Sources.lineitem(spark, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+
+  private[graft] def keySkewOf(df: DataFrame, keyCol: String,
+      label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+    val whole = Window.partitionBy(lit(1))
+    cc.withColumn("cum", sum(col("freq")).over(
+        Window.orderBy(col("cnt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_keys", sum(col("freq")).over(whole))
+      .withColumn("n_rows", sum(expr("cnt * freq")).over(whole))
+      .agg(
+        max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        min(when(expr("2 * cum >= n_keys + 1"), col("cnt")))
+          .as("median_cnt"),
+        min(when(expr("100 * cum >= 99 * n_keys"), col("cnt")))
+          .as("p99_cnt"))
+      .selectExpr(s"'$label' AS relation", "n_rows", "n_keys", "max_cnt",
+        "median_cnt", "p99_cnt",
+        "ROUND(n_rows / CAST(n_keys AS DOUBLE), 6) AS avg_cnt",
+        "ROUND(max_cnt / CAST(n_rows AS DOUBLE), 6) AS top1_share",
+        "ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
+          "/ CAST(n_rows AS DOUBLE), 6) AS skew_factor")
+  }
+
+  private def keySkewOracleOf(table: String, keyCol: String,
+      label: String): String =
+    s"""SELECT '$label' AS relation, n_rows, n_keys, max_cnt, median_cnt,
+       |  p99_cnt,
+       |  ROUND(n_rows / CAST(n_keys AS DOUBLE), 6) AS avg_cnt,
+       |  ROUND(max_cnt / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+       |  ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE), 6) AS skew_factor
+       |FROM (
+       |  SELECT CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       |    CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       |    CAST(MIN(CASE WHEN 2 * cum >= n_keys + 1 THEN cnt END)
+       |      AS BIGINT) AS median_cnt,
+       |    CAST(MIN(CASE WHEN 100 * cum >= 99 * n_keys THEN cnt END)
+       |      AS BIGINT) AS p99_cnt
+       |  FROM (
+       |    SELECT cnt, freq,
+       |      SUM(freq) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum,
+       |      SUM(freq) OVER () AS n_keys,
+       |      SUM(cnt * freq) OVER () AS n_rows
+       |    FROM (
+       |      SELECT cnt, COUNT(*) AS freq FROM (
+       |        SELECT $keyCol AS k, COUNT(*) AS cnt
+       |        FROM $table GROUP BY 1) kc
+       |      GROUP BY 1) cc) m) f""".stripMargin
+
+  def keySkewOracle(): String =
+    keySkewOracleOf("events", "user_id", "events.user_id") +
+      "\nUNION ALL\n" +
+      keySkewOracleOf("lineitem", "l_orderkey", "lineitem.l_orderkey")
 }

@@ -449,8 +449,9 @@ object StatTests {
        |FROM m""".stripMargin
 
   /** Shared-verbatim χ² cell term over exact operands: observed count o,
-    * expected e = row_total·col_total/N. */
-  private val Chi2Term: String =
+    * expected e = row_total·col_total/N.  Shared with
+    * [[graft.llm.Sampling]]'s split-balance audit. */
+  private[graft] val Chi2Term: String =
     "(CAST(o AS DOUBLE) " +
       "- CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) " +
       "* (CAST(o AS DOUBLE) " +

@@ -97,4 +97,36 @@ class ConcentrationSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(total === want)
   }
+
+  test("key skew: hand-computed profile on a skewed key") {
+    // Key counts: 1, 1, 1, 4 -> 4 keys, 7 rows, max 4, median 1
+    // (2·cum >= 5 at cnt=1, cum=3), p99 = 4 (needs cum = 4).
+    val df = Seq(1L, 2L, 3L, 4L, 4L, 4L, 4L).toDF("k0")
+    val r = graft.ops.Concentration.keySkewOf(df, "k0", "t").collect().head
+    assert(r.getString(0) == "t")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((7L, 4L, 4L, 1L, 4L)))
+    assert(r.getDouble(6) == 1.75) // avg
+    assert(r.getDouble(7) == math.rint(4.0 / 7.0 * 1e6) / 1e6)
+    assert(r.getDouble(8) == math.rint(16.0 / 7.0 * 1e6) / 1e6)
+  }
+
+  test("key skew: a uniform key has skew factor 1 and median = avg") {
+    val df = (1L to 12L).map(i => i % 4).toDF("k0")
+    val r = graft.ops.Concentration.keySkewOf(df, "k0", "u").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((12L, 4L, 3L, 3L, 3L)))
+    assert(r.getDouble(8) == 1.0)
+  }
+
+  test("key skew invariants hold on the real relations") {
+    val rows = graft.ops.Concentration.keySkew(spark, Sf001).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("events.user_id", "lineitem.l_orderkey"))
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(3))
+      assert(r.getDouble(8) >= 1.0 - 1e-9)
+      assert(r.getDouble(7) <= 1.0)
+    }
+  }
 }

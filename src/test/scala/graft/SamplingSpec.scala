@@ -203,4 +203,28 @@ class SamplingSpec extends SparkSpec {
       assert(w025 == math.sqrt(w05.toDouble).toLong)
     }
   }
+
+  test("split balance: chi2 recomputes from the dense split x lang grid") {
+    val r = Sampling.splitBalance(spark, Sf001).collect().head
+    val cells = Sampling.splits(spark, Sf001)
+      .groupBy("split", "lang").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val splits = cells.keys.map(_._1).toSeq.distinct
+    val langs = cells.keys.map(_._2).toSeq.distinct
+    val rowT = splits.map(s => s -> langs.map(l =>
+      cells.getOrElse((s, l), 0L)).sum).toMap
+    val colT = langs.map(l => l -> splits.map(s =>
+      cells.getOrElse((s, l), 0L)).sum).toMap
+    val n = rowT.values.sum
+    val want = (for { s <- splits; l <- langs } yield {
+      val o = cells.getOrElse((s, l), 0L).toDouble
+      val e = rowT(s).toDouble * colT(l) / n
+      BigDecimal(math.rint((o - e) * (o - e) / e * 1e9) / 1e9)
+    }).sum
+    assert(r.getLong(0) == splits.length.toLong)
+    assert(r.getLong(1) == langs.length.toLong)
+    assert(r.getLong(2) == n)
+    assert(BigDecimal(r.getDecimal(3)) == want)
+    assert(r.getLong(4) == (splits.length - 1).toLong * (langs.length - 1))
+  }
 }

@@ -465,6 +465,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("bb") == ((1L, 3L, 1L, 3L, 3.0, 1.0, 3.0)))
   }
 
+  test("burstiness: hand-computed cf/df split on a two-doc fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bursty").toString
+    Seq((1L, "x x y", "en", "s", 5L), (2L, "x z", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.burstiness(spark, dir).collect()
+      .map(r => r.getString(1) -> ((r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("x") == ((1, 3L, 2L, 1.5, 1.0)))
+    assert(out("y") == ((2, 1L, 1L, 1.0, 0.5)))
+    assert(out("z") == ((3, 1L, 1L, 1.0, 0.5)))
+  }
+
+  test("burstiness bounds hold over the real vocabulary head") {
+    val rows = TextAnalysis.burstiness(spark, Sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3)) // cf >= df
+      assert(r.getDouble(4) >= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("fertility totals recompute from tokenCount on the real corpus") {
     val fromCounts = TextAnalysis.tokenCount(spark, Sf001)
       .join(graft.core.Sources.documents(spark, Sf001), "doc_id")
