@@ -160,7 +160,18 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_ewma", "q_dedup_band_tuning",
     // Variance/ratio chains over single-day series and the LAG base
     // NULLIF on a 0/1-month calendar.
-    "q_an_dispersion", "q_an_mom_growth")
+    "q_an_dispersion", "q_an_mom_growth",
+    // Batch 3: pair frames over empty day cells (kendall's NULLIF tau,
+    // theil-sen's empty median walk), line dedup's explode/string_agg
+    // over an empty corpus, both sessionization shapes over empty
+    // events, centroid/norm audits over empty embeddings, the fertility
+    // and zipf NULLIF chains, the burstiness top-K over an empty
+    // vocabulary, and the dense split grid with zero docs.
+    "q_an_kendall", "q_an_theil_sen", "q_dedup_lines",
+    "q_ops_sessionize_batch", "q_an_gap_histogram",
+    "q_llm_label_centroids", "q_llm_embedding_stats", "q_text_fertility",
+    "q_text_zipf", "q_text_burstiness", "q_llm_split_balance",
+    "q_ops_key_skew")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
@@ -184,10 +195,14 @@ class DegenerateInputsSpec extends SparkSpec {
       // Global aggregates legitimately emit one all-degenerate row
       // (SQL semantics: agg over zero rows); grouped queries must not
       // invent groups.  band_tuning is a UNION of one global aggregate
-      // PER CONFIGURATION, so its empty-corpus shape is exactly the
-      // config count (each with zero pairs) — pinned here rather than
-      // exempted.
-      val cap = if (name == "q_dedup_band_tuning") 3 else 1
+      // PER CONFIGURATION (3 bandings) and key_skew one PER AUDITED
+      // RELATION (2), so their empty shapes are exactly those counts —
+      // pinned here rather than exempted.
+      val cap = name match {
+        case "q_dedup_band_tuning" => 3
+        case "q_ops_key_skew" => 2
+        case _ => 1
+      }
       assert(rows.length <= cap, s"$name emitted ${rows.length} rows on empty")
       if (name == "q_dedup_band_tuning")
         rows.foreach(r => assert(r.getLong(2) == 0L,
