@@ -92,9 +92,14 @@ object Run {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // Locale-pinned: the f interpolator is locale-sensitive, and a
+    // comma-decimal JVM locale would emit "seconds":1,234 — invalid
+    // JSON for whatever scheduler consumes this (r8 ADVICE #3).
+    def sec(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val items = results.map { r =>
       s"""{"kpi":"${esc(r.kpi)}","table":"${esc(r.table)}",""" +
-        s""""rows":${r.rows},"seconds":${f"${r.seconds}%.3f"},""" +
+        s""""rows":${r.rows},"seconds":${sec(r.seconds)},""" +
         s""""ok":${r.ok}""" +
         r.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
     }

@@ -31,16 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object Bucketed {
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
-  /** Stage both sides bucketed by the join key, once per (JVM, dir). */
+  /** Stage both sides bucketed by the join key, once per (JVM, dir,
+    * source fingerprint) — [[Staging]] handles staleness + shutdown
+    * cleanup (r8 ADVICE #4).  Catalog names are deterministic from the
+    * key, so a re-stage overwrites the registrations in place. */
   private def ensureStaged(spark: SparkSession, dir: String,
-      buckets: Int): (String, String) =
-    stagedCache.computeIfAbsent(s"$dir#$buckets", _ => {
-      val tag = s"${math.abs(dir.hashCode)}_$buckets"
-      val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
-      val base = s"/tmp/graft_bucketed/${java.util.UUID.randomUUID()}"
+      buckets: Int): (String, String) = {
+    val tag = s"${math.abs(dir.hashCode)}_$buckets"
+    val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    val fp = Staging.fingerprint(spark, dir, "orders") + "|" +
+      Staging.fingerprint(spark, dir, "lineitem")
+    Staging.ensure(s"bucketed#$dir#$buckets", fp,
+        base = "/tmp/graft_bucketed") { base =>
       Sources.lineitem(spark, dir)
         .select("l_orderkey", "l_extendedprice", "l_returnflag")
         .write.format("parquet")
@@ -53,8 +55,9 @@ object Bucketed {
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders")
         .mode("overwrite").saveAsTable(ot)
-      (lt, ot)
-    })
+    }
+    (lt, ot)
+  }
 
   def bucketedJoin(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {

@@ -61,6 +61,23 @@ sealed trait SqlDialect {
   def upsertFromStaging(table: String, staging: String, keys: Seq[String],
       cols: Seq[String]): Option[String] = None
 
+  /** Unique index over the upsert keys, issued when [[Sinks.mergeJdbc]]
+    * BOOTSTRAPS a missing target: Spark's JDBC writer emits a bare
+    * `CREATE TABLE` with no constraints, and Postgres `ON CONFLICT (keys)`
+    * requires a matching unique index or it fails at runtime with "no
+    * unique or exclusion constraint matching the ON CONFLICT
+    * specification" (r8 ADVICE #1).  Also enforces the one-row-per-key
+    * contract database-side on every dialect.  The name is derived from
+    * the table's last component and truncated to 63 bytes (Postgres's
+    * identifier limit; Derby allows 128). */
+  def createUniqueIndex(table: String, keys: Seq[String]): String = {
+    val base = table.split('.').last
+    val idx = ("ux_" + (base +: keys).map(_.replaceAll("[^A-Za-z0-9_]", "_"))
+      .mkString("_")).take(63)
+    s"CREATE UNIQUE INDEX ${quote(idx)} ON $table " +
+      s"(${keys.map(quote).mkString(", ")})"
+  }
+
   def dropTable(table: String): String = s"DROP TABLE $table"
 }
 
@@ -99,9 +116,20 @@ object SqlDialect {
   }
 
   /** Resolve from the JDBC URL — the same dispatch Spark's own
-    * `JdbcDialects.get` performs. */
+    * `JdbcDialects.get` performs.  Unknown engines FAIL FAST rather than
+    * defaulting: the previous Derby fallback emitted
+    * `CAST(x AS VARCHAR(32672))` string-key comparisons, which is not
+    * portable SQL (MySQL needs `CAST AS CHAR`, other engines cap VARCHAR
+    * length), so a silent default would point raw transactional DDL/DML
+    * at an engine whose quirks were never proven (r8 ADVICE #5).  Adding
+    * an engine means adding a dialect object with pinned statement text,
+    * not hoping the Derby text happens to parse. */
   def forUrl(url: String): SqlDialect =
     if (url.startsWith("jdbc:postgresql")) Postgres
     else if (url.startsWith("jdbc:derby")) Derby
-    else Derby // ANSI-conservative default: portable delete+insert, cast-safe keys
+    else throw new IllegalArgumentException(
+      s"No SqlDialect for JDBC URL '$url' (supported: jdbc:postgresql, " +
+        "jdbc:derby). The transactional load path emits raw SQL whose " +
+        "quoting/string-comparison/upsert corners are engine-specific; " +
+        "add a pinned dialect instead of guessing.")
 }

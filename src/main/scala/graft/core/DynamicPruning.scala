@@ -25,18 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object DynamicPruning {
 
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Orders staged as a mes-partitioned table (string yyyy-MM dirs). */
-  private[graft] def stagedOrders(spark: SparkSession, dir: String): String =
-    stagedCache.computeIfAbsent(dir, _ => {
-      val p = s"/tmp/graft_landing/${java.util.UUID.randomUUID()}/orders_by_mes"
+  /** Orders staged as a mes-partitioned table (string yyyy-MM dirs) —
+    * content-fingerprinted and shutdown-swept via [[Staging]]
+    * (r8 ADVICE #4: no stale reuse after the source changes, no /tmp
+    * accumulation across JVMs). */
+  private[graft] def stagedOrders(spark: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"dpp#$dir", fp) { root =>
       Sources.orders(spark, dir)
         .withColumn("mes", date_format(col("o_orderdate"), "yyyy-MM"))
-        .write.partitionBy("mes").mode("overwrite").parquet(p)
-      p
-    })
+        .write.partitionBy("mes").mode("overwrite")
+        .parquet(s"$root/orders_by_mes")
+    } + "/orders_by_mes"
+  }
 
   /** True iff the staged tree contains at least one parquet data file —
     * pure FS metadata (an empty source stages only _SUCCESS, and

@@ -48,14 +48,13 @@ object Manifest {
       .filter(!(col("hi") < from || col("lo") > to))
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
-  /** One staged sorted copy per (JVM, source dir, file count): the staging
-    * write is setup for the skipping proof, not part of the measured
-    * operator, and a fixed path raced concurrent Bench/Verify runs on the
-    * same sf dir (overwrite under a reader — r6 ADVICE #2).  The path is
-    * unique per process, and repeat invocations (bench passes) reuse it
-    * instead of re-paying a full sorted write each time. */
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One staged sorted copy per (JVM, source dir, file count, source
+    * fingerprint): the staging write is setup for the skipping proof, not
+    * part of the measured operator, and a fixed path raced concurrent
+    * Bench/Verify runs on the same sf dir (overwrite under a reader — r6
+    * ADVICE #2).  Paths are unique per process and repeat invocations
+    * (bench passes) reuse them; [[Staging]] adds content-fingerprint
+    * staleness detection and shutdown cleanup (r8 ADVICE #4). */
 
   /** End-to-end skipping proof: stage orders SORTED by o_orderkey into
     * `files` parquet files, keep only manifest-surviving files for the
@@ -66,12 +65,11 @@ object Manifest {
     * that misses every file must yield zero groups, not a reader error). */
   def prunedAgg(spark: SparkSession, dir: String,
       lo: Long = 1000L, hi: Long = 2199L, files: Int = 8): DataFrame = {
-    val staged = stagedCache.computeIfAbsent(s"$dir#$files", _ => {
-      val p = s"/tmp/graft_landing/${java.util.UUID.randomUUID()}/orders_sorted"
-      Sinks.overwriteSorted(Sources.orders(spark, dir), p,
-        Seq("o_orderkey"), files)
-      p
-    })
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    val staged = Staging.ensure(s"manifest#$dir#$files", fp) { root =>
+      Sinks.overwriteSorted(Sources.orders(spark, dir),
+        s"$root/orders_sorted", Seq("o_orderkey"), files)
+    } + "/orders_sorted"
     val keep = prunedFiles(spark, staged, "o_orderkey", lo, hi)
     val survivors =
       if (keep.isEmpty) spark.read.parquet(staged).limit(0)

@@ -53,13 +53,27 @@ object Sinks {
     *
     * On HDFS-like stores rename is atomic; on S3-like stores "rename" is
     * copy+delete and a table format's commit log is the real answer —
-    * same caveat as before, but the unrecoverable window is gone. */
+    * same caveat as before, but the unrecoverable window is gone.
+    *
+    * Hadoop `rename` reports many failures by RETURNING FALSE rather
+    * than throwing, so each step's result is checked (r8 ADVICE #2):
+    * an unchecked failed `table→bak` would leave `table` in place and
+    * the following `tmp→table` would then move tmp INSIDE the live
+    * directory, silently mixing old and new files; an unchecked failed
+    * `tmp→table` would let the final `.bak` sweep delete the only
+    * surviving copy.  The `.bak` is only swept after verifying the new
+    * table actually exists at the target path. */
   private def swapInto(fs: FileSystem, table: Path, tmp: Path): Unit = {
     val bak = bakOf(table)
     fs.delete(bak, true) // stale .bak from a crash AFTER the new table went live
-    if (fs.exists(table)) fs.rename(table, bak)
-    fs.rename(tmp, table)
-    fs.delete(bak, true)
+    if (fs.exists(table) && !fs.rename(table, bak))
+      throw new java.io.IOException(
+        s"swapInto: rename-aside failed ($table -> $bak); table left untouched")
+    if (!fs.rename(tmp, table))
+      throw new java.io.IOException(
+        s"swapInto: swap-in failed ($tmp -> $table); " +
+          s"old data preserved at $bak (recoverSwap restores it)")
+    if (fs.exists(table)) fs.delete(bak, true)
   }
 
   /** Startup recovery for [[swapInto]]'s mid-swap crash window: if the
@@ -72,8 +86,12 @@ object Sinks {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = bakOf(table)
-    if (!fs.exists(table) && fs.exists(bak)) { fs.rename(bak, table); true }
-    else false
+    if (!fs.exists(table) && fs.exists(bak)) {
+      if (!fs.rename(bak, table))
+        throw new java.io.IOException(
+          s"recoverSwap: restore failed ($bak -> $table); old data still at $bak")
+      true
+    } else false
   }
 
   /** S5/S6/S7 — replace only the partitions present in `df`, keyed by
@@ -244,7 +262,7 @@ object Sinks {
   def overwriteByKeyJdbc(df: DataFrame, env: JdbcEnv, table: String,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "overwriteByKeyJdbc requires at least one key")
-    stagedJdbcLoad(df, env, table) { (dialect, st, staging) =>
+    stagedJdbcLoad(df, env, table) { (dialect, st, staging, _) =>
       val stringCols = df.schema.fields.collect {
         case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
       }.toSet
@@ -264,7 +282,7 @@ object Sinks {
     overwriteAllJdbc(df, JdbcEnv(url, None, None), table)
 
   def overwriteAllJdbc(df: DataFrame, env: JdbcEnv, table: String): Unit =
-    stagedJdbcLoad(df, env, table) { (dialect, st, staging) =>
+    stagedJdbcLoad(df, env, table) { (dialect, st, staging, _) =>
       st.executeUpdate(dialect.deleteAll(table))
       st.executeUpdate(dialect.insertFromStaging(table, staging, df.columns))
     }
@@ -282,7 +300,21 @@ object Sinks {
     * upserts the batch's exact rows.  Like [[merge]], `updates` must be
     * one-row-per-key (compact CDC feeds with keepLatest first); the
     * Postgres statement would otherwise raise `ON CONFLICT ... cannot
-    * affect row a second time` — same contract, enforced by the engine. */
+    * affect row a second time` — same contract, enforced by the engine.
+    *
+    * Postgres `ON CONFLICT (keys)` requires a unique index on exactly
+    * those columns, and Spark's JDBC bootstrap creates none (r8 ADVICE
+    * #1) — so (a) when THIS call bootstraps a missing target, it also
+    * issues [[SqlDialect.createUniqueIndex]] on the keys (transactional
+    * DDL — rolls back with the load), and (b) against a PRE-EXISTING
+    * table the upsert runs under a savepoint: if it fails (typically
+    * "no unique or exclusion constraint matching the ON CONFLICT
+    * specification"), the transaction rolls back to the savepoint and
+    * the portable delete-matching + insert path — identical semantics —
+    * completes the same transaction.  The savepoint fallback is executed
+    * for real in SinksSpec (Postgres statement text against a Derby
+    * connection on integer keys: the ON CONFLICT syntax error triggers
+    * the rollback-and-fallback). */
   def mergeJdbc(updates: DataFrame, url: String, table: String,
       keys: Seq[String]): Unit =
     mergeJdbc(updates, JdbcEnv(url, None, None), table, keys)
@@ -290,19 +322,43 @@ object Sinks {
   def mergeJdbc(updates: DataFrame, env: JdbcEnv, table: String,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "mergeJdbc requires at least one key")
-    stagedJdbcLoad(updates, env, table) { (dialect, st, staging) =>
-      dialect.upsertFromStaging(table, staging, keys, updates.columns) match {
-        case Some(upsert) => st.executeUpdate(upsert)
-        case None =>
-          val stringCols = updates.schema.fields.collect {
-            case f if f.dataType == org.apache.spark.sql.types.StringType =>
-              f.name
-          }.toSet
-          st.executeUpdate(
-            dialect.deleteMatching(table, staging, keys, stringCols))
-          st.executeUpdate(
-            dialect.insertFromStaging(table, staging, updates.columns))
-      }
+    val stringCols = updates.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSet
+    stagedJdbcLoad(updates, env, table) { (dialect, st, staging, bootstrapped) =>
+      if (bootstrapped)
+        st.executeUpdate(dialect.createUniqueIndex(table, keys))
+      upsertOrFallback(dialect, st, table, staging, keys, updates.columns,
+        stringCols)
+    }
+  }
+
+  /** [[mergeJdbc]]'s swap body: native upsert under a savepoint, falling
+    * back to delete-matching + insert on the SAME transaction if the
+    * upsert statement fails (missing unique constraint on a pre-existing
+    * target, or no native upsert at all).  Package-private so the spec
+    * can drive the fallback for real (Postgres text on a Derby
+    * connection). */
+  private[graft] def upsertOrFallback(dialect: SqlDialect,
+      st: java.sql.Statement, table: String, staging: String,
+      keys: Seq[String], cols: Seq[String], stringCols: Set[String]): Unit = {
+    def deleteThenInsert(): Unit = {
+      st.executeUpdate(dialect.deleteMatching(table, staging, keys, stringCols))
+      st.executeUpdate(dialect.insertFromStaging(table, staging, cols))
+    }
+    dialect.upsertFromStaging(table, staging, keys, cols) match {
+      case Some(upsert) =>
+        val conn = st.getConnection
+        val sp = conn.setSavepoint()
+        try {
+          st.executeUpdate(upsert)
+          conn.releaseSavepoint(sp)
+        } catch {
+          case _: java.sql.SQLException =>
+            conn.rollback(sp)
+            deleteThenInsert()
+        }
+      case None => deleteThenInsert()
     }
   }
 
@@ -313,7 +369,7 @@ object Sinks {
     * (the reference's `.env` surface) — driver-side connection and
     * executor-side writer both use them; they never ride in the URL. */
   private def stagedJdbcLoad(df: DataFrame, env: JdbcEnv, table: String)(
-      swap: (SqlDialect, java.sql.Statement, String) => Unit): Unit = {
+      swap: (SqlDialect, java.sql.Statement, String, Boolean) => Unit): Unit = {
     val dialect = SqlDialect.forUrl(env.url)
     val staging =
       table + "_stg_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
@@ -340,7 +396,7 @@ object Sinks {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        swap(dialect, st, staging)
+        swap(dialect, st, staging, !tableExists)
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e

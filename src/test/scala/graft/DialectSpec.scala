@@ -14,8 +14,34 @@ class DialectSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("URL resolution matches Spark's own dialect dispatch") {
     assert(SqlDialect.forUrl("jdbc:postgresql://h:5432/db") == SqlDialect.Postgres)
     assert(SqlDialect.forUrl("jdbc:derby:memory:x;create=true") == SqlDialect.Derby)
-    // Unknown URLs get the conservative portable dialect.
-    assert(SqlDialect.forUrl("jdbc:h2:mem:x") == SqlDialect.Derby)
+    // Unknown URLs FAIL FAST (r8 ADVICE #5): the old Derby fallback's
+    // VARCHAR(32672) casts are not portable SQL, so raw DDL/DML must not
+    // be pointed at an engine whose dialect was never proven.
+    val e = intercept[IllegalArgumentException] {
+      SqlDialect.forUrl("jdbc:h2:mem:x")
+    }
+    assert(e.getMessage.contains("jdbc:h2:mem:x"))
+    assert(e.getMessage.contains("jdbc:postgresql"))
+  }
+
+  test("unique-index DDL: quoted, schema-stripped name, 63-byte cap") {
+    // Issued when mergeJdbc bootstraps a missing target (r8 ADVICE #1):
+    // Postgres ON CONFLICT (keys) needs a matching unique index, and
+    // Spark's JDBC bootstrap creates none.
+    assert(SqlDialect.Postgres.createUniqueIndex(
+      "analysis.fechamento", Seq("mes", "farmer_id")) ==
+      """CREATE UNIQUE INDEX "ux_fechamento_mes_farmer_id" """ +
+      """ON analysis.fechamento ("mes", "farmer_id")""")
+    // Identifier stays within Postgres's 63-byte limit however long the
+    // table/key names run.
+    val long = SqlDialect.Postgres.createUniqueIndex(
+      "a_really_quite_long_table_name_for_the_warehouse",
+      Seq("first_key_column", "second_key_column", "third_key_column"))
+    val name = long.split('"')(1)
+    assert(name.length <= 63 && name.startsWith("ux_"))
+    // Dialect-invariant text (Derby executes the same DDL in SinksSpec).
+    assert(SqlDialect.Derby.createUniqueIndex("t", Seq("k")) ==
+      """CREATE UNIQUE INDEX "ux_t_k" ON t ("k")""")
   }
 
   test("Postgres delete-matching: quoted idents, direct TEXT key comparison") {
