@@ -423,6 +423,9 @@ object SparkEntry {
     Q("q_ops_bucketed_join", // co-located fact join: zero exchange below the SMJ
       (s, d) => graft.core.Bucketed.bucketedJoin(s, d),
       Some(graft.core.Bucketed.bucketedJoinOracle)),
+    Q("q_ops_txlog", // commit-log table format: append+append+compact replay
+      (s, d) => graft.core.TxLog.revenueFromLog(s, d),
+      Some(graft.core.TxLog.revenueFromLogOracle)),
     Q("q_ops_expectations", // one-scan data-quality constraint suite
       (s, d) => graft.ops.QualityChecks.expectations(s, d),
       Some(graft.ops.QualityChecks.expectationsOracle)),

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.core.TxLog
+
+/** The commit-log table format: ACID-on-any-store semantics the rename
+  * chains ([[graft.core.Sinks.swapInto]]) can only give where rename is
+  * atomic.  Every contract here is the one Delta/Iceberg publish:
+  * commits are all-or-nothing, readers see snapshots, old versions stay
+  * readable until vacuum, concurrent writers serialize through the
+  * version claim. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_txlog").toString + "/t"
+
+  private def rows(path: String, asOf: Option[Long] = None): Seq[(Int, String)] =
+    TxLog.read(spark, path, asOf).as[(Int, String)]
+      .collect().sortBy(_._1).toSeq
+
+  test("append commits are replayed in order; versions are monotonic") {
+    val t = tmp()
+    val v1 = TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    val v2 = TxLog.append(spark, Seq((3, "c")).toDF("k", "v"), t)
+    assert(v1 == 1L && v2 == 2L)
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(TxLog.snapshot(spark, t).version == 2L)
+  }
+
+  test("overwriteAll replaces content atomically; time travel reads history") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    val v2 = TxLog.overwriteAll(spark, Seq((9, "z")).toDF("k", "v"), t)
+    assert(v2 == 2L)
+    assert(rows(t) == Seq((9, "z")))
+    // The pre-overwrite version is still fully readable (tombstones,
+    // not deletes).
+    assert(rows(t, asOf = Some(1L)) == Seq((1, "a"), (2, "b")))
+    // Unknown versions fail loudly, naming what exists.
+    val e = intercept[IllegalArgumentException] {
+      TxLog.read(spark, t, Some(7L))
+    }
+    assert(e.getMessage.contains("version 7"))
+  }
+
+  test("a crashed writer's staged data files are invisible") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    // Simulate a writer that staged data but died before publishing:
+    // files land under data/<uuid> with no commit referencing them.
+    Seq((666, "ghost")).toDF("k", "v")
+      .write.parquet(s"$t/data/deadbeef-dead-dead-dead-deaddeadbeef")
+    assert(rows(t) == Seq((1, "a")), "uncommitted data must not be read")
+    // And the next commit does not resurrect them.
+    TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    assert(rows(t) == Seq((1, "a"), (2, "b")))
+  }
+
+  test("version claim is first-writer-wins: a lost append retries past it") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    // A "concurrent writer" claims version 2 out from under this session
+    // (an empty commit — no actions — keeps the replay well-formed).
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stolen = new Path(s"$t/_txlog/${"%020d".format(2)}.json")
+    val out = fs.create(stolen, false)
+    out.write("\n".getBytes("UTF-8")); out.close()
+    // An append re-reads the log and lands at version 3.
+    val v = TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    assert(v == 3L)
+    assert(rows(t) == Seq((1, "a"), (2, "b")))
+  }
+
+  test("compact rewrites the layout without changing rows; old snapshot survives") {
+    val t = tmp()
+    val df = (1 to 500).map(i => (i, s"v$i")).toDF("k", "v").repartition(8)
+    TxLog.append(spark, df, t)
+    val before = TxLog.snapshot(spark, t)
+    assert(before.files.size > 1)
+    val v2 = TxLog.compact(spark, t, files = 1)
+    assert(v2 == 2L)
+    val after = TxLog.snapshot(spark, t)
+    assert(after.files.size == 1)
+    assert(rows(t).size == 500)
+    // Pre-compaction snapshot still reads (files tombstoned, not deleted).
+    assert(rows(t, asOf = Some(1L)).size == 500)
+  }
+
+  test("vacuum reclaims files unreachable from kept versions") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    TxLog.overwriteAll(spark, Seq((9, "z")).toDF("k", "v"), t)
+    // Keep only v2 and later: v1's files are dead.
+    val deleted = TxLog.vacuum(spark, t, keepFrom = 2L)
+    assert(deleted > 0)
+    // The live snapshot is untouched...
+    assert(rows(t) == Seq((9, "z")))
+    // ...and vacuum is idempotent.
+    assert(TxLog.vacuum(spark, t, keepFrom = 2L) == 0)
+    // Time travel to the vacuumed version now fails at scan time.
+    intercept[Exception] { rows(t, asOf = Some(1L)) }
+  }
+
+  test("snapshot isolation: a pinned snapshot's files never change under it") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    val pinned = TxLog.snapshot(spark, t)
+    TxLog.overwriteAll(spark, Seq((9, "z")).toDF("k", "v"), t)
+    TxLog.compact(spark, t)
+    // The pinned file list still resolves to the v1 content (no vacuum
+    // has run), even though the table has moved two versions on.
+    val got = spark.read
+      .parquet(pinned.files.map(f => s"$t/$f"): _*)
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a")))
+    assert(TxLog.snapshot(spark, t).version == 3L)
+  }
+
+  test("driver-gate query: replayed log equals the plain table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TxLog.revenueFromLog(spark, dir)
+      .as[(String, Long, BigDecimal, java.sql.Date)]
+      .collect().sortBy(_._1).toSeq
+    import org.apache.spark.sql.functions._
+    val want = graft.core.Sources.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(graft.core.Frag.sumMoney(
+          graft.core.Frag.money("o_totalprice"))).as("receita"),
+        max(to_date(col("o_orderdate"))).as("ultima"))
+      .as[(String, Long, BigDecimal, java.sql.Date)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+}
