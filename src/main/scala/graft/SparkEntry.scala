@@ -616,6 +616,21 @@ object SparkEntry {
     Q("q_an_mann_whitney", // tie-corrected rank-sum U in 2x integer units
       (s, d) => graft.ops.StatTests.mannWhitney(s, d),
       Some(graft.ops.StatTests.mannWhitneyOracle)),
+    Q("q_an_cramers_v", // chi2 effect size, IEEE-exact sqrt on the chi2 plan
+      (s, d) => graft.ops.StatTests.cramersV(s, d),
+      Some(graft.ops.StatTests.cramersVOracle)),
+    Q("q_an_kruskal", // rank-based one-way test across dow groups, tie-corrected
+      (s, d) => graft.ops.StatTests.kruskalWallis(s, d),
+      Some(graft.ops.StatTests.kruskalWallisOracle)),
+    Q("q_an_wilcoxon", // signed-rank week-over-week shift, exact 2x rank sums
+      (s, d) => graft.ops.StatTests.wilcoxonSigned(s, d),
+      Some(graft.ops.StatTests.wilcoxonSignedOracle)),
+    Q("q_text_kappa", // chance-corrected language-ID agreement, rational
+      (s, d) => llm.TextAnalysis.langIdKappa(s, d),
+      Some(llm.TextAnalysis.langIdKappaOracle)),
+    Q("q_llm_vocab_coverage", // per-language OOV rate vs top-K vocabulary
+      (s, d) => llm.Vocab.vocabCoverage(s, d),
+      Some(llm.Vocab.vocabCoverageOracle())),
     Q("q_ann_recall", // IVF recall@k vs brute-force ground truth
       (s, d) => llm.Similarity.annRecall(s, d),
       Some(llm.Similarity.annRecallOracle())),

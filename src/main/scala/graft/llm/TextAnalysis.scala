@@ -836,6 +836,68 @@ object TextAnalysis {
        |  lang = predicted_lang AS is_correct
        |FROM w""".stripMargin
 
+  /** Cohen's κ of [[langId]] against the labeled `lang` column — the
+    * CHANCE-CORRECTED agreement [[langIdEval]]'s raw accuracy overstates
+    * on skewed label mixes (a classifier that always answers the
+    * majority language scores high accuracy but κ ≈ 0).  Entirely
+    * rational: with N docs, D the confusion diagonal and
+    * P = Σₖ rowₖ·colₖ the chance-agreement numerator,
+    * κ = (N·D − P)/(N² − P) — exact BIGINTs into ONE rounded division,
+    * the cross-engine-deterministic shape of the [[graft.ops.StatTests]]
+    * family.
+    *
+    * Scale: the scan-fused predictions collapse to the ≤ #langs² grid
+    * in one exchange; marginals, the diagonal, and κ are grid-sized
+    * arithmetic on 1-row broadcast frames. */
+  def langIdKappa(spark: SparkSession, dir: String): DataFrame = {
+    val grid = langId(spark, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rows = grid.groupBy(col("lang").as("cat"))
+      .agg(sum(col("n")).as("r"))
+    val cols = grid.groupBy(col("predicted_lang").as("cat"))
+      .agg(sum(col("n")).as("c"))
+    val pe = rows.join(cols, Seq("cat"), "full_outer")
+      .na.fill(0L, Seq("r", "c"))
+      .agg(sum(expr("r * c")).as("pe_num"))
+    val totals = grid.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("lang") === col("predicted_lang"), col("n"))
+        .otherwise(0L)).as("n_correct"))
+    totals.crossJoin(broadcast(pe))
+      .selectExpr("n_docs", "n_correct", "pe_num",
+        "ROUND(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) " +
+          "AS accuracy",
+        s"$KappaFormula AS kappa")
+  }
+
+  private val KappaFormula: String =
+    "ROUND(CAST(n_docs * n_correct - pe_num AS DOUBLE) " +
+      "/ CAST(n_docs * n_docs - pe_num AS DOUBLE), 6)"
+
+  val langIdKappaOracle: String =
+    s"""WITH pred AS (
+       |  SELECT lang, predicted_lang FROM ($langIdOracle) p),
+       |g AS (
+       |  SELECT lang, predicted_lang, COUNT(*) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |r AS (SELECT lang AS cat, SUM(n) AS r FROM g GROUP BY 1),
+       |c AS (SELECT predicted_lang AS cat, SUM(n) AS c FROM g GROUP BY 1),
+       |pe AS (
+       |  SELECT CAST(SUM(COALESCE(r.r, 0) * COALESCE(c.c, 0)) AS BIGINT)
+       |    AS pe_num
+       |  FROM r FULL OUTER JOIN c USING (cat)),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)
+       |         AS BIGINT) AS n_correct
+       |  FROM g)
+       |SELECT n_docs, n_correct, pe_num,
+       |  ROUND(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS accuracy,
+       |  $KappaFormula AS kappa
+       |FROM tot, pe""".stripMargin
+
   /** Winnowing document fingerprints (Schleimer, Wilkinson & Aiken 2003,
     * the MOSS algorithm) — per sliding window of w consecutive k-gram
     * hashes, select the window MINIMUM; the distinct selected hashes are

@@ -60,6 +60,52 @@ object Vocab {
        |    / CAST(tot.total_tokens AS DOUBLE) AS coverage
        |FROM top, tot""".stripMargin
 
+  /** Per-language OOV rate against the corpus [[topK]] vocabulary — the
+    * TOKENIZER-BUDGET audit a fixed-vocab pipeline runs before training:
+    * which languages does a K-token vocabulary actually cover, and which
+    * pay the OOV (or byte-fallback) tax.  The companion to [[fertility]]
+    * (tokens per word) on the vocabulary side.
+    *
+    * Exactness: the top-K cut is the same (cnt DESC, word ASC) total
+    * order [[topK]] pins; OOV counts are exact integers into one
+    * rounded division.  Scale: the K-word vocabulary is a broadcast,
+    * the token stream joins against it map-side (zero extra shuffle) and
+    * collapses to the ≤ #langs aggregate in the one existing exchange. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      k: Int = DefaultK): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val top = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(k)
+      .select(col("word"), lit(1).as("in_vocab"))
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(top), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_tokens"))
+      .withColumn("oov_rate", expr(
+        "ROUND(CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"))
+  }
+
+  def vocabCoverageOracle(k: Int = DefaultK): String =
+    s"""WITH c AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents) GROUP BY 1),
+       |top AS (SELECT word FROM c ORDER BY cnt DESC, word ASC LIMIT $k),
+       |w AS (
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN t.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oov_tokens,
+       |  ROUND(CAST(SUM(CASE WHEN t.word IS NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+       |FROM w LEFT JOIN top t USING (word)
+       |GROUP BY 1""".stripMargin
+
   /** Per-language frequent tokens via the engine's own Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]]) — the fixed-memory, mergeable
     * alternative to [[topK]]'s exact global count: at 100 TB the exchange

@@ -529,4 +529,184 @@ object StatTests {
        |  CAST((COUNT(DISTINCT dow) - 1) * (COUNT(DISTINCT event_type) - 1)
        |    AS BIGINT) AS df
        |FROM marg""".stripMargin
+
+  /** Cramér's V over the [[chi2Independence]] grid — the EFFECT SIZE the
+    * raw χ² statistic lacks (χ² grows with N; V = √(χ²/(N·min(R,C)−1))
+    * is the [0,1] association strength a human can compare across
+    * tables).  One extra projection on the already-audited chi2 plan:
+    * the decimal-exact χ² casts to double, one division, one IEEE-exact
+    * sqrt, one ROUND — deterministic cross-engine because every operand
+    * is already hash-identical. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    chi2Independence(spark, dir).withColumn("cramers_v", expr(CramersVTerm))
+
+  private val CramersVTerm: String =
+    "ROUND(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n_events AS DOUBLE) " +
+      "* (CAST(least(n_dows, n_types) AS DOUBLE) - 1.0))), 6)"
+
+  val cramersVOracle: String =
+    s"""SELECT n_dows, n_types, n_events, chi2, df,
+       |  $CramersVTerm AS cramers_v
+       |FROM ($chi2IndependenceOracle) base""".stripMargin
+
+  /** Daily revenue cells with the engine-neutral day-of-week (1..7) —
+    * the pooled frame of the rank tests below. */
+  private def dowCells(spark: SparkSession, dir: String): DataFrame =
+    Sources.events(spark, dir)
+      .select(col("ts").cast("bigint").as("sec"), col("event_type"),
+        col("value"))
+      .select(col("event_type"), expr("sec DIV 86400").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .withColumn("dow", expr("CAST((day + 3) % 7 + 1 AS INT)"))
+
+  private val DowCellsCte: String =
+    s"""daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT event_type, day, t,
+       |    CAST((day + 3) % 7 + 1 AS INT) AS dow
+       |  FROM daily)""".stripMargin
+
+  /** Kruskal–Wallis H across the 7 day-of-week groups of daily revenue,
+    * per event type — the RANK-based one-way test completing the
+    * [[anovaDow]] pair: ANOVA asks "do the group MEANS differ" under a
+    * normal-ish assumption, H asks "does any weekday's distribution
+    * stochastically dominate" with no distribution assumption at all.
+    *
+    * Exactness: pooled ranks are tie-averaged via 2·r̄ = 2·rank + cnt − 1
+    * (an INTEGER — rank() min-rank plus the tie-group size), so every
+    * per-group rank sum is exact; the per-group s²/nᵢ terms go through
+    * the engine's ROUND-6 → DECIMAL sum (order-independent), and the
+    * final H — tie-corrected by 1 − Σ(t³−t)/(N³−N) — is one shared
+    * verbatim double chain.
+    *
+    * Scale: the corpus collapses to calendar-bounded day cells in one
+    * exchange; every window below runs per event_type over ≤ #days
+    * frames (the documented-safe unpartitioned-window regime). */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val cells = dowCells(spark, dir).localCheckpoint()
+    val ranked = cells
+      .withColumn("mrank",
+        rank().over(Window.partitionBy("event_type").orderBy("t")))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy("event_type", "t")))
+      .withColumn("avg2", expr("2 * CAST(mrank AS BIGINT) + cnt - 1"))
+    val groups = ranked.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_i"), sum(col("avg2")).as("s2"))
+      .withColumn("term", expr(
+        "CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n_i AS DOUBLE)"))
+    val ties = cells.groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("c * c * c - c")).as("tt"))
+    groups.groupBy(col("event_type"))
+      .agg(sum(col("n_i")).as("nn"),
+        count(lit(1)).as("k_dows"),
+        expr("CAST(SUM(CAST(ROUND(term, 6) AS DECIMAL(28,6))) " +
+          "AS DECIMAL(38,6))").as("s4"))
+      .join(ties, Seq("event_type"))
+      .selectExpr("event_type", "nn", "k_dows", "tt",
+        s"$KruskalFormula AS h")
+  }
+
+  /** H from the 2·rank moments: Σ R̄ᵢ²/nᵢ = s4/4 (s4 sums (2R̄ᵢ)²/nᵢ),
+    * so H = 3·s4/(N(N+1)) − 3(N+1), then the tie correction. */
+  private val KruskalFormula: String =
+    "ROUND((3.0 * CAST(s4 AS DOUBLE) " +
+      "/ (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) " +
+      "- 3.0 * (CAST(nn AS DOUBLE) + 1.0)) " +
+      "/ NULLIF(1.0 - CAST(tt AS DOUBLE) " +
+      "/ (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) " +
+      "- CAST(nn AS DOUBLE)), 0.0), 6)"
+
+  val kruskalWallisOracle: String =
+    s"""WITH $DowCellsCte,
+       |rk AS (
+       |  SELECT event_type, dow,
+       |    2 * CAST(RANK() OVER (PARTITION BY event_type ORDER BY t)
+       |             AS BIGINT)
+       |      + COUNT(*) OVER (PARTITION BY event_type, t) - 1 AS avg2
+       |  FROM cells),
+       |grp AS (
+       |  SELECT event_type, dow, COUNT(*) AS n_i,
+       |    CAST(SUM(avg2) AS BIGINT) AS s2
+       |  FROM rk GROUP BY 1, 2),
+       |ties AS (
+       |  SELECT event_type, CAST(SUM(c * c * c - c) AS BIGINT) AS tt
+       |  FROM (SELECT event_type, t, COUNT(*) AS c FROM cells GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |agg AS (
+       |  SELECT g.event_type, CAST(SUM(n_i) AS BIGINT) AS nn,
+       |    CAST(COUNT(*) AS BIGINT) AS k_dows,
+       |    CAST(SUM(CAST(ROUND(
+       |        CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |          / CAST(n_i AS DOUBLE), 6)
+       |      AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS s4
+       |  FROM grp g GROUP BY 1)
+       |SELECT a.event_type, nn, k_dows, tt, $KruskalFormula AS h
+       |FROM agg a JOIN ties USING (event_type)""".stripMargin
+
+  /** Wilcoxon signed-rank of week-over-week daily revenue, per event
+    * type: pairs are (day, day − 7) — same weekday one week apart, the
+    * natural "did this week shift the level" pairing — with d = tᵈ −
+    * tᵈ⁻⁷, zero differences dropped (the standard treatment), |d|
+    * tie-average-ranked with the same 2·r̄ integer trick as
+    * [[kruskalWallis]], and the positive/negative 2·rank sums reported
+    * exactly.  w2_plus + w2_minus = n·(n+1) is the built-in self-check;
+    * r_plus_share is the one rounded division (0.5 = no shift,
+    * 1.0 = every week-over-week move was up).
+    *
+    * Scale: day cells, then a calendar-bounded self-join on day = day+7
+    * (equi-join on the derived key) and #pairs-sized windows. */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val cells = dowCells(spark, dir).select(
+      col("event_type"), col("day"), col("t")).localCheckpoint()
+    val prev = cells.select(col("event_type"),
+      (col("day") + 7).as("day"), col("t").as("t_prev"))
+    val pairs = cells.join(prev, Seq("event_type", "day"))
+      .withColumn("d", col("t") - col("t_prev"))
+      .filter(col("d") =!= 0)
+      .withColumn("ad", abs(col("d")))
+    val ranked = pairs
+      .withColumn("mrank",
+        rank().over(Window.partitionBy("event_type").orderBy("ad")))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy("event_type", "ad")))
+      .withColumn("avg2", expr("2 * CAST(mrank AS BIGINT) + cnt - 1"))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") > 0, col("avg2")).otherwise(0L)).as("w2_plus"),
+        sum(when(col("d") < 0, col("avg2")).otherwise(0L)).as("w2_minus"))
+      .withColumn("r_plus_share", expr(
+        "ROUND(CAST(w2_plus AS DOUBLE) " +
+          "/ CAST(w2_plus + w2_minus AS DOUBLE), 6)"))
+  }
+
+  val wilcoxonSignedOracle: String =
+    s"""WITH $DowCellsCte,
+       |pairs AS (
+       |  SELECT a.event_type, a.t - b.t AS d, abs(a.t - b.t) AS ad
+       |  FROM cells a JOIN cells b
+       |    ON a.event_type = b.event_type AND a.day = b.day + 7
+       |  WHERE a.t <> b.t),
+       |rk AS (
+       |  SELECT event_type, d,
+       |    2 * CAST(RANK() OVER (PARTITION BY event_type ORDER BY ad)
+       |             AS BIGINT)
+       |      + COUNT(*) OVER (PARTITION BY event_type, ad) - 1 AS avg2
+       |  FROM pairs)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN d > 0 THEN avg2 ELSE 0 END) AS BIGINT)
+       |    AS w2_plus,
+       |  CAST(SUM(CASE WHEN d < 0 THEN avg2 ELSE 0 END) AS BIGINT)
+       |    AS w2_minus,
+       |  ROUND(CAST(SUM(CASE WHEN d > 0 THEN avg2 ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(avg2) AS DOUBLE), 6) AS r_plus_share
+       |FROM rk GROUP BY 1""".stripMargin
 }

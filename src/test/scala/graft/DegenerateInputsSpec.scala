@@ -171,7 +171,14 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_ops_sessionize_batch", "q_an_gap_histogram",
     "q_llm_label_centroids", "q_llm_embedding_stats", "q_text_fertility",
     "q_text_zipf", "q_text_burstiness", "q_llm_split_balance",
-    "q_ops_key_skew")
+    "q_ops_key_skew",
+    // Round-9: rank tests over empty/one-day cells (NULLIF H, empty
+    // pair frames), the κ division over an all-NULL 1-row grid, the
+    // OOV join against an empty vocabulary, the sqrt/NULLIF chain on
+    // the empty contingency grid, and the TxLog empty-snapshot
+    // short-circuit (the q_ops_dpp shape).
+    "q_an_kruskal", "q_an_wilcoxon", "q_text_kappa", "q_an_cramers_v",
+    "q_llm_vocab_coverage", "q_ops_txlog")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -226,4 +226,59 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDecimal(3).doubleValue() >= 0.0)
     assert(r.getLong(4) == (r.getLong(0) - 1) * (r.getLong(1) - 1))
   }
+
+  test("cramers_v: in [0,1], exact sqrt of the chi2/N scaling") {
+    val r = StatTests.cramersV(spark, Sf001).collect().head
+    val chi2 = r.getDecimal(3).doubleValue()
+    val n = r.getLong(2).toDouble
+    val minDim = math.min(r.getLong(0), r.getLong(1)).toDouble - 1.0
+    val v = r.getDouble(5)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(v == math.rint(math.sqrt(chi2 / (n * minDim)) * 1e6) / 1e6)
+  }
+
+  test("kruskal-wallis: hand-computed H over three dow groups") {
+    // 2024-01-01 is a Monday (dow 1 under (day+3)%7+1).  Values by dow:
+    // dow1 {100c,400c}, dow2 {200c,500c}, dow3 {300c,600c} — pooled
+    // ranks 1..6, R = (5,7,9), Σ(2R)²/n = 620/2 = 310,
+    // H = 3·310/(6·7) − 3·7 = 1.142857; no ties so no correction.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "x", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "x", 2.0),
+      (3L, "2024-01-03 10:00:00", 1L, "x", 3.0),
+      (4L, "2024-01-08 10:00:00", 1L, "x", 4.0),
+      (5L, "2024-01-09 10:00:00", 1L, "x", 5.0),
+      (6L, "2024-01-10 10:00:00", 1L, "x", 6.0)))
+    val r = StatTests.kruskalWallis(spark, dir).collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == math.rint((3.0 * 310 / 42 - 21) * 1e6) / 1e6)
+  }
+
+  test("kruskal-wallis: an all-tied pooled sample yields NULL H, not a crash") {
+    // Every day the same revenue: one tie group of size N makes the
+    // correction denominator 1 − (N³−N)/(N³−N) = 0 → NULLIF → NULL.
+    val dir = eventsDir((1 to 6).map(d =>
+      (d.toLong, f"2024-01-$d%02d 10:00:00", 1L, "flat", 7.0)))
+    val r = StatTests.kruskalWallis(spark, dir).collect().head
+    assert(r.getLong(1) == 6L)
+    assert(r.isNullAt(4))
+  }
+
+  test("wilcoxon signed-rank: hand-computed week-over-week pairs") {
+    // Pairs (day, day−7): +50c, −20c, and one zero difference dropped.
+    // |d| ranks: 20→1, 50→2 (avg2 = 2, 4): w2+ = 4, w2− = 2,
+    // r_plus_share = 4/6; the identity w2+ + w2− = n(n+1) holds.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "x", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "x", 2.0),
+      (3L, "2024-01-03 10:00:00", 1L, "x", 3.0),
+      (4L, "2024-01-08 10:00:00", 1L, "x", 1.5),
+      (5L, "2024-01-09 10:00:00", 1L, "x", 1.8),
+      (6L, "2024-01-10 10:00:00", 1L, "x", 3.0)))
+    val r = StatTests.wilcoxonSigned(spark, dir).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 2L)
+    assert(r.getLong(2) + r.getLong(3) == r.getLong(1) * (r.getLong(1) + 1))
+    assert(r.getDouble(4) == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+  }
 }

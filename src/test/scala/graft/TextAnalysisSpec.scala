@@ -507,4 +507,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getDouble(7) >= 1.0) // a word is at least one subword
     }
   }
+
+  test("kappa: hand-computed chance-corrected agreement") {
+    // 4 en docs (3 predicted en via 'the', 1 mispredicted es via 'slow'),
+    // 2 es docs predicted es.  N=6, diag=5, rows (en 4, es 2),
+    // cols (en 3, es 3) → P = 4·3 + 2·3 = 18,
+    // κ = (6·5 − 18)/(36 − 18) = 12/18 = 0.666667; accuracy 5/6.
+    val dir = java.nio.file.Files.createTempDirectory("kappa").toString
+    Seq(
+      (1L, "the the", "en"), (2L, "the", "en"), (3L, "the the the", "en"),
+      (4L, "slow slow", "en"),
+      (5L, "slow", "es"), (6L, "slow slow slow", "es"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.langIdKappa(spark, dir).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L && r.getLong(2) == 18L)
+    assert(r.getDouble(3) == math.rint(5.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(12.0 / 18.0 * 1e6) / 1e6)
+  }
+
+  test("kappa: majority-class guesser scores high accuracy but zero-ish kappa") {
+    // Every doc predicted 'en' (the marker ladder sees only 'the'):
+    // accuracy = share of true-en, but κ = (N·D − P)/(N² − P) with
+    // P = N·col_en = N·N... here rows (en 5, es 1), cols (en 6, es 0)
+    // → P = 30, κ = (6·5 − 30)/(36 − 30) = 0.
+    val dir = java.nio.file.Files.createTempDirectory("kappa0").toString
+    Seq(
+      (1L, "the", "en"), (2L, "the", "en"), (3L, "the", "en"),
+      (4L, "the", "en"), (5L, "the", "en"), (6L, "the", "es"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.langIdKappa(spark, dir).collect().head
+    assert(r.getDouble(3) == math.rint(5.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == 0.0)
+  }
 }

@@ -155,4 +155,27 @@ class VocabSpec extends SparkSpec {
     assert(r.getDouble(1) < 0.0)
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
   }
+
+  test("vocab coverage: hand-computed per-language OOV against top-1") {
+    import spark.implicits._
+    // Counts: a=3, b=1, c=1 → top-1 vocabulary = {a}.
+    // en: 3 tokens, 1 OOV (b) → 1/3; es: 2 tokens, 1 OOV (c) → 1/2.
+    val dir = java.nio.file.Files.createTempDirectory("vcov").toString
+    Seq((1L, "a a b", "en"), (2L, "a c", "es"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Vocab.vocabCoverage(spark, dir, k = 1).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("en") == ((3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+    assert(got("es") == ((2L, 1L, 0.5)))
+  }
+
+  test("vocab coverage: a full vocabulary drives every OOV rate to zero") {
+    val rows = Vocab.vocabCoverage(spark, Sf001, k = 1000000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    }
+  }
 }
