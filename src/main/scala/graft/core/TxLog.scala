@@ -123,6 +123,7 @@ object TxLog {
       a match {
         case "add"    => live += p
         case "remove" => live -= p
+        case "txn"    => () // writer-idempotence marker, no file effect
         case other =>
           throw new IllegalStateException(s"TxLog: unknown action '$other'")
       }
@@ -266,6 +267,65 @@ object TxLog {
       s"TxLog: staged write produced no data files under $dir")
     files
   }
+
+  /** Highest batch id committed under `appId`, read from the `txn`
+    * markers — the writer-idempotence ledger of [[appendBatch]]. */
+  def lastCommittedBatch(spark: SparkSession, path: String,
+      appId: String): Option[Long] = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val ids = for {
+      v <- versions(fs, table)
+      (a, p) <- readCommit(fs, commitPath(table, v))
+      if a == "txn"
+      i = p.lastIndexOf(':')
+      if i > 0 && p.substring(0, i) == appId
+    } yield p.substring(i + 1).toLong
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Exactly-once micro-batch append: the batch's data files and a
+    * `txn` marker `appId:batchId` land in ONE atomic commit, so a
+    * replayed batch (restart after the sink committed but before the
+    * checkpoint advanced — the classic at-least-once window of
+    * `foreachBatch`) is recognized by [[lastCommittedBatch]] and
+    * SKIPPED instead of appended twice.  This is the published Delta
+    * streaming-sink transaction design (txnAppId/txnVersion).  Returns
+    * whether the batch was committed (false = already in the table).
+    * `appId` must not contain a newline or '"'; batch ids must be
+    * monotone per appId (Structured Streaming guarantees both). */
+  def appendBatch(spark: SparkSession, df: DataFrame, path: String,
+      appId: String, batchId: Long): Boolean = {
+    if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId))
+      return false
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val adds = writeData(spark, df, table, fs)
+    commitWithRetry(spark, fs, table, _ =>
+      ("txn", s"$appId:$batchId") +: adds.map(("add", _)))
+    true
+  }
+
+  /** Structured-Streaming append sink over the commit log — the
+    * exactly-once landing the parquet rename sinks can only approximate:
+    * `foreachBatch` → [[appendBatch]], one atomic commit per
+    * micro-batch, replays de-duplicated by the txn ledger.  Readers see
+    * whole batches or nothing, on any store with an atomic
+    * create/CAS primitive. */
+  def writeStreamAppend(stream: DataFrame, path: String,
+      checkpoint: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          appendBatch(batch.sparkSession, batch.toDF(), path, appId,
+            batchId)
+          ()
+      }
+      .start()
 
   /** Driver-gate query: orders loaded through a REAL multi-version log
     * history — append the even keys (v1), append the odd keys (v2),

@@ -120,6 +120,44 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).version == 3L)
   }
 
+  test("appendBatch is exactly-once: a replayed (app, batch) is skipped") {
+    val t = tmp()
+    assert(TxLog.appendBatch(spark, Seq((1, "a")).toDF("k", "v"), t,
+      "job", 0L))
+    assert(TxLog.appendBatch(spark, Seq((2, "b")).toDF("k", "v"), t,
+      "job", 1L))
+    // The at-least-once window: batch 1 replays after a crash between
+    // the sink commit and the checkpoint write.  Content must not double.
+    assert(!TxLog.appendBatch(spark, Seq((2, "b")).toDF("k", "v"), t,
+      "job", 1L))
+    assert(rows(t) == Seq((1, "a"), (2, "b")))
+    assert(TxLog.lastCommittedBatch(spark, t, "job").contains(1L))
+    // A different app's ledger is independent.
+    assert(TxLog.lastCommittedBatch(spark, t, "other").isEmpty)
+    assert(TxLog.appendBatch(spark, Seq((3, "c")).toDF("k", "v"), t,
+      "other", 0L))
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("streaming append sink: micro-batches land atomically, stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmp()
+    val ckpt = Files.createTempDirectory("graft_txlog_ckpt").toString
+    val stream = MemoryStream[(Int, String)]
+    val q = TxLog.writeStreamAppend(
+      stream.toDF().toDF("k", "v"), t, ckpt, "stream-test")
+    try {
+      stream.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      stream.addData((3, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c")))
+    // One commit per non-empty micro-batch, each carrying its txn marker.
+    assert(TxLog.lastCommittedBatch(spark, t, "stream-test").nonEmpty)
+  }
+
   test("driver-gate query: replayed log equals the plain table") {
     val dir = "/root/testdata/sf0.001"
     val got = TxLog.revenueFromLog(spark, dir)
