@@ -625,6 +625,12 @@ object SparkEntry {
     Q("q_an_wilcoxon", // signed-rank week-over-week shift, exact 2x rank sums
       (s, d) => graft.ops.StatTests.wilcoxonSigned(s, d),
       Some(graft.ops.StatTests.wilcoxonSignedOracle)),
+    Q("q_an_friedman", // repeated-measures dow ranks, weeks as blocks
+      (s, d) => graft.ops.StatTests.friedman(s, d),
+      Some(graft.ops.StatTests.friedmanOracle)),
+    Q("q_ops_txlog_asof", // time travel: pre-compaction snapshot replay
+      (s, d) => graft.core.TxLog.revenueAsOf(s, d),
+      Some(graft.core.TxLog.revenueAsOfOracle)),
     Q("q_text_kappa", // chance-corrected language-ID agreement, rational
       (s, d) => llm.TextAnalysis.langIdKappa(s, d),
       Some(llm.TextAnalysis.langIdKappaOracle)),

@@ -335,17 +335,23 @@ object TxLog {
     * removes dropped exactly the superseded files, no row lost or
     * doubled across the rewrite.  Staged once per (JVM, dir, source
     * fingerprint) via [[Staging]]. */
-  def revenueFromLog(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared gate staging: orders loaded as append(even keys) →
+    * append(odd keys) → compact, once per (JVM, dir, fingerprint). */
+  private def stagedLog(spark: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
     val fp = Staging.fingerprint(spark, dir, "orders")
-    val root = Staging.ensure(s"txlog#$dir", fp) { base =>
+    Staging.ensure(s"txlog#$dir", fp) { base =>
       val t = s"$base/orders_txlog"
       val o = Sources.orders(spark, dir)
       append(spark, o.filter(col("o_orderkey") % 2 === 0), t)
       append(spark, o.filter(col("o_orderkey") % 2 =!= 0), t)
       if (snapshot(spark, t).files.nonEmpty) compact(spark, t, files = 4)
-    }
-    val t = s"$root/orders_txlog"
+    } + "/orders_txlog"
+  }
+
+  def revenueFromLog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedLog(spark, dir)
     if (snapshot(spark, t).isEmpty)
       // Degenerate source: keep the schema contract without a scan.
       return spark.range(0).selectExpr(
@@ -364,6 +370,32 @@ object TxLog {
     s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
        |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
        |  MAX(CAST(o_orderdate AS DATE)) AS ultima
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** Driver-gate time travel: the same staged log read AS OF version 2 —
+    * after both appends, BEFORE the compaction rewrote the layout.  The
+    * content at v2 is the full table, so the same plain-orders oracle
+    * applies; a hash match proves historical snapshot resolution
+    * reconstructs exactly the pre-rewrite file set (keyed differently
+    * from [[revenueFromLog]] so the two queries aren't plan-identical). */
+  def revenueAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedLog(spark, dir)
+    val snap = snapshot(spark, t)
+    if (snap.version < 2L || snapshot(spark, t, Some(2L)).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderpriority",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS DECIMAL(18,2)) AS receita")
+    read(spark, t, asOf = Some(2L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"))
+  }
+
+  val revenueAsOfOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
        |FROM orders GROUP BY 1""".stripMargin
 
   /** Claim latest+1 with `actions(latestSnapshot)`; on a conflict,

@@ -652,6 +652,83 @@ object StatTests {
        |SELECT a.event_type, nn, k_dows, tt, $KruskalFormula AS h
        |FROM agg a JOIN ties USING (event_type)""".stripMargin
 
+  /** Friedman test of day-of-week effects with WEEKS AS BLOCKS, per
+    * event type — the repeated-measures member of the rank family:
+    * [[kruskalWallis]] pools every day into one sample, so a strong
+    * week-to-week LEVEL trend can drown a within-week pattern; Friedman
+    * ranks each week internally (block = the (day+3) DIV 7 Monday week,
+    * the grain that makes dow a complete 7-treatment layout) and asks
+    * whether the dow rank PROFILE repeats across weeks.  Incomplete edge
+    * weeks are dropped (the test is defined on complete blocks).
+    *
+    * Exactness: within-block tie-averaged ranks via the 2·r̄ integer
+    * trick; treatment rank sums and their squares stay BIGINT (no
+    * per-group division at all — equal block sizes fold n into the
+    * closed form), so χ²_F = 3·s4/(n·k(k+1)) − 3n(k+1) is ONE shared
+    * double chain over exact integers.  Classic statistic over
+    * tie-averaged ranks (no tie-correction divisor), stated as such.
+    *
+    * Scale: calendar-bounded cells; every window runs per (type, week)
+    * over ≤ 7-row frames. */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val complete = dowCells(spark, dir)
+      .withColumn("week", expr("(day + 3) DIV 7"))
+      .withColumn("days_in_week",
+        count(lit(1)).over(Window.partitionBy("event_type", "week")))
+      .filter(col("days_in_week") === 7)
+      .localCheckpoint()
+    val ranked = complete
+      .withColumn("mrank", rank()
+        .over(Window.partitionBy("event_type", "week").orderBy("t")))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy("event_type", "week", "t")))
+      .withColumn("avg2", expr("2 * CAST(mrank AS BIGINT) + cnt - 1"))
+    val byDow = ranked.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("avg2")).as("r2"))
+    byDow.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kk"), sum(expr("r2 * r2")).as("s4"))
+      .join(complete.groupBy(col("event_type"))
+        .agg(countDistinct(col("week")).as("nw")), Seq("event_type"))
+      .selectExpr("event_type", "nw", "kk", s"$FriedmanFormula AS chi2_f")
+  }
+
+  /** χ²_F from 2·rank sums: ΣR_j² = s4/4 → 12·ΣR_j²/(n·k(k+1)) − 3n(k+1)
+    * = 3·s4/(n·k(k+1)) − 3n(k+1). */
+  private val FriedmanFormula: String =
+    "ROUND(3.0 * CAST(s4 AS DOUBLE) / (CAST(nw AS DOUBLE) " +
+      "* CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0)) " +
+      "- 3.0 * CAST(nw AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0), 6)"
+
+  val friedmanOracle: String =
+    s"""WITH $DowCellsCte,
+       |wk AS (
+       |  SELECT event_type, day, t, dow, (day + 3) // 7 AS week
+       |  FROM cells),
+       |complete AS (
+       |  SELECT * FROM (
+       |    SELECT event_type, week, t, dow,
+       |      COUNT(*) OVER (PARTITION BY event_type, week) AS days_in_week
+       |    FROM wk)
+       |  WHERE days_in_week = 7),
+       |rk AS (
+       |  SELECT event_type, dow,
+       |    2 * CAST(RANK() OVER (PARTITION BY event_type, week ORDER BY t)
+       |             AS BIGINT)
+       |      + COUNT(*) OVER (PARTITION BY event_type, week, t) - 1 AS avg2
+       |  FROM complete),
+       |bydow AS (
+       |  SELECT event_type, dow, CAST(SUM(avg2) AS BIGINT) AS r2
+       |  FROM rk GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS kk,
+       |    CAST(SUM(r2 * r2) AS BIGINT) AS s4
+       |  FROM bydow GROUP BY 1),
+       |blocks AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT week) AS BIGINT) AS nw
+       |  FROM complete GROUP BY 1)
+       |SELECT a.event_type, nw, kk, $FriedmanFormula AS chi2_f
+       |FROM agg a JOIN blocks USING (event_type)""".stripMargin
+
   /** Wilcoxon signed-rank of week-over-week daily revenue, per event
     * type: pairs are (day, day − 7) — same weekday one week apart, the
     * natural "did this week shift the level" pairing — with d = tᵈ −

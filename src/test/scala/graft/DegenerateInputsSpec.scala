@@ -178,7 +178,10 @@ class DegenerateInputsSpec extends SparkSpec {
     // the empty contingency grid, and the TxLog empty-snapshot
     // short-circuit (the q_ops_dpp shape).
     "q_an_kruskal", "q_an_wilcoxon", "q_text_kappa", "q_an_cramers_v",
-    "q_llm_vocab_coverage", "q_ops_txlog")
+    "q_llm_vocab_coverage", "q_ops_txlog",
+    // Friedman's complete-block filter over a corpus with no complete
+    // weeks, and the time-travel guard on a sub-2-version log.
+    "q_an_friedman", "q_ops_txlog_asof")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

@@ -264,6 +264,28 @@ class StatTestsSpec extends SparkSpec {
     assert(r.isNullAt(4))
   }
 
+  test("friedman: hand-computed chi2 over two complete weeks") {
+    // Two complete Mon–Sun weeks, revenue strictly increasing within
+    // each week: within-block ranks 1..7 both weeks → R_j = 2j,
+    // ΣR_j² = 4·140, χ²_F = 12·560/(2·7·8) − 3·2·8 = 12.  A third,
+    // incomplete week (one day) must be dropped, not ranked.
+    val dir = eventsDir(
+      (1 to 7).map(d => (d.toLong, f"2024-01-$d%02d 10:00:00", 1L, "x",
+        d.toDouble)) ++
+      (8 to 14).map(d => (d.toLong, f"2024-01-$d%02d 10:00:00", 1L, "x",
+        (d - 7).toDouble)) ++
+      Seq((15L, "2024-01-15 10:00:00", 1L, "x", 99.0)))
+    val r = StatTests.friedman(spark, dir).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 12.0)
+  }
+
+  test("friedman: no complete week yields no row, not a crash") {
+    val dir = eventsDir((1 to 3).map(d =>
+      (d.toLong, f"2024-01-$d%02d 10:00:00", 1L, "short", 1.0)))
+    assert(StatTests.friedman(spark, dir).collect().isEmpty)
+  }
+
   test("wilcoxon signed-rank: hand-computed week-over-week pairs") {
     // Pairs (day, day−7): +50c, −20c, and one zero difference dropped.
     // |d| ranks: 20→1, 50→2 (avg2 = 2, 4): w2+ = 4, w2− = 2,
