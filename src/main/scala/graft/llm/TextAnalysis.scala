@@ -872,8 +872,11 @@ object TextAnalysis {
   }
 
   private val KappaFormula: String =
+    // NULLIF guard: a single-category corpus with perfect agreement has
+    // pe_num = N² (chance agreement is certain) — κ is undefined there,
+    // and under ANSI mode an unguarded division is an error, not NULL.
     "ROUND(CAST(n_docs * n_correct - pe_num AS DOUBLE) " +
-      "/ CAST(n_docs * n_docs - pe_num AS DOUBLE), 6)"
+      "/ NULLIF(CAST(n_docs * n_docs - pe_num AS DOUBLE), 0.0), 6)"
 
   val langIdKappaOracle: String =
     s"""WITH pred AS (

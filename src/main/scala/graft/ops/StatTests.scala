@@ -541,8 +541,11 @@ object StatTests {
     chi2Independence(spark, dir).withColumn("cramers_v", expr(CramersVTerm))
 
   private val CramersVTerm: String =
-    "ROUND(sqrt(CAST(chi2 AS DOUBLE) / (CAST(n_events AS DOUBLE) " +
-      "* (CAST(least(n_dows, n_types) AS DOUBLE) - 1.0))), 6)"
+    // NULLIF: a 1×C or R×1 grid (single weekday or single type — the
+    // degenerate single-row sweep) has min dim 1 and V undefined; ANSI
+    // mode errors on the bare division.
+    "ROUND(sqrt(CAST(chi2 AS DOUBLE) / NULLIF(CAST(n_events AS DOUBLE) " +
+      "* (CAST(least(n_dows, n_types) AS DOUBLE) - 1.0), 0.0)), 6)"
 
   val cramersVOracle: String =
     s"""SELECT n_dows, n_types, n_events, chi2, df,
@@ -618,12 +621,15 @@ object StatTests {
   /** H from the 2·rank moments: Σ R̄ᵢ²/nᵢ = s4/4 (s4 sums (2R̄ᵢ)²/nᵢ),
     * so H = 3·s4/(N(N+1)) − 3(N+1), then the tie correction. */
   private val KruskalFormula: String =
+    // Both divisions NULLIF-guarded: a single pooled observation makes
+    // N³−N zero, which under ANSI mode is an ERROR inside the outer
+    // NULLIF, not a NULL (caught by the degenerate single-row sweep).
     "ROUND((3.0 * CAST(s4 AS DOUBLE) " +
       "/ (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) " +
       "- 3.0 * (CAST(nn AS DOUBLE) + 1.0)) " +
       "/ NULLIF(1.0 - CAST(tt AS DOUBLE) " +
-      "/ (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) " +
-      "- CAST(nn AS DOUBLE)), 0.0), 6)"
+      "/ NULLIF(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) " +
+      "* CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE), 0.0), 0.0), 6)"
 
   val kruskalWallisOracle: String =
     s"""WITH $DowCellsCte,

@@ -541,4 +541,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(3) == math.rint(5.0 / 6.0 * 1e6) / 1e6)
     assert(r.getDouble(4) == 0.0)
   }
+
+  test("kappa: single-category perfect agreement is NULL, not a crash") {
+    // One language, always predicted: pe_num = N² and κ is undefined —
+    // ANSI division must be NULLIF-guarded, not error.
+    val dir = java.nio.file.Files.createTempDirectory("kappa1").toString
+    Seq((1L, "the", "en"), (2L, "the the", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.langIdKappa(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.isNullAt(4))
+  }
 }
