@@ -628,6 +628,9 @@ object SparkEntry {
     Q("q_an_friedman", // repeated-measures dow ranks, weeks as blocks
       (s, d) => graft.ops.StatTests.friedman(s, d),
       Some(graft.ops.StatTests.friedmanOracle)),
+    Q("q_an_pettitt", // rank-based change point: max |U_t| + argmax day
+      (s, d) => graft.ops.StatTests.pettitt(s, d),
+      Some(graft.ops.StatTests.pettittOracle)),
     Q("q_ops_txlog_asof", // time travel: pre-compaction snapshot replay
       (s, d) => graft.core.TxLog.revenueAsOf(s, d),
       Some(graft.core.TxLog.revenueAsOfOracle)),

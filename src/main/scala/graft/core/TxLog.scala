@@ -211,6 +211,55 @@ object TxLog {
     snap.version + 1
   }
 
+  /** Row-level DELETE WHERE over the commit log — the file-granular
+    * GDPR/tombstone delete [[Sinks.eraseKeys]] can only do at PARTITION
+    * granularity: find the files that contain a matching row
+    * (`input_file_name` over the live snapshot — at scale the predicate
+    * pushes into this scan, so non-matching files are skipped at the
+    * row-group level), rewrite ONLY those files without the matching
+    * rows, and commit remove(affected)+add(rewrites) atomically.
+    * Untouched files are carried by reference — their bytes are never
+    * read or rewritten (spec-asserted on the file list), which at 100 TB
+    * is the difference between a deletion batch costing O(affected
+    * files) and O(table).  Like [[compact]], a concurrent commit between
+    * snapshot and claim aborts the rewrite (orphans for [[vacuum]])
+    * rather than committing against a stale file set.  Pre-delete
+    * versions stay readable until vacuum — which is also the audit
+    * trail.  Returns the committed version (unchanged if nothing
+    * matched). */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    if (snap.files.isEmpty) return snap.version
+    val withFile = spark.read.parquet(snap.files.map(f => s"$path/$f"): _*)
+      .withColumn("_graft_file", input_file_name())
+    // Raw URI strings exactly as input_file_name renders them — the
+    // survivors filter compares against these verbatim; the commit's
+    // remove actions use the table-relative form.
+    val affectedRaw = withFile.filter(predicate)
+      .select(col("_graft_file")).distinct()
+      .collect().map(_.getString(0))
+    if (affectedRaw.isEmpty) return snap.version
+    val affectedRel = affectedRaw
+      .map(u => relativize(table, new Path(new java.net.URI(u))))
+      .toSeq.sorted
+    // Survivors re-plan over ONLY the affected files (untouched files'
+    // bytes are never opened for the rewrite).  SQL DELETE semantics:
+    // only predicate=TRUE rows are deleted, so NULL-predicate rows
+    // survive — hence the coalesce.
+    val survivors = spark.read
+      .parquet(affectedRel.map(f => s"$path/$f"): _*)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
+    val adds = writeData(spark, survivors, table, fs)
+    val actions = affectedRel.map(("remove", _)) ++ adds.map(("add", _))
+    publish(fs, table, snap.version + 1, actions)
+    snap.version + 1
+  }
+
   /** Delete data files no snapshot at or after `keepFrom` references —
     * the storage-reclaim half of the tombstone design.  Time travel to
     * versions whose files were vacuumed fails loudly at read time (the

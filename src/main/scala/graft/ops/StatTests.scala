@@ -658,6 +658,77 @@ object StatTests {
        |SELECT a.event_type, nn, k_dows, tt, $KruskalFormula AS h
        |FROM agg a JOIN ties USING (event_type)""".stripMargin
 
+  /** Pettitt change-point test over the daily-revenue series, per event
+    * type — the RANK-based single-change-point detector completing the
+    * regime-shift family: [[Changepoint]]'s CUSUM chases mean shifts in
+    * z-units (variance-sensitive), Pettitt asks "is there a day after
+    * which values are stochastically larger/smaller" with no
+    * distribution assumption, via the Mann–Whitney statistic at every
+    * cut: Uₜ = Σᵢ≤ₜ Σⱼ>ₜ sgn(xᵢ−xⱼ), K = max|Uₜ|, and the argmax day is
+    * the estimated change point.
+    *
+    * Exactness: the O(n²) double sum collapses to the classic O(n)
+    * recurrence Uₜ = Uₜ₋₁ + Vₜ with Vₜ = Σⱼ sgn(xₜ−xⱼ) = 2·less + eq − N
+    * — all from the same min-rank + tie-count windows as
+    * [[kruskalWallis]], so K and the change day are exact BIGINTs; the
+    * significance p ≈ 2·exp(−6K²/(n³+n²)) needs libm exp (not
+    * cross-engine-exact), so the registered output reports K and its
+    * share of the n(n+1)/2 maximum instead — one rounded division.
+    *
+    * Scale: calendar-bounded day cells; per-type windows over ≤ #days
+    * frames.  Argmax tie-break: earliest day. */
+  def pettitt(spark: SparkSession, dir: String): DataFrame = {
+    val cells = dowCells(spark, dir)
+      .select(col("event_type"), col("day"), col("t"))
+    val byType = Window.partitionBy("event_type")
+    val v = cells
+      .withColumn("nn", count(lit(1)).over(byType))
+      .withColumn("mrank", rank().over(byType.orderBy("t")))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy("event_type", "t")))
+      // V_t = less - greater = 2*(mrank-1) + cnt - nn  (self's sgn(0)=0
+      // rides in cnt, contributing zero either way).
+      .withColumn("v", expr(
+        "2 * (CAST(mrank AS BIGINT) - 1) + cnt - nn"))
+      .withColumn("u", sum(col("v")).over(
+        byType.orderBy("day").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    v.withColumn("pick", row_number().over(
+        byType.orderBy(abs(col("u")).desc, col("day").asc)))
+      .filter(col("pick") === 1)
+      .selectExpr("event_type", "nn AS n_days",
+        "abs(u) AS k_stat", "day AS change_day",
+        "ROUND(CAST(abs(u) AS DOUBLE) / NULLIF(CAST(nn AS DOUBLE) " +
+          "* (CAST(nn AS DOUBLE) + 1.0) / 2.0, 0.0), 6) AS k_share")
+  }
+
+  val pettittOracle: String =
+    s"""WITH $DowCellsCte,
+       |v AS (
+       |  SELECT event_type, day,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nn,
+       |    2 * (CAST(RANK() OVER (PARTITION BY event_type ORDER BY t)
+       |             AS BIGINT) - 1)
+       |      + COUNT(*) OVER (PARTITION BY event_type, t)
+       |      - COUNT(*) OVER (PARTITION BY event_type) AS v
+       |  FROM cells),
+       |u AS (
+       |  SELECT event_type, day, nn,
+       |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u
+       |  FROM v),
+       |pick AS (
+       |  SELECT event_type, day, nn, u,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |                       ORDER BY abs(u) DESC, day ASC) AS pick
+       |  FROM u)
+       |SELECT event_type, CAST(nn AS BIGINT) AS n_days,
+       |  CAST(abs(u) AS BIGINT) AS k_stat,
+       |  CAST(day AS BIGINT) AS change_day,
+       |  ROUND(CAST(abs(u) AS DOUBLE) / NULLIF(CAST(nn AS DOUBLE)
+       |    * (CAST(nn AS DOUBLE) + 1.0) / 2.0, 0.0), 6) AS k_share
+       |FROM pick WHERE pick = 1""".stripMargin
+
   /** Friedman test of day-of-week effects with WEEKS AS BLOCKS, per
     * event type — the repeated-measures member of the rank family:
     * [[kruskalWallis]] pools every day into one sample, so a strong

@@ -181,7 +181,9 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_llm_vocab_coverage", "q_ops_txlog",
     // Friedman's complete-block filter over a corpus with no complete
     // weeks, and the time-travel guard on a sub-2-version log.
-    "q_an_friedman", "q_ops_txlog_asof")
+    "q_an_friedman", "q_ops_txlog_asof",
+    // Pettitt's cumulative-U windows over empty/single-day series.
+    "q_an_pettitt")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

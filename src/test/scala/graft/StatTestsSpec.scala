@@ -286,6 +286,31 @@ class StatTestsSpec extends SparkSpec {
     assert(StatTests.friedman(spark, dir).collect().isEmpty)
   }
 
+  test("pettitt: hand-computed K and change day on a level shift") {
+    // Values 100,200,10000,20000 cents over 4 days: V = (-3,-1,1,3),
+    // U = (-3,-4,-3,0) → K = 4 at 2024-01-02 (epoch day 19724),
+    // k_share = 4 / (4·5/2) = 0.4.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "x", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "x", 2.0),
+      (3L, "2024-01-03 10:00:00", 1L, "x", 100.0),
+      (4L, "2024-01-04 10:00:00", 1L, "x", 200.0)))
+    val r = StatTests.pettitt(spark, dir).collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 4L)
+    assert(r.getLong(3) ==
+      java.time.LocalDate.of(2024, 1, 2).toEpochDay)
+    assert(r.getDouble(4) == 0.4)
+  }
+
+  test("pettitt: a single day scores K = 0 (no cut to find)") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "solo", 5.0)))
+    val r = StatTests.pettitt(spark, dir).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("wilcoxon signed-rank: hand-computed week-over-week pairs") {
     // Pairs (day, day−7): +50c, −20c, and one zero difference dropped.
     // |d| ranks: 20→1, 50→2 (avg2 = 2, 4): w2+ = 4, w2− = 2,

@@ -120,6 +120,36 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).version == 3L)
   }
 
+  test("deleteWhere rewrites only the files containing matches") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    // Three commits → three single-file adds; keys 1, 2, 3.
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    TxLog.append(spark, Seq((3, "c")).toDF("k", "v"), t)
+    val before = TxLog.snapshot(spark, t)
+    val v = TxLog.deleteWhere(spark, t, col("k") === 2)
+    assert(v == 4L)
+    assert(rows(t) == Seq((1, "a"), (3, "c")))
+    val after = TxLog.snapshot(spark, t)
+    // The k=1 and k=3 files are CARRIED BY REFERENCE — same relative
+    // paths, bytes never rewritten; only k=2's file left the live set.
+    val untouched = before.files.filterNot { f =>
+      spark.read.parquet(s"$t/$f").filter(col("k") === 2).count() > 0
+    }
+    assert(untouched.forall(after.files.contains))
+    assert(untouched.size == 2)
+    // Audit trail: the pre-delete version still shows the deleted row.
+    assert(rows(t, asOf = Some(3L)) == Seq((1, "a"), (2, "b"), (3, "c")))
+    // Idempotent: nothing left to match, version does not advance.
+    assert(TxLog.deleteWhere(spark, t, col("k") === 2) == 4L)
+    // NULL-predicate rows survive (SQL DELETE semantics).
+    TxLog.append(spark,
+      Seq((Some(9), "z"), (None, "nul")).toDF("k", "v"), t)
+    TxLog.deleteWhere(spark, t, col("k") === 9)
+    assert(TxLog.read(spark, t).where(col("v") === "nul").count() == 1)
+  }
+
   test("appendBatch is exactly-once: a replayed (app, batch) is skipped") {
     val t = tmp()
     assert(TxLog.appendBatch(spark, Seq((1, "a")).toDF("k", "v"), t,
