@@ -631,6 +631,9 @@ object SparkEntry {
     Q("q_an_pettitt", // rank-based change point: max |U_t| + argmax day
       (s, d) => graft.ops.StatTests.pettitt(s, d),
       Some(graft.ops.StatTests.pettittOracle)),
+    Q("q_an_seasonal_index", // month-of-year ratio-to-mean, exact cents
+      (s, d) => graft.ops.Forecast.seasonalIndex(s, d),
+      Some(graft.ops.Forecast.seasonalIndexOracle)),
     Q("q_ops_txlog_asof", // time travel: pre-compaction snapshot replay
       (s, d) => graft.core.TxLog.revenueAsOf(s, d),
       Some(graft.core.TxLog.revenueAsOfOracle)),

@@ -220,6 +220,56 @@ object Forecast {
        |    6) AS growth
        |FROM m""".stripMargin
 
+  /** Month-of-year seasonal index of revenue — the classical ratio-to-
+    * moving-average simplification the [[momGrowth]] LAG view can't
+    * give: index(moy) = mean(monthly totals landing in that calendar
+    * month) / mean(all monthly totals).  Index > 1 = a seasonally
+    * strong month REGARDLESS of which years contributed; the deseason
+    * divisor a forecast pipeline applies before trend fitting.
+    *
+    * Determinism: monthly totals are exact cents; the index is the
+    * fixed three-op IEEE chain (sumₘ/cntₘ)/(sumₜ/cntₜ) over exact
+    * integers, ROUND-6 — same text both engines.  Scale: orders
+    * collapse to ≤ #months cells, then ≤ 12 rows; totals ride a 1-row
+    * broadcast. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Sources.orders(spark, dir)
+      .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
+      .agg(expr(s"CAST(SUM(CAST(${Frag.money("o_totalprice")} * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("cents"))
+      .localCheckpoint()
+    val totals = monthly.agg(sum(col("cents")).as("tot_cents"),
+      count(lit(1)).as("tot_months"))
+    monthly
+      .groupBy(expr("month(mes)").cast("int").as("moy"))
+      .agg(count(lit(1)).as("n_months"), sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("moy", "n_months", "cents",
+        s"$SeasonalIndexFormula AS seasonal_index")
+  }
+
+  private val SeasonalIndexFormula: String =
+    "ROUND((CAST(cents AS DOUBLE) / CAST(n_months AS DOUBLE)) " +
+      "/ NULLIF(CAST(tot_cents AS DOUBLE) / CAST(tot_months AS DOUBLE), " +
+      "0.0), 6)"
+
+  val seasonalIndexOracle: String =
+    s"""WITH m AS (
+       |  SELECT ${Frag.mes("o_orderdate")} AS mes,
+       |    CAST(SUM(CAST(${Frag.money("o_totalprice")} * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS tot_months FROM m),
+       |grp AS (
+       |  SELECT CAST(month(mes) AS INT) AS moy,
+       |    CAST(COUNT(*) AS BIGINT) AS n_months,
+       |    CAST(SUM(cents) AS BIGINT) AS cents
+       |  FROM m GROUP BY 1)
+       |SELECT moy, n_months, cents, $SeasonalIndexFormula AS seasonal_index
+       |FROM grp, tot""".stripMargin
+
   /** Theil–Sen slope of the daily revenue series per event type — the
     * MEDIAN of all pairwise slopes (t_b − t_a)/(day_b − day_a), the
     * robust-regression companion to the OLS trend

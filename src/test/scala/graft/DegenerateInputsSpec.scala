@@ -182,8 +182,9 @@ class DegenerateInputsSpec extends SparkSpec {
     // Friedman's complete-block filter over a corpus with no complete
     // weeks, and the time-travel guard on a sub-2-version log.
     "q_an_friedman", "q_ops_txlog_asof",
-    // Pettitt's cumulative-U windows over empty/single-day series.
-    "q_an_pettitt")
+    // Pettitt's cumulative-U windows over empty/single-day series, and
+    // the seasonal index's 1-row totals broadcast over zero months.
+    "q_an_pettitt", "q_an_seasonal_index")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

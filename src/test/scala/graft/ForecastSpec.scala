@@ -189,4 +189,22 @@ class ForecastSpec extends SparkSpec {
     assert(byDay("2024-01-01") === ((1L, 0L)))
     assert(byDay("2024-01-02") === ((2L, 1L)))
   }
+
+  test("seasonal index: hand-computed month-of-year ratios") {
+    // Januaries total 100 + 300 (two months, mean 20000c), February
+    // 400 (one month, 40000c); overall monthly mean 80000/3 c →
+    // index(Jan) = 0.75, index(Feb) = 1.5.
+    val dir = java.nio.file.Files.createTempDirectory("seasonal").toString
+    Seq(
+      (Date.valueOf("2023-01-15"), 100.0),
+      (Date.valueOf("2024-01-20"), 300.0),
+      (Date.valueOf("2024-02-10"), 400.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Forecast.seasonalIndex(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1) == ((2L, 40000L, 0.75)))
+    assert(got(2) == ((1L, 40000L, 1.5)))
+  }
 }
