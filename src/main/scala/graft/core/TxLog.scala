@@ -59,6 +59,11 @@ object TxLog {
   private def logDir(table: Path) = new Path(table, "_txlog")
   private def commitPath(table: Path, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
+  private def checkpointPath(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.json")
+
+  private val CommitName = """^(\d{20})\.json$""".r
+  private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
 
   private def fsOf(spark: SparkSession, table: Path): FileSystem =
     table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,35 +96,58 @@ object TxLog {
     actions.map { case (a, p) => s"""{"a":"$a","p":"$p"}""" }
       .mkString("", "\n", "\n")
 
-  /** Committed versions in ascending order. */
+  /** Committed versions in ascending order (checkpoints excluded). */
   private def versions(fs: FileSystem, table: Path): Seq[Long] = {
     val dir = logDir(table)
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(n => n.stripSuffix(".json").toLong)
+      .collect { case CommitName(v) => v.toLong }
       .sorted
   }
 
-  /** Resolve the live file set at `asOf` (default: latest).  Replays
-    * add/remove actions in version order — remove wins over an earlier
-    * add, exactly once. */
+  /** Checkpointed versions in ascending order. */
+  private def checkpointVersions(fs: FileSystem, table: Path): Seq[Long] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case CheckpointName(v) => v.toLong }
+      .sorted
+  }
+
+  /** Resolve the live file set at `asOf` (default: latest).  Replay
+    * starts from the newest CHECKPOINT at or below the target (a full
+    * live-set listing written by [[checkpoint]]) and applies only the
+    * commits after it — O(commits since checkpoint), not O(table
+    * lifetime) — then add/remove actions apply in version order: remove
+    * wins over an earlier add, exactly once.  With [[cleanupLog]] the
+    * commits a checkpoint subsumes may be gone; versions older than the
+    * oldest checkpoint are then pruned history and fail loudly. */
   def snapshot(spark: SparkSession, path: String,
       asOf: Option[Long] = None): Snapshot = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val vs = versions(fs, table)
+    val cps = checkpointVersions(fs, table)
+    val known = (vs ++ cps).sorted
     val upTo = asOf match {
       case Some(v) =>
-        require(vs.contains(v),
-          s"TxLog: version $v of $path does not exist " +
-            s"(committed: ${vs.mkString(",")})")
+        require(known.contains(v),
+          s"TxLog: version $v of $path does not exist or was pruned " +
+            s"(known: ${known.mkString(",")})")
         v
-      case None => if (vs.isEmpty) 0L else vs.max
+      case None => if (known.isEmpty) 0L else known.max
     }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (v <- vs if v <= upTo; (a, p) <- readCommit(fs, commitPath(table, v)))
+    val base = cps.filter(_ <= upTo).lastOption
+    base.foreach { cv =>
+      for ((a, p) <- readCommit(fs, checkpointPath(table, cv)))
+        if (a == "add") live += p
+    }
+    val from = base.getOrElse(Long.MinValue)
+    for (v <- vs if v > from && v <= upTo;
+         (a, p) <- readCommit(fs, commitPath(table, v)))
       a match {
         case "add"    => live += p
         case "remove" => live -= p
@@ -128,6 +156,64 @@ object TxLog {
           throw new IllegalStateException(s"TxLog: unknown action '$other'")
       }
     Snapshot(upTo, live.toSeq)
+  }
+
+  /** Write a CHECKPOINT of the current live set at the latest version —
+    * the O(versions)-replay bound the format's scaladoc promises: reads
+    * resume from the newest checkpoint instead of replaying the whole
+    * log, and [[cleanupLog]] may drop the commits it subsumes.
+    * Idempotent per version; returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    require(snap.version > 0L, s"TxLog: nothing to checkpoint at $path")
+    val target = checkpointPath(table, snap.version)
+    if (fs.exists(target)) return snap.version
+    val tmp = new Path(logDir(table),
+      s".tmp-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(render(snap.files.map(("add", _))).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) fs.delete(tmp, true) // concurrent writer won
+    snap.version
+  }
+
+  /** Log retention: delete commit files a checkpoint at or below
+    * `keepFrom` subsumes.  Time travel below that checkpoint becomes
+    * pruned history (reads fail loudly naming the known versions);
+    * everything at or after it replays from the checkpoint.  No-op
+    * (returns 0) when no checkpoint qualifies — the log is never left
+    * unreadable.  The txn ledger older than the cut is pruned with it,
+    * so streaming writers must checkpoint+cleanup only beyond their
+    * replay horizon (same contract as Delta's logRetentionDuration). */
+  def cleanupLog(spark: SparkSession, path: String, keepFrom: Long): Int = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val cut = checkpointVersions(fs, table).filter(_ <= keepFrom)
+      .lastOption.getOrElse(return 0)
+    var deleted = 0
+    for (v <- versions(fs, table) if v <= cut)
+      if (fs.delete(commitPath(table, v), false)) deleted += 1
+    deleted
+  }
+
+  /** The commit history as a DataFrame — one row per surviving commit:
+    * (version, n_add, n_remove, n_txn) plus whether a checkpoint exists
+    * at that version.  The DESCRIBE HISTORY analog, driver-side
+    * metadata only. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val cps = checkpointVersions(fs, table).toSet
+    val rows = versions(fs, table).map { v =>
+      val actions = readCommit(fs, commitPath(table, v))
+      (v, actions.count(_._1 == "add").toLong,
+        actions.count(_._1 == "remove").toLong,
+        actions.count(_._1 == "txn").toLong, cps.contains(v))
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_add", "n_remove", "n_txn", "checkpointed")
   }
 
   /** Read the table at a snapshot.  The file list is pinned BEFORE the
@@ -268,7 +354,8 @@ object TxLog {
   def vacuum(spark: SparkSession, path: String, keepFrom: Long): Int = {
     val table = new Path(path)
     val fs = fsOf(spark, table)
-    val vs = versions(fs, table)
+    val vs = (versions(fs, table) ++ checkpointVersions(fs, table))
+      .distinct.sorted
     val keepVersions = vs.filter(_ >= keepFrom)
     val reachable = keepVersions
       .flatMap(v => snapshot(spark, path, Some(v)).files).toSet

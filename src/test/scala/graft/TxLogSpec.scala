@@ -120,6 +120,50 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).version == 3L)
   }
 
+  test("checkpoint + log retention: reads survive commit-file pruning") {
+    val t = tmp()
+    for (i <- 1 to 4)
+      TxLog.append(spark, Seq((i, s"v$i")).toDF("k", "v"), t)
+    assert(TxLog.checkpoint(spark, t) == 4L)
+    TxLog.append(spark, Seq((5, "v5")).toDF("k", "v"), t)
+    TxLog.append(spark, Seq((6, "v6")).toDF("k", "v"), t)
+    // Checkpointed replay equals full replay, latest and as-of.
+    assert(rows(t).map(_._1) == (1 to 6))
+    assert(rows(t, asOf = Some(5L)).map(_._1) == (1 to 5))
+    // Retention: the checkpoint subsumes commits 1..4 — delete them.
+    assert(TxLog.cleanupLog(spark, t, keepFrom = 4L) == 4)
+    // Everything at or after the checkpoint still reads correctly...
+    assert(rows(t).map(_._1) == (1 to 6))
+    assert(rows(t, asOf = Some(4L)).map(_._1) == (1 to 4))
+    assert(rows(t, asOf = Some(5L)).map(_._1) == (1 to 5))
+    // ...and pre-checkpoint versions are pruned history, loudly.
+    val e = intercept[IllegalArgumentException] {
+      TxLog.read(spark, t, Some(2L))
+    }
+    assert(e.getMessage.contains("pruned"))
+    // Cleanup without a qualifying checkpoint is a refusal, not a wipe.
+    assert(TxLog.cleanupLog(spark, t, keepFrom = 3L) == 0)
+    // Checkpoint is idempotent at an unchanged version.
+    TxLog.checkpoint(spark, t)
+    assert(TxLog.checkpoint(spark, t) == 6L)
+    assert(rows(t).map(_._1) == (1 to 6))
+  }
+
+  test("history lists surviving commits with action counts") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    TxLog.appendBatch(spark, Seq((3, "c")).toDF("k", "v"), t, "job", 0L)
+    TxLog.overwriteAll(spark, Seq((9, "z")).toDF("k", "v"), t)
+    TxLog.checkpoint(spark, t)
+    val h = TxLog.history(spark, t)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(h(1)._4 == 1L) // the appendBatch commit carries a txn marker
+    assert(h(2)._3 > 0L)  // the overwrite removed prior files
+    assert(h(2)._5)       // checkpointed at the latest version
+    assert(!h(0)._5)
+  }
+
   test("deleteWhere rewrites only the files containing matches") {
     import org.apache.spark.sql.functions.col
     val t = tmp()
