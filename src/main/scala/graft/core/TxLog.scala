@@ -175,7 +175,7 @@ object TxLog {
     val out = fs.create(tmp, false)
     try out.write(render(snap.files.map(("add", _))).getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, target)) fs.delete(tmp, true) // concurrent writer won
+    if (!claim(fs, tmp, target)) fs.delete(tmp, true) // concurrent writer won
     snap.version
   }
 
@@ -230,11 +230,31 @@ object TxLog {
     spark.read.parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
+  /** First-writer-wins claim of `target` by fully-written `tmp` — the
+    * LogStore primitive.  HDFS: rename, atomic and false-if-exists.
+    * Local FS: POSIX rename OVERWRITES an existing destination (a tight
+    * race could lose a committed version), so the claim is an atomic
+    * HARD LINK instead — `link(2)` fails with EEXIST if the target
+    * appeared first.  Object stores need a CAS put behind this same
+    * call. */
+  private def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(tmp, target)
+
   /** Atomically claim `version`: create-no-overwrite on the commit
     * path.  The two-phase write (temp file + claim) keeps a half-written
     * commit from ever being parsed as version N: the content lands under
     * a dotted temp name (ignored by [[versions]]), and the CLAIM is the
-    * single create of the final name. */
+    * single link/rename of the final name. */
   private def publish(fs: FileSystem, table: Path, version: Long,
       actions: Seq[(String, String)]): Unit = {
     val target = commitPath(table, version)
@@ -245,9 +265,7 @@ object TxLog {
     val out = fs.create(tmp, false)
     try out.write(render(actions).getBytes("UTF-8"))
     finally out.close()
-    // The atomic claim.  rename-to-fresh-name is the HDFS LogStore
-    // contract; rename onto an existing path returns false → conflict.
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    if (!claim(fs, tmp, target)) {
       fs.delete(tmp, true)
       throw new CommitConflict(version, table.toString)
     }

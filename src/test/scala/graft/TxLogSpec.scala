@@ -232,6 +232,31 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.lastCommittedBatch(spark, t, "stream-test").nonEmpty)
   }
 
+  test("concurrent appenders all land: no lost updates under contention") {
+    val t = tmp()
+    // 4 writer threads x 3 appends, all racing the version claim.
+    // Every append must land exactly once (the retry loop re-reads the
+    // log on a lost claim) — 12 commits, 12 rows, no gaps.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            for (i <- 0 until 3)
+              TxLog.append(spark,
+                Seq((w * 10 + i, s"w$w-$i")).toDF("k", "v"), t)
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.version == 12L, "every append claimed a distinct version")
+    val got = rows(t)
+    assert(got.size == 12)
+    assert(got.map(_._1).toSet ==
+      (for (w <- 0 until 4; i <- 0 until 3) yield w * 10 + i).toSet)
+  }
+
   test("driver-gate query: replayed log equals the plain table") {
     val dir = "/root/testdata/sf0.001"
     val got = TxLog.revenueFromLog(spark, dir)
