@@ -634,6 +634,9 @@ object SparkEntry {
     Q("q_an_seasonal_index", // month-of-year ratio-to-mean, exact cents
       (s, d) => graft.ops.Forecast.seasonalIndex(s, d),
       Some(graft.ops.Forecast.seasonalIndexOracle)),
+    Q("q_an_kaplan_meier", // product-limit churn curve, right-censored
+      (s, d) => graft.ops.Survival.kaplanMeier(s, d),
+      Some(graft.ops.Survival.kaplanMeierOracle())),
     Q("q_ops_txlog_asof", // time travel: pre-compaction snapshot replay
       (s, d) => graft.core.TxLog.revenueAsOf(s, d),
       Some(graft.core.TxLog.revenueAsOfOracle)),

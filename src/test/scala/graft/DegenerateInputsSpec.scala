@@ -184,7 +184,10 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_friedman", "q_ops_txlog_asof",
     // Pettitt's cumulative-U windows over empty/single-day series, and
     // the seasonal index's 1-row totals broadcast over zero months.
-    "q_an_pettitt", "q_an_seasonal_index")
+    "q_an_pettitt", "q_an_seasonal_index",
+    // Kaplan-Meier's risk-set windows and ordered product fold over
+    // empty/single-user lifetimes (all-censored corpus).
+    "q_an_kaplan_meier")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
