@@ -640,6 +640,12 @@ object SparkEntry {
     Q("q_ops_txlog_asof", // time travel: pre-compaction snapshot replay
       (s, d) => graft.core.TxLog.revenueAsOf(s, d),
       Some(graft.core.TxLog.revenueAsOfOracle)),
+    Q("q_ops_txlog_skip", // file-stats data skipping: range reads open 1/4 chunks
+      (s, d) => graft.core.TxLog.revenueSkipped(s, d),
+      Some(graft.core.TxLog.revenueSkippedOracle)),
+    Q("q_ops_txlog_schema", // schema evolution: late column NULL-fills old files
+      (s, d) => graft.core.TxLog.revenueEvolved(s, d),
+      Some(graft.core.TxLog.revenueEvolvedOracle)),
     Q("q_text_kappa", // chance-corrected language-ID agreement, rational
       (s, d) => llm.TextAnalysis.langIdKappa(s, d),
       Some(llm.TextAnalysis.langIdKappaOracle)),

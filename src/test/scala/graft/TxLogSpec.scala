@@ -257,6 +257,134 @@ class TxLogSpec extends SparkSpec {
       (for (w <- 0 until 4; i <- 0 until 3) yield w * 10 + i).toSet)
   }
 
+  test("data skipping: stats prune files a range predicate can't match") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = tmp()
+    // Three single-file appends with disjoint key ranges → tight stats.
+    TxLog.append(spark, (1 to 10).map(i => (i, s"a$i")).toDF("k", "v")
+      .coalesce(1), t)
+    TxLog.append(spark, (11 to 20).map(i => (i, s"b$i")).toDF("k", "v")
+      .coalesce(1), t)
+    TxLog.append(spark, (21 to 30).map(i => (i, s"c$i")).toDF("k", "v")
+      .coalesce(1), t)
+    assert(TxLog.snapshot(spark, t).files.size == 3)
+    // A point lookup opens ONE file...
+    val (_, kept1) = TxLog.pruneFiles(spark, t, col("k") === 15)
+    assert(kept1.size == 1)
+    // ...a range straddling two chunks opens two...
+    val (_, kept2) = TxLog.pruneFiles(spark, t,
+      col("k") >= 18 && col("k") <= 23)
+    assert(kept2.size == 2)
+    // ...IN prunes to the chunks containing any member...
+    val (_, keptIn) = TxLog.pruneFiles(spark, t,
+      col("k").isin(2, 25))
+    assert(keptIn.size == 2)
+    // ...OR keeps the union, literal-first comparisons flip correctly...
+    val (_, keptOr) = TxLog.pruneFiles(spark, t,
+      col("k") < 5 || (lit(28) < col("k")))
+    assert(keptOr.size == 2)
+    // ...and a predicate shape the pruner doesn't understand keeps all.
+    val (_, keptAll) = TxLog.pruneFiles(spark, t,
+      col("v").startsWith("a"))
+    assert(keptAll.size == 3)
+    // Semantics are byte-identical to the unpruned filter, always.
+    def got(p: org.apache.spark.sql.Column) =
+      TxLog.readWhere(spark, t, p).as[(Int, String)]
+        .collect().sortBy(_._1).toSeq
+    assert(got(col("k") === 15) == Seq((15, "b15")))
+    assert(got(col("k") >= 18 && col("k") <= 23).map(_._1) == (18 to 23))
+    assert(got(col("k") > 100).isEmpty) // every file pruned, empty frame
+    // Stats survive checkpoint + log retention.
+    TxLog.checkpoint(spark, t)
+    TxLog.cleanupLog(spark, t, keepFrom = 3L)
+    val (_, keptCp) = TxLog.pruneFiles(spark, t, col("k") === 15)
+    assert(keptCp.size == 1)
+  }
+
+  test("data skipping: an all-null stat column proves comparisons false") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    TxLog.append(spark,
+      Seq((Option.empty[Int], "x"), (Option.empty[Int], "y"))
+        .toDF("k", "v").coalesce(1), t)
+    TxLog.append(spark, Seq((Some(5), "z")).toDF("k", "v"), t)
+    // No value of k in file 1 can satisfy k = 5 (NULL comparisons are
+    // never TRUE), so stats skip it outright.
+    val (_, kept) = TxLog.pruneFiles(spark, t, col("k") === 5)
+    assert(kept.size == 1)
+    // An isNull predicate is NOT prunable — conservative keep-all.
+    val (_, keptNull) = TxLog.pruneFiles(spark, t, col("k").isNull)
+    assert(keptNull.size == 2)
+    assert(TxLog.readWhere(spark, t, col("k").isNull).count() == 2)
+  }
+
+  test("schema evolution: appends widen, old files read NULL, time travel keeps the old schema") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    // Widening append: new column w.
+    TxLog.append(spark,
+      Seq((3, "c", 30L), (4, "d", 40L)).toDF("k", "v", "w"), t)
+    val latest = TxLog.read(spark, t)
+    assert(latest.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    val byK = latest.select("k", "w").as[(Int, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(byK == Seq((1, None), (2, None), (3, Some(30L)),
+      (4, Some(40L))))
+    // Time travel sees the schema AS OF the version.
+    assert(TxLog.read(spark, t, Some(1L)).schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    // A column-subset append still reads with the FULL table schema.
+    TxLog.append(spark, Seq((5, "e")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq ==
+      Seq("k", "v", "w"))
+    // Predicates on the evolved column work across pre-evolution files
+    // (deleteWhere reads with the snapshot schema).
+    TxLog.deleteWhere(spark, t, col("w") === 30L)
+    assert(TxLog.read(spark, t).select("k").as[Int].collect().sorted
+      .toSeq == Seq(1, 2, 4, 5))
+    // A same-name TYPE change is rejected loudly, not coerced.
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq(("oops", "x")).toDF("k", "v"), t)
+    }
+    assert(e.getMessage.contains("schema conflict"))
+    // Overwrite RESETS the schema (new table generation).
+    TxLog.overwriteAll(spark, Seq((9, "z")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("deleteWhere commutes past a concurrent append, aborts on a concurrent rewrite") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    // A concurrent APPEND lands between the delete's snapshot and its
+    // claim: the delete did not target the appended file, so it
+    // commutes — the delete retries at the next version and both land.
+    TxLog.deleteRaceHook = () => {
+      TxLog.deleteRaceHook = () => ()
+      TxLog.append(spark, Seq((3, "c")).toDF("k", "v"), t): Unit
+    }
+    try {
+      val v = TxLog.deleteWhere(spark, t, col("k") === 2)
+      assert(v == 4L) // append took 3, the delete re-claimed 4
+    } finally TxLog.deleteRaceHook = () => ()
+    assert(rows(t) == Seq((1, "a"), (3, "c")))
+    // A concurrent commit that REMOVED a targeted file is a real
+    // conflict: the delete must abort, not resurrect or double-delete.
+    TxLog.deleteRaceHook = () => {
+      TxLog.deleteRaceHook = () => ()
+      TxLog.overwriteAll(spark, Seq((7, "q")).toDF("k", "v"), t): Unit
+    }
+    try {
+      intercept[TxLog.ConcurrentRewrite] {
+        TxLog.deleteWhere(spark, t, col("k") === 1)
+      }
+    } finally TxLog.deleteRaceHook = () => ()
+    // The overwrite's state stands untouched by the aborted delete.
+    assert(rows(t) == Seq((7, "q")))
+  }
+
   test("driver-gate query: replayed log equals the plain table") {
     val dir = "/root/testdata/sf0.001"
     val got = TxLog.revenueFromLog(spark, dir)
