@@ -333,6 +333,130 @@ object Sinks {
     }
   }
 
+  /** The micro-batch ledger table behind [[appendBatchJdbc]] — one row
+    * per committed (app_id, batch_id), living next to the target. */
+  private def ledgerOf(table: String): String = table + "_graft_ledger"
+
+  /** Highest batch id committed for `appId` into `table`'s ledger, or
+    * None when the ledger (or any batch) doesn't exist yet — the
+    * database twin of [[TxLog.lastCommittedBatch]]. */
+  def lastCommittedBatchJdbc(env: JdbcEnv, table: String,
+      appId: String): Option[Long] = {
+    val conn = connect(env)
+    try {
+      val ledger = ledgerOf(table)
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0"); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false }
+      if (!exists) return None
+      val ps = conn.prepareStatement(
+        s"SELECT MAX(batch_id) FROM $ledger WHERE app_id = ?")
+      try {
+        ps.setString(1, appId)
+        val rs = ps.executeQuery()
+        try {
+          if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1))
+          else None
+        } finally rs.close()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  /** Create the ledger if missing, INSIDE the load transaction.  The
+    * existence probe runs under a savepoint because an errored statement
+    * aborts the whole transaction on Postgres — same pattern as
+    * [[upsertOrFallback]]; the CREATE itself is transactional DDL on
+    * both supported dialects, so a failed load rolls the ledger back
+    * with it. */
+  private def ensureLedger(st: java.sql.Statement, ledger: String): Unit = {
+    val conn = st.getConnection
+    val sp = conn.setSavepoint()
+    try {
+      val rs = st.executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0")
+      rs.close()
+      conn.releaseSavepoint(sp)
+    } catch {
+      case _: java.sql.SQLException =>
+        conn.rollback(sp)
+        st.executeUpdate(s"CREATE TABLE $ledger " +
+          "(app_id VARCHAR(256) NOT NULL, batch_id BIGINT NOT NULL)")
+    }
+  }
+
+  /** Exactly-once micro-batch append into a DATABASE table: the batch's
+    * rows and a ledger row (app_id, batch_id) commit in ONE database
+    * transaction, so the at-least-once window of `foreachBatch` (crash
+    * after the sink committed, before the stream checkpoint advanced)
+    * replays into a ledger hit and is SKIPPED — the JDBC twin of
+    * [[TxLog.appendBatch]], and the missing piece of the reference's
+    * Postgres load path for streaming feeds: its batch loaders are
+    * run-twice ≡ run-once by delete-then-insert, which an append-only
+    * stream cannot use.  The cheap pre-check outside the transaction
+    * skips the staging write on an obvious replay; the authoritative
+    * check runs INSIDE the transaction, so even a replay that races the
+    * original commit cannot double-apply.  Returns whether the batch
+    * was committed (false = already in the table). */
+  def appendBatchJdbc(df: DataFrame, env: JdbcEnv, table: String,
+      appId: String, batchId: Long): Boolean = {
+    if (lastCommittedBatchJdbc(env, table, appId).exists(_ >= batchId))
+      return false
+    var committed = false
+    stagedJdbcLoad(df, env, table) { (dialect, st, staging, _) =>
+      val ledger = ledgerOf(table)
+      ensureLedger(st, ledger)
+      val conn = st.getConnection
+      val last = {
+        val ps = conn.prepareStatement(
+          s"SELECT MAX(batch_id) FROM $ledger WHERE app_id = ?")
+        try {
+          ps.setString(1, appId)
+          val rs = ps.executeQuery()
+          try {
+            if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1))
+            else None
+          } finally rs.close()
+        } finally ps.close()
+      }
+      if (!last.exists(_ >= batchId)) {
+        st.executeUpdate(dialect.insertFromStaging(table, staging,
+          df.columns))
+        val ps = conn.prepareStatement(
+          s"INSERT INTO $ledger (app_id, batch_id) VALUES (?, ?)")
+        try {
+          ps.setString(1, appId)
+          ps.setLong(2, batchId)
+          ps.executeUpdate(): Unit
+        } finally ps.close()
+        committed = true
+      }
+    }
+    committed
+  }
+
+  /** Structured-Streaming append sink into a JDBC table with
+    * exactly-once semantics: `foreachBatch` → [[appendBatchJdbc]], one
+    * database transaction per micro-batch, replays de-duplicated by the
+    * ledger.  This is what "stream into the reference's Postgres
+    * warehouse" has to mean — a plain JDBC foreachBatch write is
+    * at-least-once and duplicates rows on every restart from an
+    * unadvanced checkpoint. */
+  def writeStreamJdbc(stream: DataFrame, env: JdbcEnv, table: String,
+      checkpoint: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          appendBatchJdbc(batch.toDF(), env, table, appId, batchId)
+          ()
+      }
+      .start()
+
   /** [[mergeJdbc]]'s swap body: native upsert under a savepoint, falling
     * back to delete-matching + insert on the SAME transaction if the
     * upsert statement fails (missing unique constraint on a pre-existing
@@ -368,16 +492,19 @@ object Sinks {
     * and always drop staging.  Credentials come from the [[JdbcEnv]]
     * (the reference's `.env` surface) — driver-side connection and
     * executor-side writer both use them; they never ride in the URL. */
+  private def connect(env: JdbcEnv): java.sql.Connection =
+    (env.user, env.password) match {
+      case (Some(u), Some(p)) =>
+        java.sql.DriverManager.getConnection(env.url, u, p)
+      case _ => java.sql.DriverManager.getConnection(env.url)
+    }
+
   private def stagedJdbcLoad(df: DataFrame, env: JdbcEnv, table: String)(
       swap: (SqlDialect, java.sql.Statement, String, Boolean) => Unit): Unit = {
     val dialect = SqlDialect.forUrl(env.url)
     val staging =
       table + "_stg_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val conn = (env.user, env.password) match {
-      case (Some(u), Some(p)) =>
-        java.sql.DriverManager.getConnection(env.url, u, p)
-      case _ => java.sql.DriverManager.getConnection(env.url)
-    }
+    val conn = connect(env)
     try {
       val tableExists =
         try {

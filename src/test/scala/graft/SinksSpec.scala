@@ -462,4 +462,53 @@ class SinksSpec extends SparkSpec {
       .toSeq == Seq((1, "a"), (2, "B")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".bak")))
   }
+
+  test("JDBC exactly-once appendBatch: batch + ledger commit together, replays skip (Derby)") {
+    dropJdbc("stream_tgt"); dropJdbc("stream_tgt_graft_ledger")
+    val env = graft.core.JdbcEnv(jdbcUrl, None, None)
+    def target = graft.core.Sources.jdbc(spark, jdbcUrl, "stream_tgt")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(Sinks.appendBatchJdbc(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), env, "stream_tgt",
+      "job", 0L))
+    assert(Sinks.appendBatchJdbc(
+      Seq((3L, "c")).toDF("k", "v"), env, "stream_tgt", "job", 1L))
+    // The at-least-once window: batch 1 replays after a crash between
+    // the database commit and the stream-checkpoint write.  The ledger
+    // row committed WITH the batch, so the replay must skip — no
+    // duplicate rows.
+    assert(!Sinks.appendBatchJdbc(
+      Seq((3L, "c")).toDF("k", "v"), env, "stream_tgt", "job", 1L))
+    assert(target == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Sinks.lastCommittedBatchJdbc(env, "stream_tgt", "job")
+      .contains(1L))
+    // A different app's ledger is independent.
+    assert(Sinks.lastCommittedBatchJdbc(env, "stream_tgt", "other").isEmpty)
+    assert(Sinks.appendBatchJdbc(
+      Seq((4L, "d")).toDF("k", "v"), env, "stream_tgt", "other", 0L))
+    assert(target == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("JDBC streaming sink: micro-batches land exactly once into Derby") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    dropJdbc("stream_evt"); dropJdbc("stream_evt_graft_ledger")
+    val env = graft.core.JdbcEnv(jdbcUrl, None, None)
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = Sinks.writeStreamJdbc(
+      stream.toDF().toDF("k", "v"), env, "stream_evt", ckpt, "evt-app")
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      stream.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.core.Sources.jdbc(spark, jdbcUrl, "stream_evt")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // Every non-empty micro-batch left its ledger marker.
+    assert(Sinks.lastCommittedBatchJdbc(env, "stream_evt", "evt-app")
+      .nonEmpty)
+  }
 }
