@@ -646,12 +646,21 @@ object SparkEntry {
     Q("q_ops_txlog_schema", // schema evolution: late column NULL-fills old files
       (s, d) => graft.core.TxLog.revenueEvolved(s, d),
       Some(graft.core.TxLog.revenueEvolvedOracle)),
+    Q("q_ops_txlog_delete", // row-level deleteWhere: pruned rewrite, carried rest
+      (s, d) => graft.core.TxLog.revenueAfterDelete(s, d),
+      Some(graft.core.TxLog.revenueAfterDeleteOracle)),
+    Q("q_an_simpson_daily", // Gini-Simpson event-mix diversity, integer-lifted
+      (s, d) => graft.ops.Diversity.simpsonDaily(s, d),
+      Some(graft.ops.Diversity.simpsonDailyOracle)),
     Q("q_text_kappa", // chance-corrected language-ID agreement, rational
       (s, d) => llm.TextAnalysis.langIdKappa(s, d),
       Some(llm.TextAnalysis.langIdKappaOracle)),
     Q("q_llm_vocab_coverage", // per-language OOV rate vs top-K vocabulary
       (s, d) => llm.Vocab.vocabCoverage(s, d),
       Some(llm.Vocab.vocabCoverageOracle())),
+    Q("q_llm_dsir", // DSIR importance reweighting vs the target-language corpus
+      (s, d) => llm.Importance.dsir(s, d),
+      Some(llm.Importance.dsirOracle())),
     Q("q_ann_recall", // IVF recall@k vs brute-force ground truth
       (s, d) => llm.Similarity.annRecall(s, d),
       Some(llm.Similarity.annRecallOracle())),

@@ -813,6 +813,60 @@ object TxLog {
        |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
        |GROUP BY 1""".stripMargin
 
+  /** Gate staging for the row-delete query: the same four disjoint
+    * key-range chunks as [[stagedRangeLog]], then a [[deleteWhere]] of
+    * the first quarter of the key domain — stats pruning narrows the
+    * candidate files to the one matching chunk, only that file is
+    * rewritten, and the other three ride through by reference. */
+  private def stagedDeleteLog(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"txlog_del#$dir", fp) { base =>
+      val t = s"$base/orders_del"
+      val o = Sources.orders(spark, dir)
+      val maxKey = o.agg(max(col("o_orderkey"))).collect()(0)
+      if (!maxKey.isNullAt(0)) {
+        val hi = maxKey.getLong(0)
+        val step = hi / 4 + 1
+        for (b <- 0L until 4L)
+          append(spark,
+            o.filter(col("o_orderkey") >= b * step &&
+              col("o_orderkey") < (b + 1) * step).coalesce(1), t)
+        deleteWhere(spark, t, col("o_orderkey") <= hi / 4): Unit
+      }
+    } + "/orders_del"
+  }
+
+  /** Driver-gate row-level delete: read the staged log AFTER
+    * deleteWhere removed the first quarter of the key domain.  The hash
+    * match against the complementary-WHERE oracle proves the delete's
+    * whole chain — stats-pruned candidate discovery, survivor rewrite of
+    * only the affected file, carried-by-reference remainder — lost no
+    * surviving row and leaked no deleted one. */
+  def revenueAfterDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedDeleteLog(spark, dir)
+    if (snapshot(spark, t).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS DECIMAL(18,2)) AS receita",
+        "CAST(0 AS BIGINT) AS min_key")
+    read(spark, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        min(col("o_orderkey")).as("min_key"))
+  }
+
+  val revenueAfterDeleteOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  MIN(o_orderkey) AS min_key
+       |FROM orders
+       |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 4 FROM orders)
+       |GROUP BY 1""".stripMargin
+
   /** Gate staging for the schema-evolution query: even keys appended
     * WITHOUT o_orderpriority, odd keys appended WITH it — the second
     * append widens the table schema, and the first chunk's files must

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sources
+
+/** DSIR-style data selection: score every raw document by how much its
+  * hashed n-gram feature distribution looks like a TARGET corpus
+  * (public design: Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", NeurIPS 2023).  The published estimator
+  * hashes features into B buckets, fits bucket multinomials p (target)
+  * and q (raw) with add-one smoothing, and ranks documents by an
+  * importance weight aggregated over their tokens; high-weight raw
+  * documents are the ones worth keeping when the training mixture
+  * should drift toward the target domain.
+  *
+  * Determinism: the paper's log(p/q) sum needs libm `log`, which is not
+  * bit-reproducible across engines — this implementation ranks by the
+  * RATIO-LINEARIZED weight Σ_b c_d(b) · p(b)/q(b) instead, an order-
+  * equivalent-in-spirit scoring whose every term is an exact-integer
+  * ratio: p(b)/q(b) = (ct_b+1)(N+B) / (cr_b+1)(T+B) with all factors
+  * BIGINT-exact and small enough that the one double division per term
+  * has exact operands (< 2^53); each term is ROUNDed to 6 decimals and
+  * summed as DECIMAL — the engine's per-term-round discipline, so the
+  * DuckDB oracle reproduces the hash bit-for-bit.
+  *
+  * Scale shape: tokens collapse to (doc, bucket) counts in ONE exchange;
+  * the bucket marginals, totals, and the B-row rate table all derive
+  * from that small frame (B = 256 keys); scoring is a map-side join of
+  * per-doc counts against the BROADCAST rate table; the final top-K is
+  * TakeOrderedAndProject (per-partition heaps), never a global sort of
+  * the corpus.  At 100 TB nothing here shuffles the corpus twice. */
+object Importance {
+
+  val Buckets = 256
+  val TopK = 50
+  val TargetLang = "en"
+
+  /** Hashed-unigram bucket: md5-prefix BIGINT (cross-engine exact,
+    * see [[Dedup.shingleHashSpark]]) mod B — non-negative. */
+  private def bucketSpark(c: String): String =
+    s"${Dedup.shingleHashSpark(c)} % $Buckets"
+  private def bucketDuck(c: String): String =
+    s"${Dedup.shingleHashDuck(c)} % $Buckets"
+
+  def dsirOf(docs: DataFrame, targetLang: String = TargetLang,
+      k: Int = TopK): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        expr(bucketSpark("word")).as("b"))
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+    val raw = perDoc.groupBy("b").agg(sum(col("c")).as("cr"))
+    val tgt = perDoc.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum(col("c")).as("ct"))
+    val totals = perDoc.agg(sum(col("c")).as("n_raw"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L)))
+        .as("n_tgt"))
+    val rates = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((col("ct") + lit(1L)) * (col("n_raw") + lit(Buckets.toLong)))
+          .as("num"),
+        ((col("cr") + lit(1L)) * (col("n_tgt") + lit(Buckets.toLong)))
+          .as("den"))
+    perDoc.join(broadcast(rates), Seq("b"))
+      .withColumn("term", expr(
+        "CAST(ROUND(CAST(c * num AS DOUBLE) / CAST(den AS DOUBLE), 6) " +
+          "AS DECIMAL(18,6))"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("term")).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirOf(Sources.documents(spark, dir))
+
+  def dsirOracle(targetLang: String = TargetLang,
+      k: Int = TopK): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, ${bucketDuck("word")} AS b
+       |  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents)),
+       |per_doc AS (
+       |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM w GROUP BY 1, 2, 3),
+       |raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM per_doc
+       |        GROUP BY 1),
+       |tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM per_doc
+       |        WHERE lang = '$targetLang' GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_raw,
+       |               CAST(SUM(CASE WHEN lang = '$targetLang' THEN c
+       |                             ELSE 0 END) AS BIGINT) AS n_tgt
+       |        FROM per_doc),
+       |rates AS (
+       |  SELECT raw.b,
+       |    (COALESCE(ct, 0) + 1) * (n_raw + $Buckets) AS num,
+       |    (cr + 1) * (n_tgt + $Buckets) AS den
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+       |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  SUM(CAST(ROUND(CAST(c * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+       |           AS DECIMAL(18,6))) AS importance
+       |FROM per_doc JOIN rates USING (b)
+       |GROUP BY 1, 2
+       |ORDER BY importance DESC, doc_id ASC LIMIT $k""".stripMargin
+}
