@@ -649,6 +649,9 @@ object SparkEntry {
     Q("q_ops_txlog_delete", // row-level deleteWhere: pruned rewrite, carried rest
       (s, d) => graft.core.TxLog.revenueAfterDelete(s, d),
       Some(graft.core.TxLog.revenueAfterDeleteOracle)),
+    Q("q_ops_txlog_zorder", // OPTIMIZE ZORDER: 2-D boxes make range reads skip
+      (s, d) => graft.core.TxLog.revenueZOrdered(s, d),
+      Some(graft.core.TxLog.revenueZOrderedOracle)),
     Q("q_an_simpson_daily", // Gini-Simpson event-mix diversity, integer-lifted
       (s, d) => graft.ops.Diversity.simpsonDaily(s, d),
       Some(graft.ops.Diversity.simpsonDailyOracle)),

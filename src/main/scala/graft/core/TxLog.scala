@@ -476,6 +476,38 @@ object TxLog {
     snap.version + 1
   }
 
+  /** [[compact]] with Z-ORDER clustering: rewrite the live files sorted
+    * by the Morton interleave of two integer columns ([[ZOrder]]), range-
+    * partitioned into `files` chunks — so every rewritten file carries a
+    * TIGHT min/max box on BOTH dimensions and [[readWhere]]'s stats
+    * pruning skips on either column (or both).  This is the OPTIMIZE
+    * ZORDER BY of the Delta world reduced to this log: clustering +
+    * per-file statistics replacing the reference's composite btree
+    * indexes (`utils/db_schema_main.py` CREATE INDEX (farmer, month)) at
+    * object-store scale.  The helper z column is dropped before the
+    * write — clustering must not change the table schema.  Same
+    * optimistic-concurrency rule as [[compact]]: a concurrent commit
+    * aborts the rewrite. */
+  def compactZOrder(spark: SparkSession, path: String, colA: String,
+      colB: String, files: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    require(snap.files.nonEmpty, s"TxLog: nothing to compact at $path")
+    val df = readFiles(spark, path, snap, snap.files)
+      .withColumn("_graft_z",
+        org.apache.spark.sql.functions.expr(ZOrder.sparkSql(colA, colB)))
+      .repartitionByRange(files, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    val adds = writeData(spark, df, table, fs)
+    val actions = snap.files.map(Act("remove", _)) ++
+      adds.map { case (p, s) => Act("add", p, s) }
+    publish(fs, table, snap.version + 1, actions)
+    snap.version + 1
+  }
+
   /** Test seam: invoked between a [[deleteWhere]] snapshot resolution
     * and each publish attempt, so specs can interleave a concurrent
     * commit deterministically.  Production value is a no-op. */
@@ -865,6 +897,58 @@ object TxLog {
        |  MIN(o_orderkey) AS min_key
        |FROM orders
        |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 4 FROM orders)
+       |GROUP BY 1""".stripMargin
+
+  /** Gate staging for the Z-order query: orders appended as four
+    * INTERLEAVED modulo chunks — every file spans the whole key domain,
+    * so nothing prunes — then [[compactZOrder]] on (o_custkey,
+    * o_orderkey) re-clusters the layout into four files with tight
+    * two-dimensional boxes. */
+  private def stagedZLog(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"txlog_z#$dir", fp) { base =>
+      val t = s"$base/orders_z"
+      val o = Sources.orders(spark, dir)
+      for (b <- 0L until 4L)
+        append(spark,
+          o.filter(col("o_orderkey") % 4 === b).coalesce(1), t)
+      if (snapshot(spark, t).files.nonEmpty)
+        compactZOrder(spark, t, "o_custkey", "o_orderkey", files = 4): Unit
+    } + "/orders_z"
+  }
+
+  /** Driver-gate Z-order clustering: read the z-compacted log WHERE
+    * o_custkey ≤ max/4 through [[readWhere]] — before the rewrite every
+    * modulo-chunked file spans the full customer range and nothing can
+    * skip; after it the Morton clustering gives each file a tight
+    * customer box and the pruner drops the non-matching ones (pinned in
+    * TxLogSpec).  The hash match proves the clustered rewrite preserved
+    * every row. */
+  def revenueZOrdered(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedZLog(spark, dir)
+    if (snapshot(spark, t).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS DECIMAL(18,2)) AS receita",
+        "CAST(0 AS BIGINT) AS max_cust")
+    val cut = Sources.orders(spark, dir)
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0) / 4
+    readWhere(spark, t, col("o_custkey") <= cut)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        max(col("o_custkey")).as("max_cust"))
+  }
+
+  val revenueZOrderedOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  MAX(o_custkey) AS max_cust
+       |FROM orders
+       |WHERE o_custkey <= (SELECT MAX(o_custkey) // 4 FROM orders)
        |GROUP BY 1""".stripMargin
 
   /** Gate staging for the schema-evolution query: even keys appended

@@ -318,6 +318,35 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readWhere(spark, t, col("k").isNull).count() == 2)
   }
 
+  test("z-order compaction turns an unprunable layout into a skipping one") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    // 32x32 grid; four INTERLEAVED chunks (by row id modulo) — every
+    // file spans the whole a and b domains, so stats can't skip.
+    val grid = spark.range(1024).selectExpr(
+      "CAST(id % 32 AS BIGINT) AS a", "CAST(id DIV 32 AS BIGINT) AS b",
+      "id AS v")
+    for (m <- 0 until 4)
+      TxLog.append(spark, grid.filter(col("v") % 4 === m).coalesce(1), t)
+    val (_, before) = TxLog.pruneFiles(spark, t, col("a") < 8)
+    assert(before.size == 4, "interleaved layout: nothing prunable")
+    // OPTIMIZE ZORDER: one ranged rewrite by the Morton key.
+    TxLog.compactZOrder(spark, t, "a", "b", files = 4)
+    // Z-range quartiles of a uniform grid are its quadrants: each file
+    // now boxes HALF the a-domain, so a quarter-range predicate keeps
+    // at most the two matching quadrant files.
+    val (_, after) = TxLog.pruneFiles(spark, t, col("a") < 8)
+    assert(after.size <= 2)
+    // ...and on the OTHER dimension too — that's the point of z vs sort.
+    val (_, afterB) = TxLog.pruneFiles(spark, t, col("b") >= 24)
+    assert(afterB.size <= 2)
+    // The rewrite changed layout only: schema z-free, rows intact.
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq ==
+      Seq("a", "b", "v"))
+    assert(TxLog.readWhere(spark, t, col("a") < 8).count() == 8 * 32)
+    assert(TxLog.read(spark, t).count() == 1024)
+  }
+
   test("schema evolution: appends widen, old files read NULL, time travel keeps the old schema") {
     import org.apache.spark.sql.functions.col
     val t = tmp()
