@@ -652,6 +652,12 @@ object SparkEntry {
     Q("q_ops_txlog_zorder", // OPTIMIZE ZORDER: 2-D boxes make range reads skip
       (s, d) => graft.core.TxLog.revenueZOrdered(s, d),
       Some(graft.core.TxLog.revenueZOrderedOracle)),
+    Q("q_ops_txlog_incr", // incremental read: append commits only, rewrites skipped
+      (s, d) => graft.core.TxLog.revenueIncremental(s, d),
+      Some(graft.core.TxLog.revenueIncrementalOracle)),
+    Q("q_text_mcnemar", // paired classifier-vs-baseline test, discordant cells
+      (s, d) => llm.TextAnalysis.langIdMcNemar(s, d),
+      Some(llm.TextAnalysis.langIdMcNemarOracle)),
     Q("q_an_simpson_daily", // Gini-Simpson event-mix diversity, integer-lifted
       (s, d) => graft.ops.Diversity.simpsonDaily(s, d),
       Some(graft.ops.Diversity.simpsonDailyOracle)),

@@ -591,6 +591,59 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Files added by PURE-APPEND commits in versions (since, latest] —
+    * the incremental-consumption primitive a downstream job uses to
+    * process ONLY what arrived since its last run, without a full-table
+    * diff.  A commit containing any `remove` is a REWRITE
+    * (compact/zorder/delete/overwrite): its adds re-describe rows that
+    * already existed, so they are EXCLUDED — the published Delta
+    * streaming-source rule (rewrites are layout changes, not data;
+    * consuming past one without `ignoreChanges` is an error there, a
+    * clean skip here because this log separates appends from rewrites
+    * per commit).  Version numbers are claimed contiguously, so a gap
+    * in the surviving commit files means [[cleanupLog]] pruned part of
+    * the requested range — that fails loudly rather than silently
+    * skipping data a consumer never saw. */
+  def appendsSince(spark: SparkSession, path: String,
+      since: Long): (Long, Seq[String]) = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val vs = versions(fs, table)
+    val upTo = (vs ++ checkpointVersions(fs, table)).maxOption.getOrElse(0L)
+    require(since <= upTo,
+      s"TxLog: appendsSince($since) but $path is at version $upTo")
+    val inRange = vs.filter(v => v > since && v <= upTo)
+    require(inRange == (since + 1 to upTo),
+      s"TxLog: commits in ($since, $upTo] of $path were pruned by log " +
+        s"retention (surviving: ${inRange.mkString(",")}); the " +
+        "incremental range is no longer reconstructible")
+    val files = for {
+      v <- inRange
+      acts = readCommit(fs, commitPath(table, v))
+      if !acts.exists(_.a == "remove")
+      a <- acts if a.a == "add"
+    } yield a.p
+    (upTo, files)
+  }
+
+  /** Read the rows appended in (since, latest] — see [[appendsSince]].
+    * Files superseded by a later rewrite are still readable until
+    * [[vacuum]] (the tombstone design doubles as the CDC retention
+    * window); past it the scan fails loudly, Delta's documented
+    * behavior too. */
+  def readAppendsSince(spark: SparkSession, path: String,
+      since: Long): DataFrame = {
+    val (_, files) = appendsSince(spark, path, since)
+    val snap = snapshot(spark, path)
+    if (files.isEmpty) {
+      val schema = snap.schema.getOrElse(
+        readFiles(spark, path, snap, snap.files).schema)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+    }
+    readFiles(spark, path, snap, files)
+  }
+
   /** Delete data files no snapshot at or after `keepFrom` references —
     * the storage-reclaim half of the tombstone design.  Time travel to
     * versions whose files were vacuumed fails loudly at read time (the
@@ -786,6 +839,37 @@ object TxLog {
     s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
        |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
        |FROM orders GROUP BY 1""".stripMargin
+
+  /** Driver-gate incremental read: over the shared [[stagedLog]]
+    * history — append evens (v1), append odds (v2), compact (v3) —
+    * consume everything appended AFTER v1.  That is exactly the odd
+    * keys: v2's files count, v3's rewrite adds do NOT (they re-describe
+    * existing rows).  The hash match against the odd-keys oracle proves
+    * the append/rewrite distinction end to end. */
+  def revenueIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedLog(spark, dir)
+    val snap = snapshot(spark, t)
+    if (snap.version < 2L || snap.isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS DECIMAL(18,2)) AS receita",
+        "CAST(0 AS BIGINT) AS min_cust")
+    readAppendsSince(spark, t, since = 1L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        min(col("o_custkey")).as("min_cust"))
+  }
+
+  val revenueIncrementalOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  MIN(o_custkey) AS min_cust
+       |FROM orders
+       |WHERE o_orderkey % 2 <> 0
+       |GROUP BY 1""".stripMargin
 
   /** Gate staging for the data-skipping query: orders appended as FOUR
     * disjoint o_orderkey ranges, so each commit's files carry tight,

@@ -901,6 +901,73 @@ object TextAnalysis {
        |  $KappaFormula AS kappa
        |FROM tot, pe""".stripMargin
 
+  /** McNemar's paired test: does the n-gram language-ID classifier
+    * actually BEAT the predict-the-majority-language baseline on the
+    * same documents?  The two classifiers score the identical doc set,
+    * so the right comparison is the PAIRED one — only the discordant
+    * pairs carry evidence: b = docs the classifier gets right and the
+    * baseline wrong, c = the reverse, statistic (b−c)²/(b+c) (the
+    * χ²₁-distributed McNemar form, continuity correction omitted as
+    * published for b+c large).  Accuracy deltas alone can't separate
+    * "better classifier" from "different docs" — this is the standard
+    * classifier-comparison test on a shared eval set.
+    *
+    * Exactness: cell counts are exact integers; the statistic is one
+    * ROUNDed double division (NULLIF-guarded — b + c = 0 when the
+    * classifiers agree everywhere, where the test is undefined).  The
+    * majority language is a deterministic argmax (count DESC, lang ASC).
+    * Scale: predictions collapse to four cells in one exchange; the
+    * 1-row majority frame rides in broadcast. */
+  def langIdMcNemar(spark: SparkSession, dir: String): DataFrame = {
+    val major = Sources.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("major_lang"))
+    langId(spark, dir).select(col("lang"), col("predicted_lang"))
+      .crossJoin(broadcast(major))
+      .groupBy(col("major_lang"))
+      .agg(
+        expr(s"${McNemarCells(0)}").as("b"),
+        expr(s"${McNemarCells(1)}").as("c"),
+        expr(s"${McNemarCells(2)}").as("n_both"),
+        expr(s"${McNemarCells(3)}").as("n_neither"))
+      .selectExpr("major_lang", "b", "c", "n_both", "n_neither",
+        s"$McNemarFormula AS mcnemar_chi2")
+  }
+
+  /** Shared cell spellings — IDENTICAL text on both engines, so the
+    * NULL-propagation of a missing label behaves the same way. */
+  private val McNemarCells = Seq(
+    "SUM(CASE WHEN (predicted_lang = lang) AND NOT (major_lang = lang) " +
+      "THEN 1 ELSE 0 END)",
+    "SUM(CASE WHEN NOT (predicted_lang = lang) AND (major_lang = lang) " +
+      "THEN 1 ELSE 0 END)",
+    "SUM(CASE WHEN (predicted_lang = lang) AND (major_lang = lang) " +
+      "THEN 1 ELSE 0 END)",
+    "SUM(CASE WHEN NOT (predicted_lang = lang) AND " +
+      "NOT (major_lang = lang) THEN 1 ELSE 0 END)")
+
+  private val McNemarFormula: String =
+    "ROUND(CAST((b - c) * (b - c) AS DOUBLE) " +
+      "/ NULLIF(CAST(b + c AS DOUBLE), 0.0), 6)"
+
+  val langIdMcNemarOracle: String =
+    s"""WITH pred AS (
+       |  SELECT lang, predicted_lang FROM ($langIdOracle) p),
+       |major AS (
+       |  SELECT lang AS major_lang FROM documents
+       |  GROUP BY 1 ORDER BY COUNT(*) DESC, lang ASC LIMIT 1),
+       |cells AS (
+       |  SELECT major_lang,
+       |    CAST(${McNemarCells(0)} AS BIGINT) AS b,
+       |    CAST(${McNemarCells(1)} AS BIGINT) AS c,
+       |    CAST(${McNemarCells(2)} AS BIGINT) AS n_both,
+       |    CAST(${McNemarCells(3)} AS BIGINT) AS n_neither
+       |  FROM pred, major GROUP BY 1)
+       |SELECT major_lang, b, c, n_both, n_neither,
+       |  $McNemarFormula AS mcnemar_chi2
+       |FROM cells""".stripMargin
+
   /** Winnowing document fingerprints (Schleimer, Wilkinson & Aiken 2003,
     * the MOSS algorithm) — per sliding window of w consecutive k-gram
     * hashes, select the window MINIMUM; the distinct selected hashes are

@@ -542,6 +542,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("mcnemar: discordant cells and statistic match hand computation") {
+    // en:4 es:3 → baseline predicts 'en' everywhere.  Classifier (marker
+    // ladder): docs 5,7 correct-es where baseline fails (b=2); doc 4
+    // mispredicted es where baseline is right (c=1); doc 6 both wrong;
+    // docs 1-3 both right.  χ² = (2−1)²/(2+1) = 0.333333.
+    val dir = java.nio.file.Files.createTempDirectory("mcnemar").toString
+    Seq(
+      (1L, "the", "en"), (2L, "the", "en"), (3L, "the", "en"),
+      (4L, "slow slow", "en"),
+      (5L, "slow", "es"), (6L, "the", "es"), (7L, "slow slow slow", "es"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.langIdMcNemar(spark, dir).collect().head
+    assert(r.getString(0) == "en")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 3L, 1L)))
+    assert(r.getDouble(5) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("mcnemar: all-concordant corpus yields NULL, not an ANSI error") {
+    val dir = java.nio.file.Files.createTempDirectory("mcnemar0").toString
+    Seq((1L, "the", "en"), (2L, "the the", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.langIdMcNemar(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((0L, 0L)))
+    assert(r.isNullAt(5))
+  }
+
   test("kappa: single-category perfect agreement is NULL, not a crash") {
     // One language, always predicted: pe_num = N² and κ is undefined —
     // ANSI division must be NULLIF-guarded, not error.

@@ -414,6 +414,34 @@ class TxLogSpec extends SparkSpec {
     assert(rows(t) == Seq((7, "q")))
   }
 
+  test("appendsSince consumes only pure-append commits; pruned ranges fail loudly") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t) // v1
+    TxLog.append(spark, Seq((3, "c")).toDF("k", "v"), t)           // v2
+    TxLog.compact(spark, t)                                        // v3 rewrite
+    TxLog.append(spark, Seq((4, "d")).toDF("k", "v"), t)           // v4
+    // Everything appended after v1 = keys 3 and 4; the compaction's
+    // adds re-describe existing rows and must NOT appear.
+    val got = TxLog.readAppendsSince(spark, t, since = 1L)
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((3, "c"), (4, "d")))
+    // Caught-up consumer reads nothing (empty frame, table schema).
+    val empty = TxLog.readAppendsSince(spark, t, since = 4L)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "v"))
+    // Log retention prunes commits 1..4; the surviving range still
+    // serves, the pruned range fails loudly instead of skipping data.
+    TxLog.checkpoint(spark, t)
+    TxLog.cleanupLog(spark, t, keepFrom = 4L)
+    TxLog.append(spark, Seq((5, "e")).toDF("k", "v"), t)           // v5
+    assert(TxLog.readAppendsSince(spark, t, since = 4L)
+      .as[(Int, String)].collect().toSeq == Seq((5, "e")))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.appendsSince(spark, t, since = 1L)
+    }
+    assert(e.getMessage.contains("pruned"))
+  }
+
   test("driver-gate query: replayed log equals the plain table") {
     val dir = "/root/testdata/sf0.001"
     val got = TxLog.revenueFromLog(spark, dir)
