@@ -655,6 +655,15 @@ object SparkEntry {
     Q("q_ops_txlog_incr", // incremental read: append commits only, rewrites skipped
       (s, d) => graft.core.TxLog.revenueIncremental(s, d),
       Some(graft.core.TxLog.revenueIncrementalOracle)),
+    Q("q_ops_txlog_merge", // MERGE upsert: update+insert+carry in one commit
+      (s, d) => graft.core.TxLog.revenueMerged(s, d),
+      Some(graft.core.TxLog.revenueMergedOracle)),
+    Q("q_ops_txlog_cdf", // change data feed: per-commit multiset diffs
+      (s, d) => graft.core.TxLog.revenueChanges(s, d),
+      Some(graft.core.TxLog.revenueChangesOracle)),
+    Q("q_ops_txlog_restore", // metadata-only rollback to a prior version
+      (s, d) => graft.core.TxLog.revenueRestored(s, d),
+      Some(graft.core.TxLog.revenueRestoredOracle)),
     Q("q_text_mcnemar", // paired classifier-vs-baseline test, discordant cells
       (s, d) => llm.TextAnalysis.langIdMcNemar(s, d),
       Some(llm.TextAnalysis.langIdMcNemarOracle)),

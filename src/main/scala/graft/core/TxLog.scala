@@ -591,6 +591,89 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Keyed UPSERT (MERGE INTO): table rows whose `keys` tuple appears
+    * in `incoming` are REPLACED by the incoming row, unmatched incoming
+    * rows are INSERTED — one atomic commit, so readers see either the
+    * whole merge or none of it.  The [[Sinks.merge]] semantics on the
+    * commit log, file-granular like [[deleteWhere]]: only files that
+    * CONTAIN a matched key are rewritten (found by a semi-join of the
+    * live scan against the incoming keys — AQE broadcasts the key set
+    * when it is small, the common batch-vs-table shape); untouched files
+    * are carried by reference, so a 100 TB table pays O(affected files),
+    * not O(table).  The incoming frame is evaluated EXACTLY ONCE — its
+    * data files are staged first and every subsequent pass (duplicate
+    * check, matched-key joins) reads those immutable files back, so a
+    * nondeterministic source cannot desynchronize the check from the
+    * commit.  SQL equality governs matching: NULL keys never match and
+    * are always inserted (the MERGE ON rule).  Incoming must be unique
+    * on `keys` (checked loudly — two updates to one key in one batch
+    * have no defined order).  Schema evolution follows [[append]].
+    *
+    * Concurrency = [[deleteWhere]]'s WriteSerializable rules: commits
+    * that did not remove a targeted file commute (a concurrent append's
+    * matching rows were not visible to this merge and are NOT deduped —
+    * Delta's documented blind-append behavior); a concurrent rewrite of
+    * a targeted file raises [[ConcurrentRewrite]].  Returns the
+    * committed version (unchanged when `incoming` is empty). */
+  def merge(spark: SparkSession, incoming: DataFrame, path: String,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keys.nonEmpty, "TxLog: merge needs at least one key column")
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    // Stage incoming FIRST: the single evaluation of the caller's frame.
+    val insertAdds = writeData(spark, incoming, table, fs)
+    if (insertAdds.isEmpty) return snap.version
+    val inc = spark.read.schema(incoming.schema)
+      .parquet(insertAdds.map { case (p, _) => s"$path/$p" }: _*)
+    val dup = inc.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"TxLog: merge batch has duplicate keys on (${keys.mkString(",")})" +
+        s" — e.g. ${dup.headOption.getOrElse("")}")
+    val incKeys = inc.select(keys.map(col): _*).distinct()
+    val affectedRel: Seq[String] =
+      if (snap.files.isEmpty) Nil
+      else readFiles(spark, path, snap, snap.files)
+        .withColumn("_graft_file", input_file_name())
+        .join(incKeys, keys, "left_semi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+        .map(u => relativize(table, new Path(new java.net.URI(u))))
+        .sorted
+    // Survivors of the affected files: matched rows drop (replaced by
+    // the staged incoming), NULL-key and unmatched rows carry.
+    val survivorAdds =
+      if (affectedRel.isEmpty) Nil
+      else writeData(spark,
+        readFiles(spark, path, snap, affectedRel)
+          .join(incKeys, keys, "left_anti"), table, fs)
+    val actions = affectedRel.map(Act("remove", _)) ++
+      (survivorAdds ++ insertAdds).map { case (p, s) => Act("add", p, s) }
+    // The meta action is recomputed per attempt: a commuting concurrent
+    // append may itself have widened the schema, and a stale meta would
+    // silently regress it.
+    var base = snap
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        publish(fs, table, base.version + 1,
+          metaAction(base, incoming.schema, table) ++ actions)
+        return base.version + 1
+      } catch {
+        case c: CommitConflict =>
+          if (attempts >= 50) throw c
+          val fresh = snapshot(spark, path)
+          val gone = affectedRel.filterNot(fresh.files.contains)
+          if (gone.nonEmpty) throw new ConcurrentRewrite(path, gone)
+          base = fresh // commuting commit: retry past it
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Files added by PURE-APPEND commits in versions (since, latest] —
     * the incremental-consumption primitive a downstream job uses to
     * process ONLY what arrived since its last run, without a full-table
@@ -642,6 +725,94 @@ object TxLog {
         java.util.Collections.emptyList[Row](), schema)
     }
     readFiles(spark, path, snap, files)
+  }
+
+  /** CHANGE DATA FEED: the row-level changes committed in versions
+    * (since, latest], as data columns plus `_change_type`
+    * ('insert'|'delete') and `_commit_version` — what a downstream
+    * incremental materialization consumes to stay in sync without a
+    * full-table diff, deletes included (which [[readAppendsSince]]
+    * cannot express).  Derived per commit from the log itself, no
+    * write-path cooperation needed: a commit's data-change is the
+    * MULTISET difference of its added vs removed rows —
+    * inserts = adds ∖ removes, deletes = removes ∖ adds — so
+    *  - pure appends emit all their rows as inserts,
+    *  - [[deleteWhere]] emits exactly the deleted rows (the carried
+    *    survivor rows cancel),
+    *  - [[merge]] emits delete(old)+insert(new) per updated key, the
+    *    Delta CDF update encoding, plus plain inserts for new keys,
+    *  - [[compact]]/[[compactZOrder]] emit NOTHING (adds ≡ removes —
+    *    layout changes are not data changes).
+    * Every read uses the LATEST schema, so evolved columns align across
+    * versions (pre-evolution rows read them as NULL on both sides of
+    * the diff).  Cost: one `exceptAll` shuffle per commit, bounded by
+    * that commit's touched files — never the table.  Removed files stay
+    * readable until [[vacuum]] (the CDC retention window); a pruned
+    * commit range fails loudly like [[appendsSince]]. */
+  def changesSince(spark: SparkSession, path: String,
+      since: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val vs = versions(fs, table)
+    val upTo = (vs ++ checkpointVersions(fs, table)).maxOption.getOrElse(0L)
+    require(upTo > 0L, s"TxLog: $path has no commits")
+    require(since <= upTo,
+      s"TxLog: changesSince($since) but $path is at version $upTo")
+    val inRange = vs.filter(v => v > since && v <= upTo)
+    require(inRange == (since + 1 to upTo),
+      s"TxLog: commits in ($since, $upTo] of $path were pruned by log " +
+        s"retention (surviving: ${inRange.mkString(",")}); the change " +
+        "feed is no longer reconstructible")
+    val snap = snapshot(spark, path)
+    val schema = snap.schema.getOrElse(
+      readFiles(spark, path, snap, snap.files).schema)
+    def readList(files: Seq[String]): DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => s"$path/$f"): _*)
+    val parts = inRange.map { v =>
+      val acts = readCommit(fs, commitPath(table, v))
+      val added = readList(acts.filter(_.a == "add").map(_.p))
+      val removed = readList(acts.filter(_.a == "remove").map(_.p))
+      added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+        .unionAll(removed.exceptAll(added)
+          .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(v))
+    }
+    parts.reduceOption(_ unionAll _).getOrElse(
+      readList(Nil).withColumn("_change_type", lit("").cast("string"))
+        .withColumn("_commit_version", lit(0L)))
+  }
+
+  /** RESTORE TABLE TO VERSION — METADATA-ONLY: one commit whose live
+    * set becomes exactly the target version's files, no data file read
+    * or rewritten (removes the current extras, re-adds the target's
+    * files with their original stats, re-records the target's schema).
+    * The instant rollback a bad load needs at 100 TB — and because it
+    * is itself a commit, the mistake AND the rollback both stay in
+    * [[history]], and the versions in between remain time-travelable.
+    * Requires the target's files to still exist ([[vacuum]] may have
+    * reclaimed them — checked loudly up front).  Last-writer-wins under
+    * concurrency: the retry recomputes removes against the fresh state,
+    * declaratively pinning the live set to the target. */
+  def restoreTo(spark: SparkSession, path: String, version: Long): Long = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val target = snapshot(spark, path, Some(version))
+    val missing = target.files.filterNot(f => fs.exists(new Path(table, f)))
+    require(missing.isEmpty,
+      s"TxLog: cannot restore $path to version $version — vacuum " +
+        s"reclaimed ${missing.mkString(", ")}")
+    val meta = target.schemaJson.toSeq.map(j =>
+      Act("meta", java.net.URLEncoder.encode(j, "UTF-8")))
+    val targetSet = target.files.toSet
+    commitWithRetry(spark, fs, table, snap =>
+      meta ++
+        snap.files.filterNot(targetSet).map(Act("remove", _)) ++
+        target.files.filterNot(snap.files.toSet)
+          .map(f => Act("add", f, target.stats.getOrElse(f, ""))))
   }
 
   /** Delete data files no snapshot at or after `keepFrom` references —
@@ -869,6 +1040,152 @@ object TxLog {
        |  MIN(o_custkey) AS min_cust
        |FROM orders
        |WHERE o_orderkey % 2 <> 0
+       |GROUP BY 1""".stripMargin
+
+  /** Gate staging for the MERGE query: seed the log with the keys
+    * divisible by 3 (v1), then MERGE the even keys with their
+    * o_totalprice DOUBLED (v2) — so evens matched by the seed are
+    * UPDATED, unmatched evens are INSERTED, and odd multiples of 3
+    * carry untouched.  Doubling a double is IEEE-exact, so the oracle
+    * reproduces the updated values verbatim. */
+  private def stagedMergeLog(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"txlog_merge#$dir", fp) { base =>
+      val t = s"$base/orders_merge"
+      val o = Sources.orders(spark, dir)
+      append(spark, o.filter(col("o_orderkey") % 3 === 0), t)
+      merge(spark,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        t, keys = Seq("o_orderkey"))
+    } + "/orders_merge"
+  }
+
+  /** Driver-gate MERGE: read the [[stagedMergeLog]] result and
+    * aggregate.  A hash match against the CASE-expression oracle proves
+    * all three merge outcomes at once — updated rows carry the doubled
+    * price (and are NOT duplicated), inserted rows appear once,
+    * untouched rows survive the file rewrite. */
+  def revenueMerged(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedMergeLog(spark, dir)
+    if (snapshot(spark, t).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS BIGINT) AS n_updated",
+        "CAST(0 AS DECIMAL(18,2)) AS receita")
+    read(spark, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_orderkey") % 2 === 0, 1)).as("n_updated"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"))
+  }
+
+  val revenueMergedOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_updated,
+       |  ${Frag.sumMoney(Frag.money(
+             "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 " +
+               "ELSE o_totalprice END"))} AS receita
+       |FROM orders
+       |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+       |GROUP BY 1""".stripMargin
+
+  /** Gate staging for the change-data-feed query: append evens (v1),
+    * DELETE WHERE status = 'F' (v2, rewrites only affected files),
+    * append odds (v3), compact (v4 — a layout change the feed must
+    * report as NO data change). */
+  private def stagedCdfLog(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"txlog_cdf#$dir", fp) { base =>
+      val t = s"$base/orders_cdf"
+      val o = Sources.orders(spark, dir)
+      append(spark, o.filter(col("o_orderkey") % 2 === 0), t)
+      deleteWhere(spark, t, col("o_orderstatus") === "F")
+      append(spark, o.filter(col("o_orderkey") % 2 =!= 0), t)
+      if (snapshot(spark, t).files.nonEmpty) compact(spark, t, files = 2)
+    } + "/orders_cdf"
+  }
+
+  /** Driver-gate change data feed: consume the FULL change history of
+    * [[stagedCdfLog]] and aggregate per (change type, status).  The
+    * oracle reproduces it from plain orders — inserts are every
+    * appended row, deletes are exactly the even F-status rows — so a
+    * hash match proves the multiset-diff derivation end to end:
+    * deleteWhere's carried survivors cancel, the compaction contributes
+    * nothing, nothing is double-counted across the four commits. */
+  def revenueChanges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedCdfLog(spark, dir)
+    if (snapshot(spark, t).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS change_type",
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(0 AS BIGINT) AS n_changes",
+        "CAST(0 AS DECIMAL(18,2)) AS receita")
+    changesSince(spark, t, since = 0L)
+      .groupBy(col("_change_type").as("change_type"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_changes"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"))
+  }
+
+  val revenueChangesOracle: String =
+    s"""SELECT 'insert' AS change_type, o_orderstatus,
+       |  COUNT(*) AS n_changes,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
+       |FROM orders GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'delete' AS change_type, o_orderstatus,
+       |  COUNT(*) AS n_changes,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
+       |FROM orders
+       |WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Gate staging for the RESTORE query: append evens (v1), overwrite
+    * everything with the odds (v2 — the "bad load"), restore to v1
+    * (v3, metadata-only rollback). */
+  private def stagedRestoreLog(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"txlog_restore#$dir", fp) { base =>
+      val t = s"$base/orders_restore"
+      val o = Sources.orders(spark, dir)
+      append(spark, o.filter(col("o_orderkey") % 2 === 0), t)
+      overwriteAll(spark, o.filter(col("o_orderkey") % 2 =!= 0), t)
+      restoreTo(spark, t, version = 1L)
+    } + "/orders_restore"
+  }
+
+  /** Driver-gate RESTORE: the latest snapshot of [[stagedRestoreLog]]
+    * must be exactly the v1 evens again — the overwrite rolled back
+    * without touching a data file.  Keyed by o_orderpriority so the
+    * plan differs from the other txlog gates. */
+  def revenueRestored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedRestoreLog(spark, dir)
+    if (snapshot(spark, t).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderpriority",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS DECIMAL(18,2)) AS receita",
+        "CAST(0 AS BIGINT) AS max_key")
+    read(spark, t)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val revenueRestoredOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
+       |  MAX(o_orderkey) AS max_key
+       |FROM orders WHERE o_orderkey % 2 = 0
        |GROUP BY 1""".stripMargin
 
   /** Gate staging for the data-skipping query: orders appended as FOUR

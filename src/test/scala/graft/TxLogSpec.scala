@@ -442,6 +442,71 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("pruned"))
   }
 
+  test("merge: update + insert + untouched-file carry in one commit") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)          // v1
+    TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)          // v2
+    val untouched = TxLog.snapshot(spark, t, Some(1L)).files
+    val v3 = TxLog.merge(spark,
+      Seq((2, "B"), (3, "c")).toDF("k", "v"), t, keys = Seq("k"))
+    assert(v3 == 3L)
+    assert(rows(t) == Seq((1, "a"), (2, "B"), (3, "c")))
+    // v1's file held no matched key: carried by reference, not rewritten.
+    val live = TxLog.snapshot(spark, t).files.toSet
+    assert(untouched.forall(live.contains))
+    // Pre-merge snapshot unaffected (the update is a new version).
+    assert(rows(t, Some(2L)) == Seq((1, "a"), (2, "b")))
+    // A batch updating one key twice has no defined order: loud failure.
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, Seq((5, "x"), (5, "y")).toDF("k", "v"), t,
+        keys = Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // Merge into an empty/new table is a plain insert.
+    val t2 = tmp()
+    TxLog.merge(spark, Seq((7, "q")).toDF("k", "v"), t2, keys = Seq("k"))
+    assert(rows(t2) == Seq((7, "q")))
+  }
+
+  test("changesSince: per-commit multiset diffs; compaction is silent") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t) // v1
+    TxLog.deleteWhere(spark, t, $"k" === 1)                        // v2
+    TxLog.compact(spark, t)                                        // v3
+    TxLog.merge(spark, Seq((2, "B"), (4, "d")).toDF("k", "v"), t,
+      keys = Seq("k"))                                             // v4
+    val all = TxLog.changesSince(spark, t, since = 0L)
+      .as[(Int, String, String, Long)].collect().sortBy(r => (r._4, r._3, r._1))
+    assert(all.toSeq == Seq(
+      (1, "a", "insert", 1L), (2, "b", "insert", 1L),
+      (1, "a", "delete", 2L),                    // deleteWhere: only the hit
+      (2, "b", "delete", 4L),                    // merge update = delete+insert
+      (2, "B", "insert", 4L), (4, "d", "insert", 4L)))
+    // v3 (compact) emitted nothing: layout is not data.
+    assert(!all.exists(_._4 == 3L))
+    // Caught-up consumer: empty frame, data schema + the two CDF columns.
+    val none = TxLog.changesSince(spark, t, since = 4L)
+    assert(none.count() == 0)
+    assert(none.schema.fieldNames.toSeq ==
+      Seq("k", "v", "_change_type", "_commit_version"))
+  }
+
+  test("restoreTo: metadata-only rollback; vacuumed target fails loudly") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)           // v1
+    TxLog.overwriteAll(spark, Seq((2, "b")).toDF("k", "v"), t)     // v2
+    val v3 = TxLog.restoreTo(spark, t, version = 1L)
+    assert(v3 == 3L && rows(t) == Seq((1, "a")))
+    // The rolled-back version is still in history (restore is a commit).
+    assert(rows(t, Some(2L)) == Seq((2, "b")))
+    // After vacuum reclaims v2's file, restoring to it fails loudly.
+    TxLog.vacuum(spark, t, keepFrom = 3L)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restoreTo(spark, t, version = 2L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("driver-gate query: replayed log equals the plain table") {
     val dir = "/root/testdata/sf0.001"
     val got = TxLog.revenueFromLog(spark, dir)
