@@ -682,6 +682,12 @@ object SparkEntry {
     Q("q_ann_recall", // IVF recall@k vs brute-force ground truth
       (s, d) => llm.Similarity.annRecall(s, d),
       Some(llm.Similarity.annRecallOracle())),
+    Q("q_ann_sq8", // int8 scalar quantization, integer-domain top-k
+      (s, d) => llm.Similarity.sq8TopK(s, d),
+      Some(llm.Similarity.sq8Oracle())),
+    Q("q_ann_sq8_recall", // what the 4x compression costs: recall vs exact
+      (s, d) => llm.Similarity.sq8Recall(s, d),
+      Some(llm.Similarity.sq8RecallOracle())),
     Q("q_text_langid_eval", // language-ID confusion matrix + shares
       (s, d) => llm.TextAnalysis.langIdEval(s, d),
       Some(llm.TextAnalysis.langIdEvalOracle)),

@@ -476,6 +476,155 @@ object Similarity {
     sb.toString
   }
 
+  // ---------------------------------------------------------------- SQ8 --
+
+  /** Exact BIGINT dot product over two int-code arrays — a left fold,
+    * every term and partial sum an exact integer (max |code| = 127, dim
+    * 64 → |dot| ≤ 64·127² ≈ 1.03e6, nowhere near overflow). */
+  private def qdotSpec(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** Scalar quantization (SQ8) + integer-domain search — the fourth ANN
+    * regime after LSH buckets, IVF lists, and PQ codes, and the simplest
+    * compression that matters at 100 TB: each float dimension maps to an
+    * int8 code via a per-dimension max-abs scale (code = round(x/s·127)),
+    * cutting the store 4× while keeping per-dimension resolution (PQ
+    * compresses harder but quantizes whole subspaces).  Search never
+    * touches the floats: scoring is the exact BIGINT code dot product,
+    * ranked by quantized cosine — so unlike float-reconstruction SQ, the
+    * entire pipeline is integer arithmetic both engines reproduce
+    * bit-for-bit and the output hash-checks cross-engine, approximate
+    * though the RANKING is by construction (the quantization error is
+    * the approximation; the arithmetic is exact).
+    *
+    * Scale shape: the per-dimension scales are ONE partial-aggregated
+    * exchange collapsing to dim rows (posexplode partials combine
+    * map-side), broadcast back; encoding is a zip_with projection fused
+    * into the scan; scoring is the [[bruteForceTopK]] broadcast pattern —
+    * the corpus side never shuffles, and in production the codes table
+    * is written once and scanned INSTEAD of the float table (¼ the
+    * bytes), composing with the IVF partition layout.  Zero-variance
+    * dimensions (s = 0) code to 0 via the NULLIF/COALESCE guard. */
+  def sq8TopK(spark: SparkSession, dir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val scales = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(max(abs(col("x").cast("double"))).as("s"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, s))), t -> t.s)")
+        .as("scales"))
+    val coded = emb.crossJoin(broadcast(scales))
+      .select(col("vec_id"), expr(
+        "zip_with(embedding, scales, (x, s) -> coalesce(" +
+          "CAST(round(CAST(x AS DOUBLE) / nullif(s, 0D) * 127) AS BIGINT), " +
+          "CAST(0 AS BIGINT)))").as("code"))
+      .withColumn("qnorm2", expr(qdotSpec("code", "code")))
+    val queries = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        col("code").as("q_code"), col("qnorm2").as("q_norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("vec_id").asc)
+    coded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", expr(qdotSpec("code", "q_code")))
+      .withColumn("qcosine",
+        expr("CAST(qdot AS DOUBLE) / sqrt(CAST(qnorm2 * q_norm2 AS DOUBLE))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("qdot"), round(col("qcosine"), 6).as("qcosine"))
+  }
+
+  /** DuckDB mirror of [[sq8TopK]]: same per-dim max-abs scales, same
+    * rounding, the same exact-integer code dot (a BIGINT left fold), the
+    * same one double division per pair. */
+  def sq8Oracle(numQueries: Int = 8, k: Int = 5): String = {
+    def qdot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+         |    (acc, v) -> acc + v)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |d AS (
+       |  SELECT u.i AS pos, MAX(ABS(u.x)) AS s
+       |  FROM (SELECT UNNEST(list_transform(generate_series(1, len(emb)),
+       |          i -> {'i': i, 'x': emb[i]})) AS u FROM e) t
+       |  GROUP BY 1),
+       |sc AS (SELECT list(s ORDER BY pos) AS scales FROM d),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, len(emb)), i ->
+       |      COALESCE(CAST(round(emb[i] / NULLIF(scales[i], 0) * 127)
+       |        AS BIGINT), 0)) AS code
+       |  FROM e, sc),
+       |n AS (SELECT vec_id, code, ${qdot("code", "code")} AS qnorm2 FROM c),
+       |q AS (
+       |  SELECT vec_id AS query_id, code AS q_code, qnorm2 AS q_norm2
+       |  FROM n WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${qdot("n.code", "q.q_code")} AS qdot, n.qnorm2, q.q_norm2
+       |  FROM n, q WHERE n.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    CAST(qdot AS DOUBLE) / sqrt(CAST(qnorm2 * q_norm2 AS DOUBLE))
+       |      AS qcos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY CAST(qdot AS DOUBLE)
+       |                         / sqrt(CAST(qnorm2 * q_norm2 AS DOUBLE)) DESC,
+       |                         neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, qdot,
+       |  ROUND(qcos, 6) AS qcosine
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Recall@k of the SQ8 integer-domain ranking against the exact float
+    * brute force — what the 4× compression actually costs on THIS
+    * corpus, the [[annRecall]] companion for the quantization axis. */
+  def sq8Recall(spark: SparkSession, dir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val sq = sq8TopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_sq"))
+    bf.join(sq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_truth"), count(col("in_sq")).as("n_hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("k_truth")).as("n_truth"),
+        sum(col("n_hit")).as("n_hits"),
+        min(col("n_hit")).as("worst_query_hits"))
+      .withColumn("recall_at_k",
+        expr("ROUND(n_hits / CAST(NULLIF(n_truth, 0) AS DOUBLE), 6)"))
+  }
+
+  def sq8RecallOracle(numQueries: Int = 8, k: Int = 5): String =
+    s"""WITH bf AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${bruteForceOracle(numQueries, k)}) b),
+       |sq AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${sq8Oracle(numQueries, k)}) s),
+       |j AS (
+       |  SELECT bf.query_id,
+       |    CASE WHEN sq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bf LEFT JOIN sq
+       |    ON bf.query_id = sq.query_id
+       |   AND bf.neighbor_id = sq.neighbor_id),
+       |p AS (
+       |  SELECT query_id, COUNT(*) AS kt, SUM(hit) AS nh
+       |  FROM j GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(kt) AS BIGINT) AS n_truth,
+       |  CAST(SUM(nh) AS BIGINT) AS n_hits,
+       |  CAST(MIN(nh) AS BIGINT) AS worst_query_hits,
+       |  ROUND(SUM(nh) / CAST(NULLIF(SUM(kt), 0) AS DOUBLE), 6)
+       |    AS recall_at_k
+       |FROM p""".stripMargin
+
   /** ANN quality evaluation — recall@k of the IVF index against the
     * brute-force ground truth, the [[graft.llm.Dedup.lshEval]] companion
     * for the similarity side: nprobe < nlist trades recall for scan

@@ -56,6 +56,29 @@ class SimilaritySpec extends SparkSpec {
       math.rint(nHits.toDouble / nTruth * 1e6) / 1e6)
   }
 
+  test("SQ8: integer codes bounded by 127, high recall vs exact, valid qcosines") {
+    val out = Similarity.sq8TopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      val sorted = rows.sortBy(_._2).map(_._5)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+      rows.foreach { case (_, _, _, qdot, qc) =>
+        // |qdot| <= dim * 127^2; qcosine in [-1, 1] up to rounding
+        assert(math.abs(qdot) <= 64L * 127 * 127)
+        assert(qc >= -1.0001 && qc <= 1.0001)
+      }
+    }
+    // Per-dim max-abs scaling keeps per-dimension resolution: the int8
+    // ranking should agree with the exact float ranking almost always.
+    val r = Similarity.sq8Recall(spark, Sf001, numQueries = 8, k = 5)
+      .collect().head
+    assert(r.getAs[Long]("n_truth") == 40L)
+    assert(r.getAs[Double]("recall_at_k") >= 0.8)
+  }
+
   test("codegen'd hyperplane buckets equal the built-in SQL formulation bit-for-bit") {
     import org.apache.spark.sql.functions.{col, expr}
     graft.functions.HyperplaneBuckets.register(spark)
