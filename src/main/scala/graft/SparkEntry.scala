@@ -189,6 +189,9 @@ object SparkEntry {
     Q("q_dedup_semantic", // SemDeDup: cosine near-dups within k-means clusters
       (s, d) => llm.Clustering.semanticDedup(s, d),
       Some(llm.Clustering.semanticDedupOracle())),
+    Q("q_llm_kcenter", // greedy k-center coreset: diverse-subset selection
+      (s, d) => llm.Clustering.kcenterCoreset(s, d),
+      Some(llm.Clustering.kcenterOracle())),
     Q("q_ops_landing_orc", // explicit-schema ORC landing reader
       (s, d) => OperatorQueries.landingOrc(s, d),
       Some(OperatorQueries.landingOrcOracle)),

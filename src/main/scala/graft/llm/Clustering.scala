@@ -234,6 +234,98 @@ object Clustering {
     * cells (map-side partial sums — the corpus vectors are NEVER
     * shuffled), and the pair stage is a #labels-row broadcast
     * nested-loop — bounded by the label vocabulary, not the data. */
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —
+    * the DIVERSE-SUBSET selector a training-data pipeline uses where
+    * [[semanticDedup]] removes redundancy: pick the lowest vec_id, then
+    * repeatedly pick the point FARTHEST from everything picked so far.
+    * The greedy sequence is a 2-approximation of the optimal k-center
+    * cover, and its distances are the coverage radii — d2 of selection i
+    * bounds how far any corpus point is from the first i centers, the
+    * number a "how many exemplars do I need" curve reads off directly.
+    *
+    * Determinism: the [[kmeans]] conventions — quantized BIGINT vectors,
+    * exact integer squared L2 ([[graft.functions.SquaredL2]]), ties on
+    * (d2 DESC, vec_id ASC), lowest-vec_id seed — so every selection and
+    * every radius is exact and the output hash-checks cross-engine.
+    *
+    * Scale shape: k passes, each a broadcast of ≤ k centers against the
+    * corpus scan, a groupBy(vec_id) min with map-side partials, and a
+    * TakeOrderedAndProject top-1 — no corpus shuffle anywhere, driver
+    * state is k rows.  At 100 TB one runs the same greedy over a
+    * [[graft.llm.Sampling]] uniform sample (the standard
+    * sample-then-select coreset recipe); the loop itself is unchanged. */
+  def kcenterCoreset(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.SquaredL2.register(spark)
+    val q = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantSpark).as("qv"))
+      .persist()
+    try {
+      val seed = q.orderBy(col("vec_id").asc).limit(1)
+        .select(col("vec_id")).collect()
+      if (seed.isEmpty)
+        return Seq.empty[(Int, Long, Long)].toDF("sel", "vec_id", "d2")
+      val chosen = scala.collection.mutable.ListBuffer(
+        (seed(0).getLong(0), 0L))
+      var done = false
+      for (_ <- 1 until k if !done) {
+        val ids = chosen.map(_._1).toSeq
+        val cents = q.filter(col("vec_id").isin(ids: _*))
+          .select(col("qv").as("cv"))
+        val next = q.filter(!col("vec_id").isin(ids: _*))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", expr(distSpark("qv", "cv")))
+          .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+          .orderBy(col("d2").desc, col("vec_id").asc)
+          .limit(1).collect()
+        if (next.isEmpty) done = true
+        else chosen += ((next(0).getLong(0), next(0).getLong(1)))
+      }
+      chosen.zipWithIndex
+        .map { case ((id, d2), i) => (i, id, d2) }
+        .toSeq.toDF("sel", "vec_id", "d2")
+    } finally q.unpersist()
+  }
+
+  /** DuckDB mirror of [[kcenterCoreset]]: the greedy loop unrolled as an
+    * INCREMENTAL state chain — s_i carries each remaining point's best
+    * distance to the centers so far (`LEAST(prev, dist-to-new-center)`,
+    * the standard farthest-point recurrence), c_i takes its (d2 DESC,
+    * vec_id ASC) top-1.  Every CTE is MATERIALIZED: each c_i is consumed
+    * by the next state AND the final union, and the naive re-unioned
+    * form re-inlines the whole prefix per step — exponential
+    * re-evaluation that took minutes where this runs in milliseconds.
+    * The recurrence computes the same exact-integer minima the Spark
+    * side recomputes in full each pass. */
+  def kcenterOracle(k: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, $quantDuck AS qv FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id, qv, CAST(0 AS BIGINT) AS d2
+       |  FROM q ORDER BY vec_id ASC LIMIT 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT v.vec_id, v.qv, ${distDuck("v.qv", "c.qv")} AS d2
+       |  FROM q v, c0 c WHERE v.vec_id <> c.vec_id)""".stripMargin
+    for (i <- 1 until k) {
+      sb ++= s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT vec_id, qv, d2 FROM s$i
+         |  ORDER BY d2 DESC, vec_id ASC LIMIT 1)""".stripMargin
+      if (i < k - 1)
+        sb ++= s""",
+           |s${i + 1} AS MATERIALIZED (
+           |  SELECT s.vec_id, s.qv,
+           |    LEAST(s.d2, ${distDuck("s.qv", "c.qv")}) AS d2
+           |  FROM s$i s, c$i c WHERE s.vec_id <> c.vec_id)""".stripMargin
+    }
+    sb ++= (0 until k).map(i =>
+      s"\nSELECT CAST($i AS INT) AS sel, vec_id, d2 FROM c$i")
+      .mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val cents = Sources.embeddings(spark, dir)
       .select(col("label"), posexplode(expr(quantSpark)))

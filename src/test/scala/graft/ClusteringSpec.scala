@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.Clustering
 
 class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = Sf001
   private def docs = graft.core.Sources.embeddings(spark, dir)
@@ -122,6 +123,34 @@ class ClusteringSpec extends SparkSpec {
       .filter(col("cid_a") =!= col("cid_b") || col("cid_a") =!= col("cid"))
       .count()
     assert(crossCluster == 0)
+  }
+
+  test("k-center greedy: farthest-point invariants against a local recompute") {
+    import graft.llm.Clustering
+    val out = Clustering.kcenterCoreset(spark, dir, k = 6)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0 until 6))
+    assert(out.map(_._2).distinct.length == 6)    // 6 distinct exemplars
+    assert(out.head._3 == 0L)                     // seed has no radius
+    // Coverage radii are non-increasing: each pick is the farthest point
+    // from a SUPERSET of the previous centers.
+    val d = out.tail.map(_._3)
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b })
+    // Local recompute of the greedy sequence on collected vectors.
+    val vecs = graft.core.Sources.embeddings(spark, dir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    def dist2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val chosen = scala.collection.mutable.ListBuffer(vecs.keys.min)
+    for (_ <- 1 until 6) {
+      val next = vecs.keys.filterNot(chosen.contains).map { id =>
+        (id, chosen.map(c => dist2(vecs(id), vecs(c))).min)
+      }.minBy { case (id, dd) => (-dd, id) }
+      chosen += next._1
+    }
+    assert(out.map(_._2).toSeq == chosen.toSeq)
   }
 
   test("label centroids: hand-computed means, orthogonal and identical") {
