@@ -667,6 +667,9 @@ object SparkEntry {
     Q("q_ops_txlog_restore", // metadata-only rollback to a prior version
       (s, d) => graft.core.TxLog.revenueRestored(s, d),
       Some(graft.core.TxLog.revenueRestoredOracle)),
+    Q("q_ops_txlog_replace", // REPLACE WHERE: atomic scoped delete+reload
+      (s, d) => graft.core.TxLog.revenueReplaced(s, d),
+      Some(graft.core.TxLog.revenueReplacedOracle)),
     Q("q_text_mcnemar", // paired classifier-vs-baseline test, discordant cells
       (s, d) => llm.TextAnalysis.langIdMcNemar(s, d),
       Some(llm.TextAnalysis.langIdMcNemarOracle)),

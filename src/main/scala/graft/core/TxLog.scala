@@ -616,7 +616,26 @@ object TxLog {
     * a targeted file raises [[ConcurrentRewrite]].  Returns the
     * committed version (unchanged when `incoming` is empty). */
   def merge(spark: SparkSession, incoming: DataFrame, path: String,
-      keys: Seq[String]): Long = {
+      keys: Seq[String]): Long =
+    mergeImpl(spark, incoming, path, keys, Nil)
+
+  /** [[merge]] carrying a `txn` writer-idempotence marker in the same
+    * atomic commit — the upsert twin of [[appendBatch]]: a replayed
+    * micro-batch (crash after the sink committed, before the checkpoint
+    * advanced) is recognized via [[lastCommittedBatch]] and SKIPPED, so
+    * a streaming CDC upsert is exactly-once end to end.  Returns whether
+    * the batch was applied (false = already in the table). */
+  def mergeBatch(spark: SparkSession, incoming: DataFrame, path: String,
+      keys: Seq[String], appId: String, batchId: Long): Boolean = {
+    if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId))
+      return false
+    mergeImpl(spark, incoming, path, keys,
+      Seq(Act("txn", s"$appId:$batchId")))
+    true
+  }
+
+  private def mergeImpl(spark: SparkSession, incoming: DataFrame,
+      path: String, keys: Seq[String], extraActs: Seq[Act]): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(keys.nonEmpty, "TxLog: merge needs at least one key column")
     val table = new Path(path)
@@ -660,7 +679,7 @@ object TxLog {
       attempts += 1
       try {
         publish(fs, table, base.version + 1,
-          metaAction(base, incoming.schema, table) ++ actions)
+          metaAction(base, incoming.schema, table) ++ extraActs ++ actions)
         return base.version + 1
       } catch {
         case c: CommitConflict =>
@@ -669,6 +688,77 @@ object TxLog {
           val gone = affectedRel.filterNot(fresh.files.contains)
           if (gone.nonEmpty) throw new ConcurrentRewrite(path, gone)
           base = fresh // commuting commit: retry past it
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Transactional REPLACE WHERE — delete every row matching
+    * `predicate` AND insert `df`, in ONE atomic commit: the idempotent
+    * scoped reload that is the reference's whole load discipline
+    * (delete-month-then-insert, `load.py` everywhere /
+    * [[Sinks.overwriteByDateRange]]) expressed on the commit log, where
+    * a crash can no longer strand the gap between the delete and the
+    * insert and a re-run converges to the same state.  Incoming rows
+    * must all SATISFY the predicate (checked loudly against the staged
+    * files — the Delta replaceWhere constraint; otherwise a re-run
+    * would not be idempotent: rows outside the scope would survive the
+    * next replace and duplicate).  File-granular like [[deleteWhere]]:
+    * stats pruning bounds the affected-file scan, survivors of affected
+    * files are rewritten without matching rows, untouched files carry
+    * by reference.  An empty `df` is a pure scoped delete.  Same
+    * commute/conflict retry rules as [[deleteWhere]]. */
+  def replaceWhere(spark: SparkSession, df: DataFrame, path: String,
+      predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, coalesce, lit}
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    val insertAdds = writeData(spark, df, table, fs)
+    if (insertAdds.nonEmpty) {
+      val bad = spark.read.schema(df.schema)
+        .parquet(insertAdds.map { case (p, _) => s"$path/$p" }: _*)
+        .filter(!coalesce(predicate, lit(false))).limit(1).collect()
+      require(bad.isEmpty,
+        "TxLog: replaceWhere incoming rows must satisfy the predicate " +
+          s"(violator: ${bad.headOption.getOrElse("")})")
+    }
+    val affectedRel: Seq[String] =
+      if (snap.files.isEmpty) Nil
+      else {
+        val (_, candidates) = pruneFiles(spark, path, predicate)
+        if (candidates.isEmpty) Nil
+        else readFiles(spark, path, snap, candidates)
+          .withColumn("_graft_file", input_file_name())
+          .filter(predicate)
+          .select(col("_graft_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+          .map(u => relativize(table, new Path(new java.net.URI(u))))
+          .sorted
+      }
+    val survivorAdds =
+      if (affectedRel.isEmpty) Nil
+      else writeData(spark,
+        readFiles(spark, path, snap, affectedRel)
+          .filter(!coalesce(predicate, lit(false))), table, fs)
+    val actions = affectedRel.map(Act("remove", _)) ++
+      (survivorAdds ++ insertAdds).map { case (p, s) => Act("add", p, s) }
+    if (actions.isEmpty) return snap.version
+    var base = snap
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        publish(fs, table, base.version + 1,
+          metaAction(base, df.schema, table) ++ actions)
+        return base.version + 1
+      } catch {
+        case c: CommitConflict =>
+          if (attempts >= 50) throw c
+          val fresh = snapshot(spark, path)
+          val gone = affectedRel.filterNot(fresh.files.contains)
+          if (gone.nonEmpty) throw new ConcurrentRewrite(path, gone)
+          base = fresh
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1186,6 +1276,52 @@ object TxLog {
        |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita,
        |  MAX(o_orderkey) AS max_key
        |FROM orders WHERE o_orderkey % 2 = 0
+       |GROUP BY 1""".stripMargin
+
+  /** Gate staging for the REPLACE WHERE query: append evens (v1), then
+    * replace the F-status SCOPE with the odd F rows (v2) — the
+    * reference's delete-month-then-insert reload shape, one commit. */
+  private def stagedReplaceLog(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val fp = Staging.fingerprint(spark, dir, "orders")
+    Staging.ensure(s"txlog_replace#$dir", fp) { base =>
+      val t = s"$base/orders_replace"
+      val o = Sources.orders(spark, dir)
+      append(spark, o.filter(col("o_orderkey") % 2 === 0), t)
+      replaceWhere(spark,
+        o.filter(col("o_orderkey") % 2 =!= 0 &&
+          col("o_orderstatus") === "F"),
+        t, col("o_orderstatus") === "F")
+    } + "/orders_replace"
+  }
+
+  /** Driver-gate REPLACE WHERE: after [[stagedReplaceLog]] the table
+    * must hold the non-F evens plus the odd F rows — the F scope was
+    * deleted and reloaded atomically, everything outside it untouched.
+    * n_odd pins that the replacement rows really are the odd keys. */
+  def revenueReplaced(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = stagedReplaceLog(spark, dir)
+    if (snapshot(spark, t).isEmpty)
+      return spark.range(0).selectExpr(
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(0 AS BIGINT) AS n_orders",
+        "CAST(0 AS BIGINT) AS n_odd",
+        "CAST(0 AS DECIMAL(18,2)) AS receita")
+    read(spark, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_orderkey") % 2 =!= 0, 1)).as("n_odd"),
+        expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"))
+  }
+
+  val revenueReplacedOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  COUNT(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS n_odd,
+       |  ${Frag.sumMoney(Frag.money("o_totalprice"))} AS receita
+       |FROM orders
+       |WHERE (o_orderkey % 2 = 0 AND o_orderstatus <> 'F')
+       |   OR (o_orderkey % 2 <> 0 AND o_orderstatus = 'F')
        |GROUP BY 1""".stripMargin
 
   /** Gate staging for the data-skipping query: orders appended as FOUR

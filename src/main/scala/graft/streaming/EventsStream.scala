@@ -533,7 +533,7 @@ object EventsStream {
   /** Compact an event batch to its latest row per (user_id, event_type)
     * — [[graft.ops.OperatorQueries.keepLatest]]'s MAX-of-struct form,
     * shared by the streaming CDC sink below and its spec. */
-  private def latestPerKey(df: DataFrame): DataFrame =
+  private[graft] def latestPerKey(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"), col("event_type"))
       .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
       .select(col("user_id"), col("event_type"),
@@ -556,6 +556,41 @@ object EventsStream {
     * — never a full-table rewrite of untouched keys' history, which is
     * exactly the Delta/Iceberg MERGE access pattern.
     */
+  /** Streaming CDC upsert into the COMMIT LOG — [[writeCdcUpsert]] with
+    * every rename-chain caveat gone: each micro-batch compacts to its
+    * latest row per key, resolves against the stored rows (the same
+    * late-batch regression guard), and lands through
+    * [[graft.core.TxLog.mergeBatch]] — data files plus the
+    * `appId:batchId` txn marker in ONE atomic commit, so a replayed
+    * batch (crash between sink commit and checkpoint advance) is
+    * recognized and SKIPPED rather than re-merged: exactly-once on any
+    * store with an atomic create/CAS, no recoverSwap, no existence
+    * probe, and readers see whole merges or nothing. */
+  def writeTxLogUpsert(events: DataFrame, path: String,
+      checkpoint: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestPerKey(batch.toDF())
+        val keys = Seq("user_id", "event_type")
+        val stored =
+          if (graft.core.TxLog.snapshot(spark, path).isEmpty) None
+          else Some(graft.core.TxLog.read(spark, path)
+            .join(latest.select(keys.map(col): _*).distinct(), keys,
+              "left_semi"))
+        val resolved = stored match {
+          case Some(s) => latestPerKey(s.unionByName(latest))
+          case None    => latest
+        }
+        graft.core.TxLog.mergeBatch(spark, resolved, path, keys,
+          appId, batchId)
+        ()
+      }
+      .start()
+
   def writeCdcUpsert(events: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

@@ -422,6 +422,50 @@ class StreamingSpec extends SparkSpec {
     assert(sevenClick.contains(4L), s"late data regressed the row: $sevenClick")
   }
 
+  test("TxLog CDC upsert: keepLatest view, late batches, replayed batch skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_txcdc_out")
+      .toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txcdc_ckpt").toString
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "view", 2.0),
+      (3L, ts("2024-01-01 12:00:00"), 8L, "click", 3.0))
+    val b2 = Seq( // advances (7, click); new key (9, view)
+      (4L, ts("2024-01-02 09:00:00"), 7L, "click", 4.0),
+      (5L, ts("2024-01-02 10:00:00"), 9L, "view", 5.0))
+    val b3 = Seq( // LATE: older than the stored (7, click) — must NOT regress
+      (6L, ts("2024-01-01 09:00:00"), 7L, "click", 99.0))
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStream.writeTxLogUpsert(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      out, ckpt, appId = "txcdc")
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      stream.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    def table() = graft.core.TxLog.read(spark, out)
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    val want = graft.ops.OperatorQueries.keepLatestOf(
+      (b1 ++ b2 ++ b3)
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    assert(table() == want)
+    // The at-least-once window: the last batch replays (crash between
+    // the sink's commit and the checkpoint advance).  The txn ledger
+    // recognizes it — skipped, version and content unchanged.
+    val vBefore = graft.core.TxLog.snapshot(spark, out).version
+    val replay = (b1 ++ b2 ++ b3)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(!graft.core.TxLog.mergeBatch(spark,
+      EventsStream.latestPerKey(replay), out,
+      Seq("user_id", "event_type"), "txcdc", batchId = 2L))
+    assert(graft.core.TxLog.snapshot(spark, out).version == vBefore)
+    assert(table() == want)
+  }
+
   test("CDC upsert survives stop + crash + restart from checkpoint (exactly-once)") {
     // The restart-recovery proof the batch-cut tests can't give: the
     // query is STOPPED mid-stream, the stored table is left in the

@@ -491,6 +491,31 @@ class TxLogSpec extends SparkSpec {
       Seq("k", "v", "_change_type", "_commit_version"))
   }
 
+  test("replaceWhere: atomic scoped delete+insert, idempotent, constraint loud") {
+    val t = tmp()
+    TxLog.append(spark,
+      Seq((1, "keep"), (2, "old"), (3, "old")).toDF("k", "v"), t)   // v1
+    // Replace the v='old' scope with fresh rows — one commit.
+    val v2 = TxLog.replaceWhere(spark,
+      Seq((2, "old"), (9, "old")).toDF("k", "v"), t, $"v" === "old")
+    assert(v2 == 2L)
+    assert(rows(t) == Seq((1, "keep"), (2, "old"), (9, "old")))
+    // Re-running the same scoped reload converges to the same state.
+    TxLog.replaceWhere(spark,
+      Seq((2, "old"), (9, "old")).toDF("k", "v"), t, $"v" === "old")
+    assert(rows(t) == Seq((1, "keep"), (2, "old"), (9, "old")))
+    // Incoming rows OUTSIDE the scope would break idempotency: loud.
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, Seq((5, "other")).toDF("k", "v"), t,
+        $"v" === "old")
+    }
+    assert(e.getMessage.contains("satisfy the predicate"))
+    // Empty incoming = pure scoped delete.
+    TxLog.replaceWhere(spark,
+      Seq.empty[(Int, String)].toDF("k", "v"), t, $"v" === "old")
+    assert(rows(t) == Seq((1, "keep")))
+  }
+
   test("restoreTo: metadata-only rollback; vacuumed target fails loudly") {
     val t = tmp()
     TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)           // v1
