@@ -694,6 +694,9 @@ object SparkEntry {
     Q("q_ann_sq8_recall", // what the 4x compression costs: recall vs exact
       (s, d) => llm.Similarity.sq8Recall(s, d),
       Some(llm.Similarity.sq8RecallOracle())),
+    Q("q_ann_mmr", // MMR diversity re-rank: relevance minus redundancy
+      (s, d) => llm.Similarity.mmrTopK(s, d),
+      Some(llm.Similarity.mmrOracle())),
     Q("q_text_langid_eval", // language-ID confusion matrix + shares
       (s, d) => llm.TextAnalysis.langIdEval(s, d),
       Some(llm.TextAnalysis.langIdEvalOracle)),

@@ -52,11 +52,11 @@ object Clustering {
   val DefaultIters = 3
 
   /** `round(x*1000)` quantization, Spark spelling (FLOAT[] → BIGINT[]). */
-  private val quantSpark =
+  private[llm] val quantSpark =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** Same quantization, DuckDB spelling (DOUBLE[] → BIGINT[]). */
-  private val quantDuck =
+  private[llm] val quantDuck =
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000) AS BIGINT))"
 
   /** Exact integer squared L2 distance: the codegen'd

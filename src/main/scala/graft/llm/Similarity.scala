@@ -625,6 +625,138 @@ object Similarity {
        |    AS recall_at_k
        |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- MMR --
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the retrieval-side diversity operator [[graft.llm.Clustering
+    * .kcenterCoreset]] is for corpora: from each query's relevance
+    * top-`poolN`, greedily select `k` results maximizing
+    * relevance − redundancy, where redundancy is the max similarity to
+    * the already-selected set.  The retrieval stack returns near-
+    * duplicates of one good hit without this; with it, slot i buys the
+    * most NEW information.  λ is fixed at ½ and the ½ factored out, so
+    * the objective is the exact BIGINT `qdot − max-pairwise-dot` — the
+    * [[graft.llm.Clustering]] integer discipline again (quantized
+    * vectors, integer dots, ties on vec_id ASC), making every selection
+    * and both score components hash-check cross-engine.
+    *
+    * Scale shape: relevance scoring is the [[bruteForceTopK]] broadcast
+    * pattern (swap in the IVF/SQ8 scorer at scale — MMR only needs SOME
+    * relevance pool); everything after operates on poolN·|Q| rows —
+    * pool pairs and the k greedy picks are bounded by poolN² per query
+    * regardless of corpus size, with lineage checkpointed per pick. */
+  def mmrTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+      poolN: Int = 12, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), expr(Clustering.quantSpark).as("qv"))
+    val queries = q.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    val pool = q.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", expr(qdotSpec("qv", "q_qv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id").asc)))
+      .filter(col("rn") <= poolN)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qdot"),
+        col("rn"))
+      .localCheckpoint()
+    val pairs = pool.select(col("query_id"), col("vec_id").as("a_id"),
+        col("qv").as("a_qv"))
+      .join(pool.select(col("query_id"), col("vec_id").as("b_id"),
+        col("qv").as("b_qv")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        expr(qdotSpec("a_qv", "b_qv")).as("pdot"))
+      .localCheckpoint()
+    var result = pool.filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("sel"),
+        col("qdot"), lit(0L).as("penalty"))
+    for (i <- 2 to k) {
+      val pen = pairs
+        .join(result.select(col("query_id"), col("vec_id").as("a_id")),
+          Seq("query_id", "a_id"))
+        .groupBy(col("query_id"), col("b_id"))
+        .agg(max(col("pdot")).as("penalty"))
+      val pick = pool
+        .join(result.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(pen, pool("query_id") === pen("query_id") &&
+          col("vec_id") === col("b_id"))
+        .select(pool("query_id"), col("vec_id"), col("qdot"),
+          col("penalty"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy((col("qdot") - col("penalty")).desc,
+              col("vec_id").asc)))
+        .filter(col("rn2") === 1)
+        .select(col("query_id"), col("vec_id"), lit(i).as("sel"),
+          col("qdot"), col("penalty"))
+      result = result.unionByName(pick).localCheckpoint()
+    }
+    result.select(col("query_id"), col("sel"),
+      col("vec_id").as("neighbor_id"), col("qdot"), col("penalty"),
+      (col("qdot") - col("penalty")).as("mmr"))
+  }
+
+  /** DuckDB mirror of [[mmrTopK]]: the greedy loop unrolled as an
+    * accumulated-selection CTE chain, every step MATERIALIZED (the
+    * [[graft.llm.Clustering.kcenterOracle]] lesson — inlined CTE
+    * prefixes re-evaluate exponentially). */
+  def mmrOracle(numQueries: Int = 8, poolN: Int = 12, k: Int = 5): String = {
+    def qdot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+         |    (acc, v) -> acc + v)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, ${Clustering.quantDuck} AS qv FROM embeddings),
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, qv AS q_qv FROM q
+       |  WHERE vec_id < $numQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, qv, qdot, rn FROM (
+       |    SELECT qq.query_id, v.vec_id, v.qv,
+       |      ${qdot("v.qv", "qq.q_qv")} AS qdot,
+       |      ROW_NUMBER() OVER (PARTITION BY qq.query_id
+       |        ORDER BY ${qdot("v.qv", "qq.q_qv")} DESC, v.vec_id ASC) AS rn
+       |    FROM q v, qq WHERE v.vec_id <> qq.query_id) t
+       |  WHERE rn <= $poolN),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${qdot("a.qv", "b.qv")} AS pdot
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |acc1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, 1 AS sel, qdot, CAST(0 AS BIGINT) AS penalty
+       |  FROM pool WHERE rn = 1)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""",
+         |pen$i AS MATERIALIZED (
+         |  SELECT p.query_id, p.b_id, MAX(p.pdot) AS penalty
+         |  FROM pairs p JOIN acc${i - 1} s
+         |    ON p.query_id = s.query_id AND p.a_id = s.vec_id
+         |  GROUP BY 1, 2),
+         |pick$i AS MATERIALIZED (
+         |  SELECT query_id, vec_id, $i AS sel, qdot, penalty FROM (
+         |    SELECT c.query_id, c.vec_id, c.qdot, pe.penalty,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.qdot - pe.penalty DESC, c.vec_id ASC) AS rn2
+         |    FROM pool c
+         |    JOIN pen$i pe
+         |      ON c.query_id = pe.query_id AND c.vec_id = pe.b_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s
+         |      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) t
+         |  WHERE rn2 = 1),
+         |acc$i AS MATERIALIZED (
+         |  SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT query_id, CAST(sel AS INT) AS sel, vec_id AS neighbor_id,
+       |  qdot, penalty, qdot - penalty AS mmr
+       |FROM acc$k""".stripMargin
+    sb.toString
+  }
+
   /** ANN quality evaluation — recall@k of the IVF index against the
     * brute-force ground truth, the [[graft.llm.Dedup.lshEval]] companion
     * for the similarity side: nprobe < nlist trades recall for scan

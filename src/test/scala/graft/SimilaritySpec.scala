@@ -79,6 +79,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") >= 0.8)
   }
 
+  test("MMR: greedy sequence matches a local recompute; diversity penalty binds") {
+    val out = Similarity.mmrTopK(spark, Sf001, numQueries = 4, poolN = 8, k = 4)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    // Local recompute of pool + greedy per query.
+    val vecs = graft.core.Sources.embeddings(spark, Sf001)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (qid <- 0L to 3L) {
+      val rel = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, dot(vecs(id), vecs(qid))))
+        .sortBy { case (id, d) => (-d, id) }.take(8)
+      val chosen = scala.collection.mutable.ListBuffer(rel.head._1)
+      for (_ <- 2 to 4) {
+        val next = rel.filterNot(c => chosen.contains(c._1)).map {
+          case (id, qd) =>
+            (id, qd - chosen.map(s => dot(vecs(id), vecs(s))).max)
+        }.minBy { case (id, m) => (-m, id) }
+        chosen += next._1
+      }
+      val got = byQuery(qid).sortBy(_._2)
+      assert(got.map(_._3).toSeq == chosen.toSeq, s"query $qid")
+      // mmr = qdot - penalty on every row; first pick pays no penalty.
+      got.foreach { case (_, _, _, qd, pen, mmr) => assert(mmr == qd - pen) }
+      assert(got.head._5 == 0L)
+    }
+  }
+
   test("codegen'd hyperplane buckets equal the built-in SQL formulation bit-for-bit") {
     import org.apache.spark.sql.functions.{col, expr}
     graft.functions.HyperplaneBuckets.register(spark)
