@@ -697,6 +697,9 @@ object SparkEntry {
     Q("q_ann_mmr", // MMR diversity re-rank: relevance minus redundancy
       (s, d) => llm.Similarity.mmrTopK(s, d),
       Some(llm.Similarity.mmrOracle())),
+    Q("q_ann_matryoshka", // prefix-dim truncation: recall at 4x narrower scan
+      (s, d) => llm.Similarity.matryoshkaRecall(s, d),
+      Some(llm.Similarity.matryoshkaOracle())),
     Q("q_text_langid_eval", // language-ID confusion matrix + shares
       (s, d) => llm.TextAnalysis.langIdEval(s, d),
       Some(llm.TextAnalysis.langIdEvalOracle)),

@@ -56,8 +56,14 @@ object Similarity {
 
   /** Exact cosine top-k of every candidate for each query vector. */
   def bruteForceTopK(spark: SparkSession, dir: String,
-      numQueries: Int = 8, k: Int = 5): DataFrame = {
-    val emb = withNorm(Sources.embeddings(spark, dir))
+      numQueries: Int = 8, k: Int = 5): DataFrame =
+    bruteForceTopKOf(Sources.embeddings(spark, dir), numQueries, k)
+
+  /** [[bruteForceTopK]] over any (vec_id, embedding) frame — the scorer
+    * [[matryoshkaRecall]] reuses on truncated vectors. */
+  private def bruteForceTopKOf(embSrc: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
+    val emb = withNorm(embSrc)
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"), col("norm").as("q_norm"))
@@ -624,6 +630,82 @@ object Similarity {
        |  ROUND(SUM(nh) / CAST(NULLIF(SUM(kt), 0) AS DOUBLE), 6)
        |    AS recall_at_k
        |FROM p""".stripMargin
+
+  /** Matryoshka truncation recall — the THIRD compression axis after
+    * code quantization ([[sq8Recall]]) and subspace quantization (PQ):
+    * keep only the first `dims` of 64 dimensions (the MRL premise —
+    * Kusupati et al. 2022 — that prefix dimensions carry the coarse
+    * structure) and measure recall@k of the truncated cosine ranking
+    * against the full-dimension exact one.  A 4× scan-width cut with
+    * ZERO index structure: the truncated table is just a narrower
+    * column, and the scorer is [[bruteForceTopK]] verbatim on sliced
+    * vectors (swap into the IVF layout unchanged).  Float arithmetic is
+    * the already-proven [[dotOracle]] left-fold contract, so this
+    * hash-checks like the rest of the family. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, dims: Int = 16,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val tr = bruteForceTopKOf(
+      Sources.embeddings(spark, dir).select(col("vec_id"),
+        expr(s"slice(embedding, 1, $dims)").as("embedding")),
+      numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_tr"))
+    bf.join(tr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_truth"), count(col("in_tr")).as("n_hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("k_truth")).as("n_truth"),
+        sum(col("n_hit")).as("n_hits"),
+        min(col("n_hit")).as("worst_query_hits"))
+      .withColumn("recall_at_k",
+        expr("ROUND(n_hits / CAST(NULLIF(n_truth, 0) AS DOUBLE), 6)"))
+  }
+
+  /** DuckDB mirror: [[bruteForceOracle]] with the embedding list sliced
+    * to the prefix, joined against the full-dimension truth. */
+  def matryoshkaOracle(dims: Int = 16, numQueries: Int = 8,
+      k: Int = 5): String = {
+    val truncated =
+      s"""WITH e AS (
+         |  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$dims] AS emb
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, emb, sqrt(${dotOracle("emb", "emb")}) AS norm FROM e),
+         |q AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+         |  FROM n WHERE vec_id < $numQueries),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    ${dotOracle("n.emb", "q.q_emb")} / (n.norm * q.q_norm) AS cos
+         |  FROM n, q WHERE n.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $k""".stripMargin
+    s"""WITH bf AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${bruteForceOracle(numQueries, k)}) b),
+       |tr AS ($truncated),
+       |j AS (
+       |  SELECT bf.query_id,
+       |    CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bf LEFT JOIN tr
+       |    ON bf.query_id = tr.query_id
+       |   AND bf.neighbor_id = tr.neighbor_id),
+       |p AS (
+       |  SELECT query_id, COUNT(*) AS kt, SUM(hit) AS nh
+       |  FROM j GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(kt) AS BIGINT) AS n_truth,
+       |  CAST(SUM(nh) AS BIGINT) AS n_hits,
+       |  CAST(MIN(nh) AS BIGINT) AS worst_query_hits,
+       |  ROUND(SUM(nh) / CAST(NULLIF(SUM(kt), 0) AS DOUBLE), 6)
+       |    AS recall_at_k
+       |FROM p""".stripMargin
+  }
 
   // ---------------------------------------------------------------- MMR --
 

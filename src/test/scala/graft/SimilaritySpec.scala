@@ -77,6 +77,12 @@ class SimilaritySpec extends SparkSpec {
       .collect().head
     assert(r.getAs[Long]("n_truth") == 40L)
     assert(r.getAs[Double]("recall_at_k") >= 0.8)
+    // Matryoshka prefix truncation: recall well above chance, bounded ≤ 1.
+    val m = Similarity.matryoshkaRecall(spark, Sf001, dims = 16,
+      numQueries = 8, k = 5).collect().head
+    assert(m.getAs[Long]("n_truth") == 40L)
+    val rec = m.getAs[Double]("recall_at_k")
+    assert(rec > 0.0 && rec <= 1.0)
   }
 
   test("MMR: greedy sequence matches a local recompute; diversity penalty binds") {
