@@ -550,6 +550,9 @@ object SparkEntry {
     Q("q_an_autocorr", // lag-7 Pearson r over day cells, exact moments
       (s, d) => graft.ops.Forecast.weeklyAutocorr(s, d),
       Some(graft.ops.Forecast.weeklyAutocorrOracle)),
+    Q("q_an_cross_corr", // lead-lag Pearson r between event-type pairs
+      (s, d) => graft.ops.Forecast.crossCorr(s, d),
+      Some(graft.ops.Forecast.crossCorrOracle())),
     Q("q_an_cms_join_size", // CMS inner-product join-cardinality estimate
       (s, d) => graft.ops.CmsFreq.joinSize(s, d),
       Some(graft.ops.CmsFreq.joinSizeOracle)),

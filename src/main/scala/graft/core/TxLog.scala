@@ -476,6 +476,36 @@ object TxLog {
     snap.version + 1
   }
 
+  /** INCREMENTAL OPTIMIZE: rewrite only the live files SMALLER than
+    * `thresholdBytes` into one compacted file, leaving every
+    * already-large file untouched (carried by reference) — the
+    * bin-packing small-file compaction of Delta's OPTIMIZE, where
+    * [[compact]] is the full-layout rewrite.  This is the form a 100 TB
+    * table actually runs: streaming appends leave a long tail of small
+    * files, and re-writing the whole table to fix them is O(table)
+    * where this is O(small tail).  Returns the unchanged version when
+    * fewer than two small files exist (nothing to bin-pack — a commit
+    * would churn the log for no layout change).  Same
+    * optimistic-concurrency rule as [[compact]]: a concurrent commit
+    * between snapshot and claim aborts the rewrite (orphans for
+    * [[vacuum]]), because a rewriter must not publish against a stale
+    * file set. */
+  def compactSmall(spark: SparkSession, path: String,
+      thresholdBytes: Long): Long = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    val small = snap.files.filter(f =>
+      fs.getFileStatus(new Path(table, f)).getLen < thresholdBytes)
+    if (small.size < 2) return snap.version
+    val df = readFiles(spark, path, snap, small).coalesce(1)
+    val adds = writeData(spark, df, table, fs)
+    val actions = small.map(Act("remove", _)) ++
+      adds.map { case (p, s) => Act("add", p, s) }
+    publish(fs, table, snap.version + 1, actions)
+    snap.version + 1
+  }
+
   /** [[compact]] with Z-ORDER clustering: rewrite the live files sorted
     * by the Morton interleave of two integer columns ([[ZOrder]]), range-
     * partitioned into `files` chunks — so every rewritten file carries a

@@ -124,6 +124,70 @@ object Forecast {
        |  $AutocorrFormula AS autocorr_lag7
        |FROM m""".stripMargin
 
+  /** Lagged CROSS-correlation between ordered pairs of event types'
+    * daily-revenue series at lags 0..`maxLag` days — the lead-lag
+    * discovery companion of [[weeklyAutocorr]]: a high r at lag L for
+    * (A, B) says A's day-d revenue co-moves with B's day-(d+L), i.e. A
+    * LEADS B by L.  Pairs are ordered (both directions appear), so the
+    * asymmetric lag covers leads and lags without negative offsets.
+    *
+    * Exactness is the [[weeklyAutocorr]] recipe verbatim: exact cent
+    * cells, DECIMAL moment sums, and the one shared double Pearson
+    * chain ([[AutocorrFormula]]) with its NULLIF variance guard.
+    * Scale: day cells in one exchange (calendar × types sized,
+    * checkpointed — never corpus-sized); the lag frame is a bounded
+    * broadcast; the pair join keys on the shifted day. */
+  def crossCorr(spark: SparkSession, dir: String,
+      maxLag: Int = 3): DataFrame = {
+    val daily = Sources.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+        .as("t"))
+      .localCheckpoint()
+    val lags = spark.range(0, maxLag + 1L)
+      .select(col("id").cast("int").as("lag_days"))
+    val a = daily.select(col("event_type").as("type_a"), col("day"),
+      col("t").cast("decimal(18,0)").as("x"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("t").cast("decimal(18,0)").as("y"))
+    a.crossJoin(broadcast(lags))
+      .withColumn("day_b", date_add(col("day"), col("lag_days")))
+      .join(b, Seq("day_b"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag_days"))
+      .agg(count(lit(1)).as("n"), sum(expr("x")).as("sx"),
+        sum(expr("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .selectExpr("type_a", "type_b", "lag_days", "n AS n_days",
+        s"$AutocorrFormula AS xcorr")
+  }
+
+  def crossCorrOracle(maxLag: Int = 3): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |    CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT) AS t
+       |  FROM events GROUP BY 1, 2),
+       |lags AS (
+       |  SELECT CAST(UNNEST(generate_series(0, $maxLag)) AS INT)
+       |    AS lag_days),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    l.lag_days,
+       |    CAST(a.t AS DECIMAL(18,0)) AS x,
+       |    CAST(b.t AS DECIMAL(18,0)) AS y
+       |  FROM daily a
+       |  CROSS JOIN lags l
+       |  JOIN daily b ON b.day = a.day + l.lag_days
+       |  WHERE a.event_type <> b.event_type),
+       |m AS (
+       |  SELECT type_a, type_b, lag_days, COUNT(*) AS n, SUM(x) AS sx,
+       |    SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+       |    SUM(y * y) AS syy
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, lag_days, CAST(n AS BIGINT) AS n_days,
+       |  $AutocorrFormula AS xcorr
+       |FROM m""".stripMargin
+
   /** Exponential smoothing (EWMA, α = ½) of the daily-revenue series per
     * event type, with the one-step forecast MAE — the exponential member
     * of the backtest family next to [[naiveBacktest]]'s lag baselines.

@@ -54,6 +54,40 @@ class ForecastSpec extends SparkSpec {
         ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
       .toMap
 
+  test("cross-corr: lag-0 symmetric, perfect lagged co-movement found") {
+    val out = Forecast.crossCorr(spark, Sf001, maxLag = 3)
+      .as[(String, String, Int, Long, Option[Double])].collect()
+    assert(out.nonEmpty)
+    // Lag 0 is symmetric: r(A,B,0) == r(B,A,0) on identical day sets.
+    val lag0 = out.filter(_._3 == 0)
+      .map(r => ((r._1, r._2), (r._4, r._5))).toMap
+    lag0.foreach { case ((a, b), v) =>
+      assert(lag0.get((b, a)).contains(v), s"asymmetric lag-0 pair ($a,$b)")
+    }
+    // Synthetic fixture: B is exactly A shifted one day => r(A,B,1) = 1.
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("xcorr").toString
+    val rows = (1 to 20).flatMap { d =>
+      val v = (d * 37 % 11) * 1.0 + 1.0 // non-constant series
+      Seq((d.toLong, Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+             1L, "a", v, "{}"),
+        (100L + d, Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00"),
+             1L, "b", 0.0, "{}"))
+    } ++ (2 to 21).map { d =>
+      val v = ((d - 1) * 37 % 11) * 1.0 + 1.0
+      (200L + d, Timestamp.valueOf(
+        if (d <= 31) f"2024-01-$d%02d 10:00:00" else "2024-02-01 10:00:00"),
+        2L, "c", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fx = Forecast.crossCorr(spark, dir, maxLag = 3)
+      .as[(String, String, Int, Long, Option[Double])].collect()
+    val ac = fx.find(r => r._1 == "a" && r._2 == "c" && r._3 == 1).get
+    assert(ac._4 == 20L)
+    assert(ac._5.contains(1.0), s"expected perfect lag-1 corr, got $ac")
+  }
+
   test("ewma: hand-computed halving fold and one-step MAE") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("ewma").toString

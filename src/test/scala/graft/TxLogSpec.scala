@@ -516,6 +516,32 @@ class TxLogSpec extends SparkSpec {
     assert(rows(t) == Seq((1, "keep")))
   }
 
+  test("compactSmall: bin-packs only the small-file tail, big files carry") {
+    val t = tmp()
+    // One "big" file (many rows) + a tail of small single-row appends.
+    TxLog.append(spark,
+      (1 to 500).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val big = TxLog.snapshot(spark, t).files
+    assert(big.size == 1)
+    for (i <- 501 to 504)
+      TxLog.append(spark, Seq((i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val bigLen = {
+      val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(new Path(t, big.head)).getLen
+    }
+    val v = TxLog.compactSmall(spark, t, thresholdBytes = bigLen)
+    val after = TxLog.snapshot(spark, t)
+    assert(v == after.version && v == 6L)
+    // Big file carried by reference; four small files became one.
+    assert(after.files.contains(big.head))
+    assert(after.files.size == 2)
+    // Content identical.
+    assert(TxLog.read(spark, t).count() == 504L)
+    assert(rows(t).take(3) == Seq((1, "v1"), (2, "v2"), (3, "v3")))
+    // Idempotent: one packed file is not a tail worth churning.
+    assert(TxLog.compactSmall(spark, t, thresholdBytes = bigLen) == v)
+  }
+
   test("restoreTo: metadata-only rollback; vacuumed target fails loudly") {
     val t = tmp()
     TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)           // v1
