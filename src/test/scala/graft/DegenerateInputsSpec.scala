@@ -187,7 +187,20 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_an_pettitt", "q_an_seasonal_index",
     // Kaplan-Meier's risk-set windows and ordered product fold over
     // empty/single-user lifetimes (all-censored corpus).
-    "q_an_kaplan_meier")
+    "q_an_kaplan_meier",
+    // Round-9 continuation: every TxLog verb gate over an empty/
+    // degenerate staged log (merge of an empty batch, CDF over
+    // meta-only commits, restore/replace of empty generations — each
+    // guarded by the empty-snapshot short-circuit), the paired-test
+    // NULLIF on an all-concordant or empty corpus, the SQ8 scale agg
+    // over zero embeddings (empty collect_list array), recall NULLIFs
+    // over empty truth sets, the greedy loops (kcenter/mmr) with no
+    // seed / no pool, and the cross-corr pair join over empty or
+    // single-type day cells.
+    "q_ops_txlog_incr", "q_ops_txlog_merge", "q_ops_txlog_cdf",
+    "q_ops_txlog_restore", "q_ops_txlog_replace", "q_text_mcnemar",
+    "q_ann_sq8", "q_ann_sq8_recall", "q_llm_kcenter", "q_ann_mmr",
+    "q_ann_matryoshka", "q_an_cross_corr")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 
