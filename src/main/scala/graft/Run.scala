@@ -44,7 +44,7 @@ import graft.kpi._
   * receita_farmer_m_presente|receita_cliente|receita_produto_f_m_passado|
   * fechamento_farmer_m_passado|fechamento_farmer_m_presente`,
   * `--farmer-id N`, `--months-back N`, `--run-date yyyy-MM-dd`,
-  * `--in <sfDir>`, `--out <warehouse>`, `--sink parquet|jdbc`,
+  * `--in <sfDir>`, `--out <warehouse>`, `--sink parquet|jdbc|txlog`,
   * `--log-file <path>`, `--summary-json <path>` (machine-readable
   * per-pipeline results).  Unset CLI values fall back to the environment
   * ([[graft.core.RunConfig.fromEnv]]), then to pipeline defaults.
@@ -149,7 +149,8 @@ object Run {
   def runAll(spark: SparkSession, sfDir: String, outDir: String,
       cfg: RunConfig, kpis: Set[String] = Set("all"),
       jdbc: Option[JdbcEnv] = None,
-      log: String => Unit = _ => ()): Seq[PipelineResult] = {
+      log: String => Unit = _ => (),
+      txlog: Boolean = false): Seq[PipelineResult] = {
     val selected = targets(jdbc.nonEmpty).filter(t =>
       kpis.contains("all") || kpis.contains(t.kpi)) ++
       extraTargets.filter(t => kpis.contains(t.kpi))
@@ -167,7 +168,7 @@ object Run {
             built.filter(col("farmer_id") === id)
           case _ => built
         }
-        val rows = write(df, t, s"$outDir/${t.table}", cfg, jdbc)
+        val rows = write(df, t, s"$outDir/${t.table}", cfg, jdbc, txlog)
         val secs = (System.nanoTime() - t0) / 1e9
         if (rows == 0)
           // The reference skips the load on an empty frame and leaves the
@@ -187,9 +188,18 @@ object Run {
 
   /** Route one pipeline's frame into its sink with the reference's
     * DELETE semantics.  Counting happens on a cached frame so the plan
-    * executes once for count + write. */
+    * executes once for count + write.
+    *
+    * `txlog = true` lands the same reload semantics on the
+    * [[graft.core.TxLog]] commit log instead of the rename-chain
+    * parquet sinks: full reloads through [[graft.core.TxLog
+    * .overwriteAll]], keyed reloads through [[graft.core.TxLog
+    * .replaceKeys]] — each a single atomic commit, so a crashed run can
+    * never strand a half-reloaded table and readers time-travel across
+    * run generations (the operational upgrade the rename sinks
+    * approximate with `.bak` recovery). */
   private def write(df0: DataFrame, t: Target, path: String,
-      cfg: RunConfig, jdbc: Option[JdbcEnv]): Long = {
+      cfg: RunConfig, jdbc: Option[JdbcEnv], txlog: Boolean): Long = {
     val df = df0.localCheckpoint() // one execution; write + count reuse it
     val rows = df.count()
     if (rows == 0) return 0L // reference semantics: empty batch = no load
@@ -199,6 +209,9 @@ object Run {
       case Some(env) =>
         if (fullReload) Sinks.overwriteAllJdbc(df, env, t.table)
         else Sinks.overwriteByKeyJdbc(df, env, t.table, t.keys)
+      case None if txlog =>
+        if (fullReload) graft.core.TxLog.overwriteAll(df.sparkSession, df, path)
+        else graft.core.TxLog.replaceKeys(df.sparkSession, df, path, t.keys)
       case None =>
         if (fullReload)
           // Static partitioned overwrite: whole-table truncate (the
@@ -233,6 +246,7 @@ object Run {
       case Some("jdbc") => Some(JdbcEnv.fromEnv())
       case _            => None
     }
+    val txlog = a.get("sink").contains("txlog")
     val kpis = a.getOrElse("kpi", "all").split(',').map(_.trim).toSet
 
     val logFile = a.get("log-file").map(new java.io.PrintWriter(_))
@@ -244,7 +258,7 @@ object Run {
     }
 
     try {
-      val results = runAll(spark, sfDir, outDir, cfg, kpis, jdbc, log)
+      val results = runAll(spark, sfDir, outDir, cfg, kpis, jdbc, log, txlog)
       a.get("summary-json").foreach(p =>
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
           summaryJson(results)))

@@ -543,6 +543,9 @@ object TxLog {
     * commit deterministically.  Production value is a no-op. */
   private[graft] var deleteRaceHook: () => Unit = () => ()
 
+  /** [[deleteRaceHook]]'s twin for the [[merge]] retry loop. */
+  private[graft] var mergeRaceHook: () => Unit = () => ()
+
   /** Row-level DELETE WHERE over the commit log — the file-granular
     * GDPR/tombstone delete [[Sinks.eraseKeys]] can only do at PARTITION
     * granularity: find the files that contain a matching row
@@ -647,7 +650,19 @@ object TxLog {
     * committed version (unchanged when `incoming` is empty). */
   def merge(spark: SparkSession, incoming: DataFrame, path: String,
       keys: Seq[String]): Long =
-    mergeImpl(spark, incoming, path, keys, Nil)
+    mergeImpl(spark, incoming, path, keys, Nil, requireUniqueKeys = true)
+
+  /** KEY-GROUP reload: delete every row whose `keys` tuple appears in
+    * `incoming`, insert all of `incoming` — one atomic commit.  The
+    * [[Sinks.overwriteByKey]] idempotent-reload semantics (the
+    * reference's `DELETE WHERE key IN batch` + INSERT) on the commit
+    * log: unlike [[merge]], a key tuple may map to MANY incoming rows
+    * (a month×farmer group), because the unit of replacement is the
+    * GROUP, not the row.  Same file-granular rewrite and concurrency
+    * rules as merge. */
+  def replaceKeys(spark: SparkSession, incoming: DataFrame, path: String,
+      keys: Seq[String]): Long =
+    mergeImpl(spark, incoming, path, keys, Nil, requireUniqueKeys = false)
 
   /** [[merge]] carrying a `txn` writer-idempotence marker in the same
     * atomic commit — the upsert twin of [[appendBatch]]: a replayed
@@ -660,12 +675,13 @@ object TxLog {
     if (lastCommittedBatch(spark, path, appId).exists(_ >= batchId))
       return false
     mergeImpl(spark, incoming, path, keys,
-      Seq(Act("txn", s"$appId:$batchId")))
+      Seq(Act("txn", s"$appId:$batchId")), requireUniqueKeys = true)
     true
   }
 
   private def mergeImpl(spark: SparkSession, incoming: DataFrame,
-      path: String, keys: Seq[String], extraActs: Seq[Act]): Long = {
+      path: String, keys: Seq[String], extraActs: Seq[Act],
+      requireUniqueKeys: Boolean): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(keys.nonEmpty, "TxLog: merge needs at least one key column")
     val table = new Path(path)
@@ -676,11 +692,13 @@ object TxLog {
     if (insertAdds.isEmpty) return snap.version
     val inc = spark.read.schema(incoming.schema)
       .parquet(insertAdds.map { case (p, _) => s"$path/$p" }: _*)
-    val dup = inc.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"TxLog: merge batch has duplicate keys on (${keys.mkString(",")})" +
-        s" — e.g. ${dup.headOption.getOrElse("")}")
+    if (requireUniqueKeys) {
+      val dup = inc.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"TxLog: merge batch has duplicate keys on (${keys.mkString(",")})" +
+          s" — e.g. ${dup.headOption.getOrElse("")}")
+    }
     val incKeys = inc.select(keys.map(col): _*).distinct()
     val affectedRel: Seq[String] =
       if (snap.files.isEmpty) Nil
@@ -707,6 +725,7 @@ object TxLog {
     var attempts = 0
     while (true) {
       attempts += 1
+      mergeRaceHook()
       try {
         publish(fs, table, base.version + 1,
           metaAction(base, incoming.schema, table) ++ extraActs ++ actions)

@@ -36,6 +36,47 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("txlog sink mode: full graph on the commit log, run-twice equals run-once") {
+    import graft.core.TxLog
+    val out = Files.createTempDirectory("graft_e2e_txlog").toString
+    def txRows(table: String): Seq[String] =
+      TxLog.read(spark, s"$out/$table").collect()
+        .map(_.toString).sorted.toSeq
+    val first = Run.runAll(spark, Sf001, out, cfg, txlog = true)
+    assert(first.size == 6)
+    assert(first.forall(_.ok), s"failures: ${first.filterNot(_.ok)}")
+    assert(first.forall(_.rows > 0))
+    val snap = first.map(r => r.table -> txRows(r.table)).toMap
+    first.foreach(r => assert(snap(r.table).size.toLong == r.rows))
+    // Parquet-sink and txlog-sink warehouses hold identical content
+    // (compared in sorted-column order: partitionBy moves the key
+    // columns to the end of the parquet read-back schema).
+    val pq = Files.createTempDirectory("graft_e2e_pq").toString
+    Run.runAll(spark, Sf001, pq, cfg)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    first.foreach { r =>
+      assert(canon(TxLog.read(spark, s"$out/${r.table}")) ==
+        canon(spark.read.parquet(s"$pq/${r.table}")),
+        s"${r.table}: txlog content diverges from the parquet sink")
+    }
+    // Idempotency through atomic commits: re-run converges, and every
+    // table gained history (the previous generation stays readable).
+    val second = Run.runAll(spark, Sf001, out, cfg, txlog = true)
+    assert(second.forall(_.ok))
+    second.foreach { r =>
+      assert(txRows(r.table) == snap(r.table), s"${r.table} drifted")
+      val v = TxLog.snapshot(spark, s"$out/${r.table}").version
+      assert(v >= 2L, s"${r.table}: expected a second generation, at v$v")
+      assert(TxLog.read(spark, s"$out/${r.table}", asOf = Some(v - 1))
+        .collect().map(_.toString).sorted.toSeq == snap(r.table),
+        s"${r.table}: pre-rerun generation not time-travelable")
+    }
+  }
+
   test("farmer-scoped reload touches only that farmer, like DELETE WHERE farmer_id") {
     val out = Files.createTempDirectory("graft_e2e_scope").toString
     assert(Run.runAll(spark, Sf001, out, cfg,

@@ -414,6 +414,39 @@ class TxLogSpec extends SparkSpec {
     assert(rows(t) == Seq((7, "q")))
   }
 
+  test("merge races: commutes past a concurrent append, aborts on rewrite") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    // A concurrent APPEND lands between the merge's snapshot and its
+    // claim: none of the merge's targeted files were removed, so it
+    // commutes.  The concurrently-appended key is NOT deduped — it was
+    // not visible to this merge (the documented blind-append rule).
+    TxLog.mergeRaceHook = () => {
+      TxLog.mergeRaceHook = () => ()
+      TxLog.append(spark, Seq((9, "late")).toDF("k", "v"), t): Unit
+    }
+    try {
+      val v = TxLog.merge(spark, Seq((2, "B"), (3, "c")).toDF("k", "v"),
+        t, keys = Seq("k"))
+      assert(v == 4L) // append took 3, the merge re-claimed 4
+    } finally TxLog.mergeRaceHook = () => ()
+    assert(rows(t) == Seq((1, "a"), (2, "B"), (3, "c"), (9, "late")))
+    // A concurrent commit that REMOVED a targeted file is a real
+    // conflict: the merge aborts rather than resurrecting dropped rows.
+    TxLog.mergeRaceHook = () => {
+      TxLog.mergeRaceHook = () => ()
+      TxLog.overwriteAll(spark, Seq((7, "q")).toDF("k", "v"), t): Unit
+    }
+    try {
+      intercept[TxLog.ConcurrentRewrite] {
+        TxLog.merge(spark, Seq((1, "A2")).toDF("k", "v"), t,
+          keys = Seq("k"))
+      }
+    } finally TxLog.mergeRaceHook = () => ()
+    assert(rows(t) == Seq((7, "q")))
+  }
+
   test("appendsSince consumes only pure-append commits; pruned ranges fail loudly") {
     val t = tmp()
     TxLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), t) // v1
