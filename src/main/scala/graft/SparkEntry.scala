@@ -800,7 +800,25 @@ object SparkEntry {
         s.read.parquet(s"$out/receita_farmer_m_passado")
           .select(colOrder.map(col): _*)
       },
-      Some(ReceitaFarmerPassado.oracle(cfg))))
+      Some(ReceitaFarmerPassado.oracle(cfg))),
+    Q("q_e2e_txlog", // the runner landing on the commit-log table format
+      // Same proof shape as q_e2e_warehouse, through the TRANSACTIONAL
+      // sink: P4 runs extract → transform → TxLog.overwriteAll into a
+      // temp warehouse, and the gate reads the STORED table back via a
+      // log-replayed snapshot — so the hash match proves the commit-log
+      // round trip (staged data files + log replay + schema meta) equals
+      // DuckDB recomputation, end to end through graft.Run.
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_e2e_tx").toString
+        val res = Run.runAll(s, d, out, cfg,
+          Set("receita_produto_f_m_passado"), txlog = true)
+        require(res.forall(_.ok), s"runner failed: ${res.filterNot(_.ok)}")
+        val colOrder = ReceitaProduto(s, d, cfg).columns
+        graft.core.TxLog.read(s, s"$out/receita_produto_f_m_passado")
+          .select(colOrder.map(col): _*)
+      },
+      Some(ReceitaProduto.oracle(cfg))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
