@@ -703,6 +703,9 @@ object SparkEntry {
     Q("q_ann_matryoshka", // prefix-dim truncation: recall at 4x narrower scan
       (s, d) => llm.Similarity.matryoshkaRecall(s, d),
       Some(llm.Similarity.matryoshkaOracle())),
+    Q("q_ann_hard_negatives", // top-k nearest cross-label: contrastive mining
+      (s, d) => llm.Similarity.hardNegatives(s, d),
+      Some(llm.Similarity.hardNegativesOracle())),
     Q("q_text_langid_eval", // language-ID confusion matrix + shares
       (s, d) => llm.TextAnalysis.langIdEval(s, d),
       Some(llm.TextAnalysis.langIdEvalOracle)),

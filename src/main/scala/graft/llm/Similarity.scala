@@ -707,6 +707,65 @@ object Similarity {
        |FROM p""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training — per query vector,
+    * the top-k most-similar candidates whose LABEL differs from the
+    * query's: the examples a retrieval/embedding model learns the most
+    * from (easy negatives are already far away; random negatives are
+    * mostly easy).  The scorer is [[bruteForceTopK]]'s broadcast
+    * pattern with the label carried through and the same-label
+    * candidates filtered BEFORE ranking, so rank i is the i-th hardest
+    * negative.  Cosine is the proven [[dotOracle]] float contract; at
+    * scale the scorer swaps for the IVF/SQ8 pipelines unchanged (mining
+    * only needs SOME high-similarity candidate pool). */
+  def hardNegatives(spark: SparkSession, dir: String,
+      numQueries: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Sources.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_embedding"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .filter(!(col("label") <=> col("q_label")))
+      .withColumn("cosine", expr(s"$dot / (norm * q_norm)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("rank"),
+        col("vec_id").as("negative_id"), col("label").as("neg_label"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** DuckDB mirror of [[hardNegatives]] — [[bruteForceOracle]] with the
+    * label columns carried and the NULL-safe label-difference filter
+    * (`IS DISTINCT FROM`, matching Spark's `<=>` negation). */
+  def hardNegativesOracle(numQueries: Int = 8, k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, emb,
+       |    sqrt(${dotOracle("emb", "emb")}) AS norm FROM e),
+       |q AS (
+       |  SELECT vec_id AS query_id, label AS q_label, emb AS q_emb,
+       |    norm AS q_norm
+       |  FROM n WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, q.q_label, n.vec_id AS negative_id,
+       |    n.label AS neg_label,
+       |    ${dotOracle("n.emb", "q.q_emb")} / (n.norm * q.q_norm) AS cos
+       |  FROM n, q
+       |  WHERE n.vec_id <> q.query_id
+       |    AND n.label IS DISTINCT FROM q.q_label),
+       |ranked AS (
+       |  SELECT query_id, q_label, negative_id, neg_label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, negative_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, q_label, CAST(rnk AS INT) AS "rank", negative_id,
+       |  neg_label, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+
   // ---------------------------------------------------------------- MMR --
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)

@@ -85,6 +85,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rec > 0.0 && rec <= 1.0)
   }
 
+  test("hard negatives: every mined row crosses labels, ranked by cosine") {
+    val out = Similarity.hardNegatives(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Int, Long, Int, Double)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+      rows.foreach { case (_, qLabel, _, _, negLabel, _) =>
+        assert(qLabel != negLabel) // the whole point
+      }
+      val sorted = rows.sortBy(_._3).map(_._6)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // The hardest negative is at least as close as the 1st same-label-
+    // filtered brute-force hit would suggest: it appears in the full
+    // brute-force ranking too (sanity: mining is a filtered view).
+    val bf = Similarity.bruteForceTopK(spark, Sf001, numQueries = 4, k = 50)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    out.foreach { case (q, _, _, neg, _, c) =>
+      bf.get((q, neg)).foreach(bfc => assert(math.abs(bfc - c) < 1e-9))
+    }
+  }
+
   test("MMR: greedy sequence matches a local recompute; diversity penalty binds") {
     val out = Similarity.mmrTopK(spark, Sf001, numQueries = 4, poolN = 8, k = 4)
       .as[(Long, Int, Long, Long, Long, Long)].collect()
