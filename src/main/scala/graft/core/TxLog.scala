@@ -93,11 +93,20 @@ object TxLog {
 
   final case class Snapshot(version: Long, files: Seq[String],
       stats: Map[String, String] = Map.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      constraints: Map[String, String] = Map.empty) {
     def isEmpty: Boolean = files.isEmpty
     def schema: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
+
+  /** A write landed rows that violate a registered CHECK constraint.
+    * The staged files are orphans for [[vacuum]]; nothing committed. */
+  final class ConstraintViolation(table: String, name: String,
+      expr: String, row: String)
+    extends RuntimeException(
+      s"TxLog: CHECK constraint '$name' ($expr) violated at $table — " +
+        s"offending row: $row")
 
   private def logDir(table: Path) = new Path(table, "_txlog")
   private def commitPath(table: Path, v: Long) =
@@ -193,12 +202,18 @@ object TxLog {
     }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var schemaJson: Option[String] = None
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def apply(act: Act): Unit = act match {
       case Act("add", p, s)    => live += (p -> s)
       case Act("remove", p, _) => live -= p
       case Act("txn", _, _)    => () // writer-idempotence marker
       case Act("meta", p, _)   =>
         schemaJson = Some(java.net.URLDecoder.decode(p, "UTF-8"))
+      case Act("constraint", p, _) =>
+        val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+        val i = decoded.indexOf(':') // names are [A-Za-z0-9_]+, ':' is safe
+        checks += (decoded.substring(0, i) -> decoded.substring(i + 1))
+      case Act("dropconstraint", p, _) => checks -= p
       case Act(other, _, _) =>
         throw new IllegalStateException(s"TxLog: unknown action '$other'")
     }
@@ -210,7 +225,7 @@ object TxLog {
     for (v <- vs if v > from && v <= upTo)
       readCommit(fs, commitPath(table, v)).foreach(apply)
     Snapshot(upTo, live.keys.toSeq,
-      live.toMap.filter(_._2.nonEmpty), schemaJson)
+      live.toMap.filter(_._2.nonEmpty), schemaJson, checks.toMap)
   }
 
   /** Write a CHECKPOINT of the current live set at the latest version —
@@ -228,7 +243,10 @@ object TxLog {
     val target = checkpointPath(table, snap.version)
     if (fs.exists(target)) return snap.version
     val metaActs = snap.schemaJson.toSeq.map(j =>
-      Act("meta", java.net.URLEncoder.encode(j, "UTF-8")))
+      Act("meta", java.net.URLEncoder.encode(j, "UTF-8"))) ++
+      snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        Act("constraint", java.net.URLEncoder.encode(s"$n:$e", "UTF-8"))
+      }
     val addActs = snap.files.map(f =>
       Act("add", f, snap.stats.getOrElse(f, "")))
     val tmp = new Path(logDir(table),
@@ -424,6 +442,72 @@ object TxLog {
       java.net.URLEncoder.encode(merged.json, "UTF-8")))
   }
 
+  /** Register a CHECK constraint on the table — the Delta table-
+    * constraint feature: every subsequent write verb ([[append]],
+    * [[appendBatch]], [[merge]], [[replaceKeys]], [[replaceWhere]],
+    * [[overwriteAll]]) validates its INCOMING rows and refuses the
+    * whole commit ([[ConstraintViolation]]) if any row evaluates the
+    * expression to FALSE (SQL CHECK semantics: NULL passes — spell
+    * NOT-NULL as `x IS NOT NULL`).  The quality gate a shared table
+    * needs at 100 TB: enforced at the storage layer, every writer, not
+    * per-pipeline convention.  Existing rows must already satisfy the
+    * constraint (checked now, loudly — Delta's ADD CONSTRAINT rule).
+    * The registration is itself a commit, so it is ordered against
+    * writers, survives [[checkpoint]]+[[cleanupLog]], and time travel
+    * sees the constraints as of that version.  `name` must be
+    * `[A-Za-z0-9_]+`; `expr` is a Spark SQL boolean expression over the
+    * table columns. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      expr: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not, expr => e}
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"TxLog: constraint name '$name' must be [A-Za-z0-9_]+")
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, path)
+    if (snap.files.nonEmpty) {
+      val bad = readFiles(spark, path, snap, snap.files)
+        .filter(coalesce(not(e(expr)), lit(false))).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new ConstraintViolation(path, name, expr, bad.head.toString)
+    }
+    commitWithRetry(spark, fs, table, _ => Seq(
+      Act("constraint",
+        java.net.URLEncoder.encode(s"$name:$expr", "UTF-8"))))
+  }
+
+  /** Remove a CHECK constraint (a commit; history keeps the old one). */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Long = {
+    val table = new Path(path)
+    val fs = fsOf(spark, table)
+    commitWithRetry(spark, fs, table, _ =>
+      Seq(Act("dropconstraint", name)))
+  }
+
+  /** Validate freshly-staged files against the table's CHECK
+    * constraints, reading them under `readSchema` (for evolving writes,
+    * the MERGED table schema — a constraint over a column the batch
+    * omits sees NULL and passes, the SQL CHECK rule; an [[overwriteAll]]
+    * reads under the NEW schema, so a constraint over a dropped column
+    * fails analysis loudly — drop the constraint first).  Throws
+    * [[ConstraintViolation]] naming the constraint and an offending
+    * row; the staged files become [[vacuum]] orphans. */
+  private def validateStaged(spark: SparkSession,
+      constraints: Map[String, String], adds: Seq[(String, String)],
+      readSchema: StructType, path: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not, expr => e}
+    if (constraints.isEmpty || adds.isEmpty) return
+    val df = spark.read.schema(readSchema)
+      .parquet(adds.map { case (p, _) => s"$path/$p" }: _*)
+    constraints.toSeq.sortBy(_._1).foreach { case (name, ex) =>
+      val bad = df.filter(coalesce(not(e(ex)), lit(false)))
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new ConstraintViolation(path, name, ex, bad.head.toString)
+    }
+  }
+
   /** Write `df` as new immutable data files and commit them as an
     * APPEND, widening the table schema if `df` carries new columns.
     * Lost races retry automatically (an append commutes with any
@@ -432,6 +516,9 @@ object TxLog {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val adds = writeData(spark, df, table, fs)
+    val snap = snapshot(spark, path)
+    validateStaged(spark, snap.constraints, adds,
+      mergeSchemas(snap.schema, df.schema, path), path)
     commitWithRetry(spark, fs, table, snap =>
       metaAction(snap, df.schema, table) ++
         adds.map { case (p, s) => Act("add", p, s) })
@@ -447,6 +534,8 @@ object TxLog {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val adds = writeData(spark, df, table, fs)
+    validateStaged(spark, snapshot(spark, path).constraints, adds,
+      mergeSchemas(None, df.schema, path), path)
     val meta = Act("meta", java.net.URLEncoder.encode(
       mergeSchemas(None, df.schema, path).json, "UTF-8"))
     commitWithRetry(spark, fs, table, snap =>
@@ -690,6 +779,8 @@ object TxLog {
     // Stage incoming FIRST: the single evaluation of the caller's frame.
     val insertAdds = writeData(spark, incoming, table, fs)
     if (insertAdds.isEmpty) return snap.version
+    validateStaged(spark, snap.constraints, insertAdds,
+      mergeSchemas(snap.schema, incoming.schema, path), path)
     val inc = spark.read.schema(incoming.schema)
       .parquet(insertAdds.map { case (p, _) => s"$path/$p" }: _*)
     if (requireUniqueKeys) {
@@ -772,6 +863,8 @@ object TxLog {
         "TxLog: replaceWhere incoming rows must satisfy the predicate " +
           s"(violator: ${bad.headOption.getOrElse("")})")
     }
+    validateStaged(spark, snap.constraints, insertAdds,
+      mergeSchemas(snap.schema, df.schema, path), path)
     val affectedRel: Seq[String] =
       if (snap.files.isEmpty) Nil
       else {
@@ -1052,6 +1145,9 @@ object TxLog {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val adds = writeData(spark, df, table, fs)
+    val pre = snapshot(spark, path)
+    validateStaged(spark, pre.constraints, adds,
+      mergeSchemas(pre.schema, df.schema, path), path)
     commitWithRetry(spark, fs, table, snap =>
       metaAction(snap, df.schema, table) ++
         (Act("txn", s"$appId:$batchId") +:

@@ -414,6 +414,51 @@ class TxLogSpec extends SparkSpec {
     assert(rows(t) == Seq((7, "q")))
   }
 
+  test("CHECK constraints: every write verb enforces; survive checkpoint; droppable") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)            // v1
+    val v2 = TxLog.addConstraint(spark, t, "k_positive", "k > 0")   // v2
+    assert(v2 == 2L)
+    assert(TxLog.snapshot(spark, t).constraints ==
+      Map("k_positive" -> "k > 0"))
+    // ADD CONSTRAINT validates EXISTING rows first (the Delta rule).
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.addConstraint(spark, t, "k_big", "k > 100")
+    }
+    // Every write verb refuses a violating batch — whole commit, no rows.
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.append(spark, Seq((-2, "x")).toDF("k", "v"), t)
+    }
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.merge(spark, Seq((-3, "y")).toDF("k", "v"), t, Seq("k"))
+    }
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.overwriteAll(spark, Seq((-4, "z")).toDF("k", "v"), t)
+    }
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.replaceWhere(spark,
+        Seq((-5, "a")).toDF("k", "v"), t, $"v" === "a")
+    }
+    assert(rows(t) == Seq((1, "a")))
+    // SQL CHECK semantics: NULL evaluations PASS (spell NOT NULL as
+    // `k IS NOT NULL` when that is the intent).
+    TxLog.append(spark,
+      Seq((Some(5), "ok"), (None, "nullk")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).count() == 3L)
+    // The constraint survives checkpoint + log retention (it rides the
+    // checkpoint like the schema meta).
+    val cp = TxLog.checkpoint(spark, t)
+    TxLog.cleanupLog(spark, t, keepFrom = cp)
+    intercept[TxLog.ConstraintViolation] {
+      TxLog.append(spark, Seq((-9, "neg")).toDF("k", "v"), t)
+    }
+    // DROP lifts enforcement going forward.
+    TxLog.dropConstraint(spark, t, "k_positive")
+    TxLog.append(spark, Seq((-9, "neg")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).count() == 4L)
+    assert(TxLog.snapshot(spark, t).constraints.isEmpty)
+  }
+
   test("merge races: commutes past a concurrent append, aborts on rewrite") {
     val t = tmp()
     TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
