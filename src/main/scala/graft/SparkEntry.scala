@@ -553,6 +553,9 @@ object SparkEntry {
     Q("q_an_cross_corr", // lead-lag Pearson r between event-type pairs
       (s, d) => graft.ops.Forecast.crossCorr(s, d),
       Some(graft.ops.Forecast.crossCorrOracle())),
+    Q("q_an_nelson_aalen", // cumulative hazard: KM's additive companion
+      (s, d) => graft.ops.Survival.nelsonAalen(s, d),
+      Some(graft.ops.Survival.nelsonAalenOracle())),
     Q("q_an_cms_join_size", // CMS inner-product join-cardinality estimate
       (s, d) => graft.ops.CmsFreq.joinSize(s, d),
       Some(graft.ops.CmsFreq.joinSizeOracle)),
