@@ -556,6 +556,9 @@ object SparkEntry {
     Q("q_an_nelson_aalen", // cumulative hazard: KM's additive companion
       (s, d) => graft.ops.Survival.nelsonAalen(s, d),
       Some(graft.ops.Survival.nelsonAalenOracle())),
+    Q("q_an_logrank", // Mantel-Cox: do two cohorts churn at the same rate?
+      (s, d) => graft.ops.Survival.logRank(s, d),
+      Some(graft.ops.Survival.logRankOracle())),
     Q("q_an_cms_join_size", // CMS inner-product join-cardinality estimate
       (s, d) => graft.ops.CmsFreq.joinSize(s, d),
       Some(graft.ops.CmsFreq.joinSizeOracle)),

@@ -201,7 +201,7 @@ class DegenerateInputsSpec extends SparkSpec {
     "q_ops_txlog_restore", "q_ops_txlog_replace", "q_text_mcnemar",
     "q_ann_sq8", "q_ann_sq8_recall", "q_llm_kcenter", "q_ann_mmr",
     "q_ann_matryoshka", "q_an_cross_corr", "q_ann_hard_negatives",
-    "q_an_nelson_aalen")
+    "q_an_nelson_aalen", "q_an_logrank")
 
   private val sweep = kpiQueries ++ sketchQueries ++ round7Queries
 

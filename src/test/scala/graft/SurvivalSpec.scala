@@ -66,6 +66,44 @@ class SurvivalSpec extends SparkSpec {
     assert(h.zip(h.tail).forall { case (a, b) => b >= a })
   }
 
+  test("log-rank: hand-computed two-group statistic; identical cohorts score ~0") {
+    // Users 1,3 (grp 1) and 2,4 (grp 0); maxday 2024-01-21, churn
+    // horizon maxday-7 = 2024-01-14 (the KM fixture's censoring).
+    // u1 dur 1 churn grp1; u2 dur 2 churn grp0; u3 dur 2 censored grp1;
+    // u4 dur 0 censored grp0.
+    // Grid (dur: d1 dep1 d2 dep2 over grp0/grp1):
+    //  dur0: departures grp0=1 (u4 censored)      n1(grp0)=2 n2(grp1)=2
+    //  dur1: u1 churn (grp1)                      n1=1 n2=2 n=3 d=1
+    //  dur2: u2 churn (grp0), u3 censored (grp1)  n1=1 n2=1 n=2 d=1
+    // NOTE group-1 of the test = user_id%2==0 cohort ("n1" follows the
+    // implementation's grp 0).  Terms:
+    //  dur1: e1 = 1*1/3 = 1/3,  v = 1*(1/3)*(2/3)*(2/2) = 2/9
+    //  dur2: e1 = 1*1/2 = 1/2,  v = 1*(1/2)*(1/2)*(1/1) = 1/4
+    // o1 (grp0 events) = 1; e1 = 5/6; var = 17/36;
+    // chi2 = (1 − 5/6)² / (17/36) = (1/36)/(17/36) = 1/17.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-02 10:00:00", 1L),
+      (2L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-03 10:00:00", 1L),
+      (3L, "2024-01-15 10:00:00", 1L), (3L, "2024-01-17 10:00:00", 1L),
+      (4L, "2024-01-21 10:00:00", 1L)))
+    val r = Survival.logRank(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)))
+    assert(r.getDouble(2) == math.rint(5.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint(17.0 / 36.0 * 1e6) / 1e6)
+    assert(math.abs(r.getDouble(4) - 1.0 / 17.0) < 1e-6)
+    // Mirror-image cohorts (every lifetime duplicated across groups):
+    // O1 == E1 exactly, statistic 0.
+    val sym = eventsDir(Seq(
+      (10L, "2024-01-01 10:00:00", 1L), (10L, "2024-01-03 10:00:00", 1L),
+      (11L, "2024-01-01 10:00:00", 1L), (11L, "2024-01-03 10:00:00", 1L),
+      (12L, "2024-01-05 10:00:00", 1L), (12L, "2024-01-06 10:00:00", 1L),
+      (13L, "2024-01-05 10:00:00", 1L), (13L, "2024-01-06 10:00:00", 1L),
+      (14L, "2024-01-21 10:00:00", 1L), (15L, "2024-01-21 10:00:00", 1L)))
+    val s = Survival.logRank(spark, sym).collect().head
+    assert(s.getLong(0) == s.getLong(1))
+    assert(s.getDouble(4) == 0.0)
+  }
+
   test("estimator laws on the real corpus: monotone, bounded, risk sets tile") {
     val rows = Survival.kaplanMeier(spark, Sf001).collect()
       .sortBy(_.getLong(0))
