@@ -601,6 +601,9 @@ object SparkEntry {
     Q("q_llm_bpe_pairs", // first BPE merge table over the word vocabulary
       (s, d) => llm.Vocab.bpePairs(s, d),
       Some(llm.Vocab.bpePairsOracle())),
+    Q("q_llm_bpe_merges", // iterated BPE training loop: 6-round merge table
+      (s, d) => llm.Vocab.bpeMerges(s, d),
+      Some(llm.Vocab.bpeMergesOracle())),
     Q("q_llm_split_leakage", // near-dup pairs straddling train/val/test
       (s, d) => llm.Dedup.splitLeakage(s, d),
       Some(llm.Dedup.splitLeakageOracle())),

@@ -381,9 +381,31 @@ object Sinks {
     } catch {
       case _: java.sql.SQLException =>
         conn.rollback(sp)
+        // UNIQUE (app_id, batch_id) is the replay-race backstop: under
+        // READ COMMITTED two writers replaying one batch can BOTH pass
+        // the in-transaction MAX(batch_id) probe (neither sees the
+        // other's uncommitted ledger row); the loser's ledger INSERT
+        // then violates the index and rolls its whole transaction back,
+        // so the batch applies exactly once even under a zombie driver.
         st.executeUpdate(s"CREATE TABLE $ledger " +
-          "(app_id VARCHAR(256) NOT NULL, batch_id BIGINT NOT NULL)")
+          "(app_id VARCHAR(256) NOT NULL, batch_id BIGINT NOT NULL, " +
+          "UNIQUE (app_id, batch_id))")
     }
+  }
+
+  /** Test-only interleaving point INSIDE the appendBatchJdbc
+    * transaction, after the ledger probe and before the batch insert —
+    * the exact window where a zombie driver and a restarted query race
+    * (both passed the probe; the ledger UNIQUE index picks the winner). */
+  private[graft] var ledgerRaceHook: () => Unit = () => ()
+
+  /** SQLSTATE class 23 = integrity-constraint violation (23505 is the
+    * standard unique-violation code on Postgres AND Derby). */
+  private def isUniqueViolation(t: Throwable): Boolean = t match {
+    case e: java.sql.SQLException =>
+      Option(e.getSQLState).exists(_.startsWith("23")) ||
+        isUniqueViolation(e.getNextException)
+    case _ => false
   }
 
   /** Exactly-once micro-batch append into a DATABASE table: the batch's
@@ -404,7 +426,7 @@ object Sinks {
     if (lastCommittedBatchJdbc(env, table, appId).exists(_ >= batchId))
       return false
     var committed = false
-    stagedJdbcLoad(df, env, table) { (dialect, st, staging, _) =>
+    try stagedJdbcLoad(df, env, table) { (dialect, st, staging, _) =>
       val ledger = ledgerOf(table)
       ensureLedger(st, ledger)
       val conn = st.getConnection
@@ -421,6 +443,7 @@ object Sinks {
         } finally ps.close()
       }
       if (!last.exists(_ >= batchId)) {
+        ledgerRaceHook()
         st.executeUpdate(dialect.insertFromStaging(table, staging,
           df.columns))
         val ps = conn.prepareStatement(
@@ -432,6 +455,12 @@ object Sinks {
         } finally ps.close()
         committed = true
       }
+    } catch {
+      // Lost the replay race: the other writer's ledger row committed
+      // first, our UNIQUE insert failed, and stagedJdbcLoad rolled this
+      // whole transaction back — the batch IS in the table (applied by
+      // the winner), so report "already committed", not an error.
+      case t: Throwable if isUniqueViolation(t) => return false
     }
     committed
   }

@@ -304,6 +304,12 @@ object TxLog {
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
+    // A table whose every row was deleted has NO live files (zero-row
+    // rewrites are dropped from commits) but still has a schema — read
+    // it as the empty frame, not an error.
+    if (snap.files.isEmpty && snap.schema.isDefined)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), snap.schema.get)
     readFiles(spark, path, snap, snap.files)
   }
 
@@ -332,8 +338,18 @@ object TxLog {
     * real comparison expressions, and the literal-widening casts it
     * inserts are folded by the pruner ([[TxStats.mayMatch]]). */
   def pruneFiles(spark: SparkSession, path: String, predicate: Column,
-      asOf: Option[Long] = None): (Snapshot, Seq[String]) = {
-    val snap = snapshot(spark, path, asOf)
+      asOf: Option[Long] = None): (Snapshot, Seq[String]) =
+    pruneFilesIn(spark, path, predicate, snapshot(spark, path, asOf))
+
+  /** [[pruneFiles]] against an ALREADY-RESOLVED snapshot — the form
+    * [[deleteWhere]]/[[replaceWhere]] must use, so candidate discovery,
+    * survivor rewrite, and the commit's remove set all read ONE
+    * version.  (With an internal fresh snapshot, a commit landing
+    * between the verb's snapshot and the prune could surface a file the
+    * verb then rewrites and deletes rows from, contradicting the
+    * documented 'concurrently-appended rows are not covered' rule.) */
+  def pruneFilesIn(spark: SparkSession, path: String, predicate: Column,
+      snap: Snapshot): (Snapshot, Seq[String]) = {
     if (snap.files.isEmpty) return (snap, Nil)
     val schema = snap.schema.getOrElse(
       spark.read.parquet(snap.files.map(f => s"$path/$f"): _*).schema)
@@ -465,15 +481,22 @@ object TxLog {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, path)
-    if (snap.files.nonEmpty) {
-      val bad = readFiles(spark, path, snap, snap.files)
-        .filter(coalesce(not(e(expr)), lit(false))).limit(1).collect()
-      if (bad.nonEmpty)
-        throw new ConstraintViolation(path, name, expr, bad.head.toString)
-    }
+    def check(files: Seq[String], readSnap: Snapshot): Unit =
+      if (files.nonEmpty) {
+        val bad = readFiles(spark, path, readSnap, files)
+          .filter(coalesce(not(e(expr)), lit(false))).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new ConstraintViolation(path, name, expr, bad.head.toString)
+      }
+    check(snap.files, snap)
+    val checked = snap.files.toSet
     commitWithRetry(spark, fs, table, _ => Seq(
       Act("constraint",
-        java.net.URLEncoder.encode(s"$name:$expr", "UTF-8"))))
+        java.net.URLEncoder.encode(s"$name:$expr", "UTF-8"))),
+      // The symmetric race to the writer-side re-validation: data
+      // committed between the full-table check and this publish must
+      // also satisfy the constraint — check just the delta files.
+      fresh => check(fresh.files.filterNot(checked), fresh))
   }
 
   /** Remove a CHECK constraint (a commit; history keeps the old one). */
@@ -521,7 +544,8 @@ object TxLog {
       mergeSchemas(snap.schema, df.schema, path), path)
     commitWithRetry(spark, fs, table, snap =>
       metaAction(snap, df.schema, table) ++
-        adds.map { case (p, s) => Act("add", p, s) })
+        adds.map { case (p, s) => Act("add", p, s) },
+      revalidateIfMetaChanged(spark, snap, adds, df.schema, path))
   }
 
   /** Replace the whole table content with `df` in one commit
@@ -534,13 +558,20 @@ object TxLog {
     val table = new Path(path)
     val fs = fsOf(spark, table)
     val adds = writeData(spark, df, table, fs)
-    validateStaged(spark, snapshot(spark, path).constraints, adds,
+    val pre = snapshot(spark, path)
+    validateStaged(spark, pre.constraints, adds,
       mergeSchemas(None, df.schema, path), path)
     val meta = Act("meta", java.net.URLEncoder.encode(
       mergeSchemas(None, df.schema, path).json, "UTF-8"))
     commitWithRetry(spark, fs, table, snap =>
       meta +: (snap.files.map(Act("remove", _)) ++
-        adds.map { case (p, s) => Act("add", p, s) }))
+        adds.map { case (p, s) => Act("add", p, s) }),
+      // Overwrite resets the schema to df's, so only a concurrently
+      // REGISTERED constraint needs a re-check of the staged files.
+      fresh =>
+        if (fresh.constraints != pre.constraints)
+          validateStaged(spark, fresh.constraints, adds,
+            mergeSchemas(None, df.schema, path), path))
   }
 
   /** Rewrite the live files into `files` compacted ones and commit the
@@ -667,8 +698,9 @@ object TxLog {
     val snap = snapshot(spark, path)
     if (snap.files.isEmpty) return snap.version
     // Stats pruning first: only files whose min/max admit a match are
-    // even scanned for affected-file discovery.
-    val (_, candidates) = pruneFiles(spark, path, predicate)
+    // even scanned for affected-file discovery — against THIS verb's
+    // snapshot, not a fresh one, so discovery/rewrite/commit agree.
+    val (_, candidates) = pruneFilesIn(spark, path, predicate, snap)
     if (candidates.isEmpty) return snap.version
     val withFile = readFiles(spark, path, snap, candidates)
       .withColumn("_graft_file", input_file_name())
@@ -827,6 +859,12 @@ object TxLog {
           val fresh = snapshot(spark, path)
           val gone = affectedRel.filterNot(fresh.files.contains)
           if (gone.nonEmpty) throw new ConcurrentRewrite(path, gone)
+          // A commuting commit may have REGISTERED a constraint or
+          // evolved the schema after validateStaged ran — re-validate
+          // the staged inserts before retrying past it (survivors are
+          // table rows the concurrent addConstraint itself validated).
+          revalidateIfMetaChanged(spark, snap, insertAdds,
+            incoming.schema, path)(fresh)
           base = fresh // commuting commit: retry past it
       }
     }
@@ -868,7 +906,7 @@ object TxLog {
     val affectedRel: Seq[String] =
       if (snap.files.isEmpty) Nil
       else {
-        val (_, candidates) = pruneFiles(spark, path, predicate)
+        val (_, candidates) = pruneFilesIn(spark, path, predicate, snap)
         if (candidates.isEmpty) Nil
         else readFiles(spark, path, snap, candidates)
           .withColumn("_graft_file", input_file_name())
@@ -900,6 +938,10 @@ object TxLog {
           val fresh = snapshot(spark, path)
           val gone = affectedRel.filterNot(fresh.files.contains)
           if (gone.nonEmpty) throw new ConcurrentRewrite(path, gone)
+          // Re-validate staged inserts if a commuting commit changed
+          // the constraint set or schema (see mergeImpl's handler).
+          revalidateIfMetaChanged(spark, snap, insertAdds,
+            df.schema, path)(fresh)
           base = fresh
       }
     }
@@ -1106,9 +1148,14 @@ object TxLog {
       s"TxLog: staged write produced no data files under $dir")
     if (files.isEmpty) return Nil
     val stats = TxStats.collect(spark, dir.toString, df.schema)
-    files.map { rel =>
+    // A staged file with ZERO rows has no stats entry (no group forms
+    // for it in the collect pass): DROP it from the commit — it carries
+    // no data and, having no stats, would never be prunable.  Shows up
+    // when a rewrite's survivors are empty (delete matched a whole
+    // file); the orphan is reclaimed by [[vacuum]].
+    files.flatMap { rel =>
       val name = rel.substring(rel.lastIndexOf('/') + 1)
-      (rel, stats.getOrElse(name, ""))
+      stats.get(name).map(s => (rel, s))
     }
   }
 
@@ -1151,7 +1198,8 @@ object TxLog {
     commitWithRetry(spark, fs, table, snap =>
       metaAction(snap, df.schema, table) ++
         (Act("txn", s"$appId:$batchId") +:
-          adds.map { case (p, s) => Act("add", p, s) }))
+          adds.map { case (p, s) => Act("add", p, s) }),
+      revalidateIfMetaChanged(spark, pre, adds, df.schema, path))
     true
   }
 
@@ -1681,15 +1729,23 @@ object TxLog {
 
   /** Claim latest+1 with `actions(latestSnapshot)`; on a conflict,
     * re-snapshot and retry (bounded — a pathological livelock fails
-    * loudly instead of spinning forever). */
+    * loudly instead of spinning forever).  `beforePublish` runs against
+    * each attempt's fresh snapshot BEFORE the claim — the hook where
+    * writers re-validate staged data when a concurrent commit changed
+    * the constraint set or schema (Delta fails a transaction on
+    * concurrent metadata change; this engine re-checks instead, and the
+    * hook throwing aborts the commit the same way). */
   private def commitWithRetry(spark: SparkSession, fs: FileSystem,
-      table: Path, actions: Snapshot => Seq[Act]): Long = {
+      table: Path, actions: Snapshot => Seq[Act],
+      beforePublish: Snapshot => Unit = _ => ()): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
+      commitRaceHook()
       val snap = snapshot(spark, table.toString)
       val v = snap.version + 1
       try {
+        beforePublish(snap)
         publish(fs, table, v, actions(snap))
         return v
       } catch {
@@ -1697,5 +1753,27 @@ object TxLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Test-only interleaving point inside [[commitWithRetry]], before
+    * each attempt's snapshot — the window where a concurrent commit
+    * (e.g. an [[addConstraint]] racing an [[append]]'s validated
+    * publish, or vice versa) lands. */
+  private[graft] var commitRaceHook: () => Unit = () => ()
+
+  /** [[commitWithRetry]] `beforePublish` hook for verbs that staged and
+    * validated new data files against `validated`: when the attempt's
+    * fresh snapshot carries a DIFFERENT constraint set or schema (a
+    * concurrent [[addConstraint]]/evolving write landed after
+    * [[validateStaged]] ran), the staged files are re-validated against
+    * the fresh metadata, so a retried publish can never slip rows past
+    * a constraint registered in between. */
+  private def revalidateIfMetaChanged(spark: SparkSession,
+      validated: Snapshot, adds: Seq[(String, String)],
+      incoming: StructType, path: String): Snapshot => Unit = { fresh =>
+    if (fresh.constraints != validated.constraints ||
+        fresh.schemaJson != validated.schemaJson)
+      validateStaged(spark, fresh.constraints, adds,
+        mergeSchemas(fresh.schema, incoming, path), path)
   }
 }

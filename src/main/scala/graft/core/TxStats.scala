@@ -73,15 +73,21 @@ object TxStats {
 
   /** One aggregation pass over the freshly staged directory: per file
     * (via `input_file_name`), min/max of every eligible column.
-    * Returns file NAME (not path) → encoded stats; empty when no
-    * column is eligible. */
+    * Returns file NAME (not path) → encoded stats.  A file with ZERO
+    * rows produces NO entry (no group forms for it) — [[TxLog]]'s
+    * writeData uses that absence to drop empty staged files from the
+    * commit (a rewrite whose survivors all matched would otherwise add
+    * a rowless, stats-less, forever-unprunable file).  A schema with no
+    * eligible column still gets per-file presence entries (empty stats
+    * string) so that row-count probe works for every schema. */
   def collect(spark: SparkSession, dir: String,
       schema: StructType): Map[String, String] = {
     import org.apache.spark.sql.functions._
     val fields = schema.fields.filter(f => family(f.dataType).isDefined)
-    if (fields.isEmpty) return Map.empty
-    val aggs = fields.toSeq.flatMap(f =>
-      Seq(min(col(f.name)), max(col(f.name))))
+    val aggs =
+      if (fields.isEmpty) Seq(count(lit(1)))
+      else fields.toSeq.flatMap(f =>
+        Seq(min(col(f.name)), max(col(f.name))))
     val rows = spark.read.parquet(dir)
       .groupBy(input_file_name().as("_graft_file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -110,18 +116,51 @@ object TxStats {
         if (mx.isEmpty) None else Some(BigDecimal(mx)))
     }.toMap
 
+  /** True when `CAST(from AS to)` is a PROVABLY WIDENING, value-
+    * preserving injection — every `from` value maps to the numerically
+    * identical `to` value.  Same-family alone is NOT enough: a
+    * narrowing integral cast (BIGINT → INT) WRAPS in non-ANSI mode and
+    * is not monotone, so a file whose long values all exceed int range
+    * could be pruned even though the wrapped values match the literal
+    * (the GDPR-delete retention bug flagged in round 9's ADVICE). */
+  private def widens(from: DataType, to: DataType): Boolean = {
+    // Decimal digits needed to hold an integral type losslessly.
+    def digits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(19)
+      case _ => None
+    }
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (f, d: DecimalType) =>
+        digits(f).exists(n => d.precision - d.scale >= n)
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale &&
+          t.scale >= f.scale
+      case _ => false
+    }
+  }
+
   /** Attribute side of a comparison.  A Cast over the attribute is
-    * unwrapped only when source and target share a stats family (exact
-    * numeric → exact numeric, etc.) — those casts are monotone
+    * unwrapped only when it is provably [[widens widening]] within one
+    * stats family — those casts are monotone value-preserving
     * injections, so pruning on the underlying column's stats against
-    * the literal's comparison-domain value stays sound. */
+    * the literal's comparison-domain value stays sound.  Narrowing
+    * same-family casts (BIGINT → INT wraps in non-ANSI mode) and
+    * cross-family casts keep the file. */
   private object Attr {
     def unapply(e: Expression): Option[String] = e match {
       case u: UnresolvedAttribute => Some(u.nameParts.last)
       case a: AttributeReference => Some(a.name)
       case c: Cast if c.child.resolved &&
           family(c.child.dataType).isDefined &&
-          family(c.child.dataType) == family(c.dataType) =>
+          family(c.child.dataType) == family(c.dataType) &&
+          widens(c.child.dataType, c.dataType) =>
         unapply(c.child)
       case _ => None
     }

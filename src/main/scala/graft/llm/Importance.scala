@@ -18,12 +18,16 @@ import graft.core.Sources
   * Determinism: the paper's log(p/q) sum needs libm `log`, which is not
   * bit-reproducible across engines — this implementation ranks by the
   * RATIO-LINEARIZED weight Σ_b c_d(b) · p(b)/q(b) instead, an order-
-  * equivalent-in-spirit scoring whose every term is an exact-integer
-  * ratio: p(b)/q(b) = (ct_b+1)(N+B) / (cr_b+1)(T+B) with all factors
-  * BIGINT-exact and small enough that the one double division per term
-  * has exact operands (< 2^53); each term is ROUNDed to 6 decimals and
-  * summed as DECIMAL — the engine's per-term-round discipline, so the
-  * DuckDB oracle reproduces the hash bit-for-bit.
+  * equivalent-in-spirit scoring computed as TWO SPLIT double ratios,
+  * p(b)/q(b) = ((ct_b+1)/(cr_b+1)) · ((N+B)/(T+B)): each factor is a
+  * BIGINT-exact count (no BIGINT product anywhere, so nothing can
+  * overflow below 2^63 total corpus tokens — the single num·den
+  * product of the earlier formulation wrapped at a few billion), and
+  * the divisions/products are IEEE-754 doubles in a FIXED evaluation
+  * order, which every engine reproduces bit-for-bit; each term is
+  * ROUNDed to 6 decimals and summed as DECIMAL — the engine's
+  * per-term-round discipline, so the DuckDB oracle reproduces the
+  * hash bit-for-bit.
   *
   * Scale shape: tokens collapse to (doc, bucket) counts in ONE exchange;
   * the bucket marginals, totals, and the B-row rate table all derive
@@ -59,17 +63,24 @@ object Importance {
     val totals = perDoc.agg(sum(col("c")).as("n_raw"),
       sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L)))
         .as("n_tgt"))
+    // Two SPLIT double ratios instead of one BIGINT num/den pair:
+    // (ct+1)*(n_raw+B) overflows BIGINT once corpus token counts reach
+    // a few billion (n_tgt*n_raw ~ 2^63).  Each factor below stays
+    // BIGINT-exact; the divisions and products are IEEE-754 doubles
+    // evaluated in a FIXED order, which both engines reproduce
+    // bit-for-bit, so the hash gate still holds — and nothing can
+    // overflow below 2^63 TOTAL corpus tokens (≫ 100 TB of text).
     val rates = raw.join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        ((col("ct") + lit(1L)) * (col("n_raw") + lit(Buckets.toLong)))
-          .as("num"),
-        ((col("cr") + lit(1L)) * (col("n_tgt") + lit(Buckets.toLong)))
-          .as("den"))
+        (expr("CAST(ct + 1 AS DOUBLE)") / expr("CAST(cr + 1 AS DOUBLE)"))
+          .as("r_bucket"),
+        (expr(s"CAST(n_raw + $Buckets AS DOUBLE)") /
+          expr(s"CAST(n_tgt + $Buckets AS DOUBLE)")).as("r_corpus"))
     perDoc.join(broadcast(rates), Seq("b"))
       .withColumn("term", expr(
-        "CAST(ROUND(CAST(c * num AS DOUBLE) / CAST(den AS DOUBLE), 6) " +
+        "CAST(ROUND(CAST(c AS DOUBLE) * r_bucket * r_corpus, 6) " +
           "AS DECIMAL(18,6))"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n_tokens"),
@@ -100,11 +111,13 @@ object Importance {
        |        FROM per_doc),
        |rates AS (
        |  SELECT raw.b,
-       |    (COALESCE(ct, 0) + 1) * (n_raw + $Buckets) AS num,
-       |    (cr + 1) * (n_tgt + $Buckets) AS den
+       |    CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE)
+       |      AS r_bucket,
+       |    CAST(n_raw + $Buckets AS DOUBLE) / CAST(n_tgt + $Buckets AS DOUBLE)
+       |      AS r_corpus
        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
        |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
-       |  SUM(CAST(ROUND(CAST(c * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+       |  SUM(CAST(ROUND(CAST(c AS DOUBLE) * r_bucket * r_corpus, 6)
        |           AS DECIMAL(18,6))) AS importance
        |FROM per_doc JOIN rates USING (b)
        |GROUP BY 1, 2

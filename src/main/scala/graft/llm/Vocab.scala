@@ -351,6 +351,119 @@ object Vocab {
        |  pair, cnt
        |FROM top""".stripMargin
 
+  /** ITERATED BPE training (Sennrich et al. 2016) to `rounds` merges —
+    * the loop a tokenizer team actually runs, extending [[bpePairs]]'s
+    * first-round statistics (r9 verdict next-round #6).  Each round:
+    * (1) count adjacent symbol pairs over the DISTINCT-WORD vocabulary,
+    * weighted by word frequency (the trainer's compression: pair work
+    * is vocabulary-sized, never corpus-sized); (2) pick the most
+    * frequent pair, ties broken (cnt DESC, l ASC, r ASC) — a total
+    * order, so the pick is deterministic; (3) merge every adjacent
+    * occurrence in the symbolization.  The output is the MERGE TABLE
+    * (round, pair_l, pair_r, merged, cnt) — the artifact a tokenizer
+    * ships.
+    *
+    * Symbolizations are '·'-separator strings ("·a·b·c·"); the merge
+    * applies as the string replacement "·l·r·"→"·lr·" iterated 5×
+    * (left-to-right non-overlapping; a pass can miss an adjacency whose
+    * leading separator the previous replacement consumed, and 5 passes
+    * reach the fixpoint for any word under 64 symbols).  Both engines
+    * implement SQL `replace` with identical semantics, so the DuckDB
+    * oracle — the same loop UNROLLED as CTE pairs (p_k, m_k, w_k) with
+    * the argmax applied via a LEFT JOIN ON TRUE — reproduces every
+    * intermediate string bit-for-bit.  (In a self-overlapping run like
+    * a·a·a·a·a the pass structure can tokenize aa·a·aa where one-pass
+    * greedy gives aa·aa·a; the deviation is confined to those runs and
+    * is identical across engines.)
+    *
+    * Scale shape: the one corpus-sized stage is the word-frequency
+    * aggregate; each round is two vocabulary-sized jobs (pair count +
+    * a 1-row argmax) and a map-only column rewrite — a driver-bounded
+    * loop of `rounds` iterations, the [[Clustering]] kmeans pattern. */
+  def bpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    import spark.implicits._
+    val sepRep = (c: org.apache.spark.sql.Column) =>
+      concat(regexp_replace(c, "(.)", "·$1"), lit("·"))
+    var words = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(sepRep(col("word")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("wcnt"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = words
+        .select(col("wcnt"),
+          expr("filter(split(s, '·'), t -> t <> '')").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(" +
+            "element_at(toks, i) AS l, element_at(toks, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, cnt))
+        val pat = s"·${l}·${r}·"; val rep = s"·${l}${r}·"
+        val applied = (1 to 5).foldLeft(col("s"))((c, _) =>
+          call_function("replace", c, lit(pat), lit(rep)))
+        // localCheckpoint per round: the lineage would otherwise grow
+        // 5 replace nodes per round and re-run every prior round's
+        // rewrite on each pair count.
+        words = words.select(applied.as("s"), col("wcnt")).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.result()
+      .toDF("round", "pair_l", "pair_r", "merged", "cnt")
+      .orderBy(col("round").asc)
+  }
+
+  val BpeRounds = 6
+
+  def bpeMergesOracle(rounds: Int = BpeRounds): String = {
+    def rep5(s: String) = (1 to 5).foldLeft(s)((acc, _) =>
+      s"replace($acc, m.pat, m.rep)")
+    val cte = new StringBuilder(
+      """WITH w0 AS (
+        |  SELECT regexp_replace(word, '(.)', '·\1', 'g') || '·' AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS wcnt
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1)""".stripMargin)
+    for (k <- 1 to rounds) {
+      cte.append(s""",
+        |p$k AS (
+        |  SELECT toks[i] AS l, toks[i + 1] AS r,
+        |         CAST(SUM(wcnt) AS BIGINT) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, '·'), t -> t <> '')
+        |          AS toks, wcnt FROM w${k - 1}),
+        |       UNNEST(range(1, len(toks))) AS u(i)
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT $k AS round, l, r, l || r AS merged, cnt
+        |        FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |w$k AS (
+        |  SELECT CASE WHEN m.pat IS NULL THEN w.s
+        |              ELSE ${rep5("w.s")} END AS s, w.wcnt
+        |  FROM w${k - 1} w LEFT JOIN
+        |    (SELECT '·' || l || '·' || r || '·' AS pat,
+        |            '·' || l || r || '·' AS rep FROM m$k) m ON TRUE)"""
+        .stripMargin)
+    }
+    cte.append((1 to rounds).map(k =>
+        s"SELECT CAST(round AS INT) AS round, l AS pair_l, r AS pair_r, " +
+          s"merged, cnt FROM m$k")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round ASC"))
+    cte.toString
+  }
+
   /** Shared-verbatim OLS chains over the decimal-summed log-log moments
     * (operands n, sx, sy, sxy, sxx, syy). */
   private val ZipfSlope: String =

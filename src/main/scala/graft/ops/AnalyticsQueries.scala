@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Frag, Sources}
+import graft.core.{Frag, Scaffold, Sources}
 
 /** General-analytics operators beyond the reference's surface (SURVEY.md §2
   * marks these ABSENT in ETL-Gamma): rollup hierarchies, distinct and
@@ -216,6 +216,7 @@ object AnalyticsQueries {
     * (round-2 verdict), so the array form `percentile(x, array(...))` is
     * avoided in the registered output. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Scaffold.exactTwin("percentiles", "q_an_quantile_sketch")
     import org.apache.spark.sql.expressions.Window
     def ranked(valCol: String) = {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
@@ -652,6 +653,7 @@ object AnalyticsQueries {
     * window + a per-group constant join-back, then a single aggregation;
     * the rank window is the same distributed sort [[percentiles]] uses. */
   def outliers(spark: SparkSession, dir: String): DataFrame = {
+    Scaffold.exactTwin("outliers", "q_an_outliers_sketch")
     import org.apache.spark.sql.expressions.Window
     val cents = expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
@@ -1102,6 +1104,7 @@ object AnalyticsQueries {
     * per-row join). */
   def histogramEqDepth(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
+    Scaffold.exactTwin("histogramEqDepth", "q_an_histogram_eqdepth_sketch")
     import org.apache.spark.sql.expressions.Window
     val cents = Sources.lineitem(spark, dir)
       .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
@@ -1193,6 +1196,7 @@ object AnalyticsQueries {
     * sort-rank shape as [[percentiles]] (two passes by construction —
     * the second ranking needs the first median, a broadcast scalar). */
   def mad(spark: SparkSession, dir: String): DataFrame = {
+    Scaffold.exactTwin("mad", "q_an_mad_sketch")
     import org.apache.spark.sql.expressions.Window
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),

@@ -36,4 +36,34 @@ class EntrySpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"driver-gate hazards: ${offenders.mkString(", ")}")
   }
+
+  test("unpartitioned windows run over aggregate-bounded frames only (r9 verdict #5)") {
+    // A Window with no partitionSpec moves its WHOLE input to one task.
+    // That is fine over a GRID (distinct durations, month spines, top-K
+    // vocabularies — anything an Aggregate or Limit bounded first) and a
+    // disaster over a corpus.  This walks every registered query's
+    // optimized plan: each unpartitioned Window must have an Aggregate /
+    // Limit / Deduplicate somewhere below it, except the DOCUMENTED
+    // exact scaffolds whose corpus-sized single-task pass is the point
+    // (cross-engine hash gate) and which carry registered sketch twins
+    // (Scaffold.exactTwin logs the swap at plan-build time).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val exactScaffolds = Map(
+      "q_an_histogram_eqdepth" -> "q_an_histogram_eqdepth_sketch")
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit |
+           _: Deduplicate => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => exactScaffolds.contains(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, Sf001).queryExecution.optimizedPlan
+        plan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: unpartitioned window over unbounded input"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }

@@ -489,6 +489,41 @@ class SinksSpec extends SparkSpec {
     assert(target == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("JDBC appendBatch zombie race: the ledger UNIQUE index picks one winner (r9 ADVICE)") {
+    dropJdbc("stream_tgt2"); dropJdbc("stream_tgt2_graft_ledger")
+    val env = graft.core.JdbcEnv(jdbcUrl, None, None)
+    assert(Sinks.appendBatchJdbc(
+      Seq((1L, "a")).toDF("k", "v"), env, "stream_tgt2", "job", 0L))
+    // Zombie-driver replay: both writers pass the in-transaction
+    // MAX(batch_id) probe (under READ COMMITTED neither sees the
+    // other's uncommitted ledger row).  The winner commits inside the
+    // race window; the loser's ledger INSERT then violates the UNIQUE
+    // index, its WHOLE transaction (batch rows included) rolls back,
+    // and the call reports "already committed" instead of erroring.
+    Sinks.ledgerRaceHook = () => {
+      Sinks.ledgerRaceHook = () => ()
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        st.executeUpdate("INSERT INTO stream_tgt2 (\"k\", \"v\") VALUES (2, 'b')")
+        st.executeUpdate("INSERT INTO stream_tgt2_graft_ledger " +
+          "(app_id, batch_id) VALUES ('job', 1)")
+        st.close(); conn.commit()
+      } finally conn.close()
+    }
+    try {
+      assert(!Sinks.appendBatchJdbc(
+        Seq((2L, "b")).toDF("k", "v"), env, "stream_tgt2", "job", 1L))
+    } finally Sinks.ledgerRaceHook = () => ()
+    val got = graft.core.Sources.jdbc(spark, jdbcUrl, "stream_tgt2")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"))) // exactly once, no dupes
+    // And the winner's ledger row is the one that stands.
+    assert(Sinks.lastCommittedBatchJdbc(env, "stream_tgt2", "job")
+      .contains(1L))
+  }
+
   test("JDBC streaming sink: micro-batches land exactly once into Derby") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -652,4 +652,87 @@ class TxLogSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  test("a constraint registered mid-commit re-validates the staged batch (r9 ADVICE)") {
+    val t = tmp()
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    // APPEND side: the batch was validated against a constraint-free
+    // snapshot; a concurrent addConstraint lands before the publish
+    // claim.  Without re-validation the violating rows would commit
+    // into a table that now carries the constraint.
+    TxLog.commitRaceHook = () => {
+      TxLog.commitRaceHook = () => ()
+      TxLog.addConstraint(spark, t, "k_positive", "k > 0"): Unit
+    }
+    try {
+      intercept[TxLog.ConstraintViolation] {
+        TxLog.append(spark, Seq((-2, "x")).toDF("k", "v"), t)
+      }
+    } finally TxLog.commitRaceHook = () => ()
+    assert(rows(t) == Seq((1, "a")))
+    TxLog.dropConstraint(spark, t, "k_positive")
+    // MERGE side: same race through the merge retry loop.
+    TxLog.mergeRaceHook = () => {
+      TxLog.mergeRaceHook = () => ()
+      TxLog.addConstraint(spark, t, "k_positive", "k > 0"): Unit
+    }
+    try {
+      intercept[TxLog.ConstraintViolation] {
+        TxLog.merge(spark, Seq((-3, "y")).toDF("k", "v"), t, Seq("k"))
+      }
+    } finally TxLog.mergeRaceHook = () => ()
+    assert(rows(t) == Seq((1, "a")))
+    TxLog.dropConstraint(spark, t, "k_positive")
+    // ADD CONSTRAINT side (the symmetric race): violating data lands
+    // between the full-table check and the registration claim — the
+    // registration must fail, not silently leave the table in
+    // violation of a registered constraint.
+    TxLog.commitRaceHook = () => {
+      TxLog.commitRaceHook = () => ()
+      TxLog.append(spark, Seq((-7, "z")).toDF("k", "v"), t): Unit
+    }
+    try {
+      intercept[TxLog.ConstraintViolation] {
+        TxLog.addConstraint(spark, t, "k_positive", "k > 0")
+      }
+    } finally TxLog.commitRaceHook = () => ()
+    assert(TxLog.snapshot(spark, t).constraints.isEmpty)
+    assert(rows(t) == Seq((-7, "z"), (1, "a")))
+  }
+
+  test("stats pruning refuses narrowing casts: a BIGINT→INT wrap cannot skip a delete (r9 ADVICE)") {
+    import org.apache.spark.sql.functions.expr
+    withAnsi(false) {
+      val t = tmp()
+      // Every long value exceeds int range: CAST(k AS INT) WRAPS in
+      // non-ANSI mode, so the cast is not monotone and the pruner must
+      // keep the file (unwrapping it would compare the wrapped literal
+      // against long-domain stats and prune a matching file).
+      TxLog.append(spark,
+        Seq((5000000000L, "big"), (6000000000L, "big2")).toDF("k", "v"), t)
+      val wrapped = 5000000000L.toInt // 705032704
+      val (_, kept) = TxLog.pruneFiles(spark, t,
+        expr(s"CAST(k AS INT) = $wrapped"))
+      assert(kept.nonEmpty)
+      // End to end: the GDPR-style delete actually removes the row.
+      TxLog.deleteWhere(spark, t, expr(s"CAST(k AS INT) = $wrapped"))
+      assert(TxLog.read(spark, t).as[(Long, String)].collect().toSeq
+        == Seq((6000000000L, "big2")))
+      // Widening casts still prune: no remaining long equals 42.
+      val (_, kept2) = TxLog.pruneFiles(spark, t,
+        expr("CAST(k AS DECIMAL(38,0)) = 42"))
+      assert(kept2.isEmpty)
+      // And a widening match is still found (no over-pruning).
+      val (_, kept3) = TxLog.pruneFiles(spark, t,
+        expr("CAST(k AS DECIMAL(38,0)) = 6000000000"))
+      assert(kept3.nonEmpty)
+      // Zero-row rewrites are dropped from commits (an empty survivor
+      // file would be stats-less and forever unprunable); a fully
+      // emptied table reads as the empty frame under its schema.
+      TxLog.deleteWhere(spark, t, expr("k = 6000000000"))
+      assert(TxLog.snapshot(spark, t).files.isEmpty)
+      assert(TxLog.read(spark, t).count() == 0L)
+      assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v"))
+    }
+  }
 }

@@ -178,4 +178,60 @@ class VocabSpec extends SparkSpec {
       assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
     }
   }
+
+  test("bpeMerges: rounds are complete, counts non-increasing, round 1 = bpePairs top-1") {
+    val m = Vocab.bpeMerges(spark, Sf001, rounds = 6).collect()
+    assert(m.map(_.getAs[Int]("round")).toSeq == (1 to 6))
+    val cnts = m.map(_.getAs[Long]("cnt"))
+    // Merging (l,r) can only shrink other pairs' counts, and a pair it
+    // creates, (x, lr) or (lr, y), counts (x,l,r)/(l,r,y) triples ≤
+    // cnt(l,r) — so the chosen max is non-increasing across rounds.
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    m.foreach(r => assert(r.getAs[String]("merged") ==
+      r.getAs[String]("pair_l") + r.getAs[String]("pair_r")))
+    // Round 1 is exactly bpePairs' (character-pair) argmax.
+    val first = Vocab.bpePairs(spark, Sf001, k = 1)
+      .head().getAs[String]("pair")
+    assert(m.head.getAs[String]("merged") == first)
+  }
+
+  test("bpeMerges mass conservation: each round shrinks total symbols by (0, cnt], losslessly") {
+    val merges = Vocab.bpeMerges(spark, Sf001, rounds = 6).collect()
+    // Re-derive the symbolization and re-apply each round's merge,
+    // checking the trainer's invariants: every application removes
+    // exactly one symbol per merged occurrence (so the corpus-weighted
+    // symbol total drops by at most cnt, and by at least one), and
+    // joining the symbols back always restores the original word.
+    var words = graft.core.Sources.documents(spark, Sf001)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 2)
+      .select($"word",
+        concat(regexp_replace($"word", "(.)", "·$1"), lit("·")).as("s"))
+      .groupBy($"word", $"s").agg(count(lit(1)).as("wcnt"))
+      .cache()
+    def totalSymbols(): Long = words
+      .select(($"wcnt" *
+        size(expr("filter(split(s, '·'), t -> t <> '')"))).as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    def lossless(): Boolean = words
+      .filter(regexp_replace($"s", "·", "") =!= $"word").isEmpty
+    assert(lossless())
+    for (row <- merges) {
+      val before = totalSymbols()
+      val pat = "·" + row.getAs[String]("pair_l") + "·" +
+        row.getAs[String]("pair_r") + "·"
+      val rep = "·" + row.getAs[String]("merged") + "·"
+      val applied = (1 to 5)
+        .foldLeft($"s": org.apache.spark.sql.Column)((c, _) =>
+          call_function("replace", c, lit(pat), lit(rep)))
+      words = words.select($"word", applied.as("s"), $"wcnt")
+        .localCheckpoint()
+      val after = totalSymbols()
+      val shrunk = before - after
+      assert(shrunk > 0L && shrunk <= row.getAs[Long]("cnt"),
+        s"round ${row.getAs[Int]("round")}: shrunk $shrunk not in " +
+          s"(0, ${row.getAs[Long]("cnt")}]")
+      assert(lossless(), s"round ${row.getAs[Int]("round")} broke a word")
+    }
+  }
 }
