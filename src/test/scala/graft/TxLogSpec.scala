@@ -653,6 +653,23 @@ class TxLogSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("auto-checkpoint: every-N commits write a checkpoint without being asked") {
+    val t = tmp()
+    TxLog.autoCheckpointEvery = 3
+    try {
+      (1 to 4).foreach(i =>
+        TxLog.append(spark, Seq((i, "v")).toDF("k", "v"), t))
+      val cps = new java.io.File(t + "/_txlog").listFiles()
+        .map(_.getName).filter(_.endsWith(".checkpoint.json")).toSeq
+      assert(cps == Seq(f"${3L}%020d.checkpoint.json"))
+      // Replay through the auto-checkpoint stays correct, and log
+      // retention can lean on it.
+      assert(rows(t).map(_._1) == Seq(1, 2, 3, 4))
+      TxLog.cleanupLog(spark, t, keepFrom = 3L)
+      assert(rows(t).map(_._1) == Seq(1, 2, 3, 4))
+    } finally TxLog.autoCheckpointEvery = 100
+  }
+
   test("a constraint registered mid-commit re-validates the staged batch (r9 ADVICE)") {
     val t = tmp()
     TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
