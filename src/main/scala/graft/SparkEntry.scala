@@ -225,6 +225,14 @@ object SparkEntry {
     Q("q_dedup_embedding_cosine",
       (s, d) => llm.Dedup.embeddingCosine(s, d),
       Some(llm.Dedup.embeddingCosineOracle())),
+    Q("q_dedup_embedding_cosine_scaled", // the 10x-corpus LSH sizing
+      // bits = 9 (512 buckets/table): the Σ bucket² knob sized for the
+      // sf1 corpus — SCALE_r10 measured 16.2 s → 3.1 s at 20k vectors
+      // for bits 6 → 9.  Gating it as its own entry proves the scaled
+      // configuration's semantics (bucketing, pair dedup, cosine
+      // threshold) hash-exactly, not just the sf0.1-sized default.
+      (s, d) => llm.Dedup.embeddingCosine(s, d, bits = 9),
+      Some(llm.Dedup.embeddingCosineOracle(bits = 9))),
     Q("q_stream_sessionize", // flatMapGroupsWithState, batch-evaluated vs gaps-and-islands SQL
       (s, d) => streaming.EventsStream
         .sessionizeSummary(graft.core.Sources.events(s, d)),
@@ -609,6 +617,9 @@ object SparkEntry {
     Q("q_llm_bpe_merges", // iterated BPE training loop: 6-round merge table
       (s, d) => llm.Vocab.bpeMerges(s, d),
       Some(llm.Vocab.bpeMergesOracle())),
+    Q("q_llm_bpe_encode", // corpus tokenization under the learned merges
+      (s, d) => llm.Vocab.bpeEncode(s, d),
+      Some(llm.Vocab.bpeEncodeOracle())),
     Q("q_llm_split_leakage", // near-dup pairs straddling train/val/test
       (s, d) => llm.Dedup.splitLeakage(s, d),
       Some(llm.Dedup.splitLeakageOracle())),

@@ -380,16 +380,18 @@ object Vocab {
     * aggregate; each round is two vocabulary-sized jobs (pair count +
     * a 1-row argmax) and a map-only column rewrite — a driver-bounded
     * loop of `rounds` iterations, the [[Clustering]] kmeans pattern. */
-  def bpeMerges(spark: SparkSession, dir: String,
-      rounds: Int = BpeRounds): DataFrame = {
-    import spark.implicits._
-    val sepRep = (c: org.apache.spark.sql.Column) =>
-      concat(regexp_replace(c, "(.)", "·$1"), lit("·"))
-    var words = Sources.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 2)
-      .select(sepRep(col("word")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("wcnt"))
+  private def bpeSepRep(c: org.apache.spark.sql.Column) =
+    concat(regexp_replace(c, "(.)", "·$1"), lit("·"))
+
+  /** The shared training loop: given a vocabulary frame carrying a
+    * symbolization column `s` and weight `wcnt` (plus any carry-through
+    * columns), runs `rounds` merge rounds and returns the merge table
+    * rows and the final frame with merges applied.  One-char words
+    * contribute no pairs, so including them (the encode path) yields
+    * the SAME merges as excluding them (the merge-table path). */
+  private def bpeTrain(vocab0: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = vocab0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -417,16 +419,111 @@ object Vocab {
         // localCheckpoint per round: the lineage would otherwise grow
         // 5 replace nodes per round and re-run every prior round's
         // rewrite on each pair count.
-        words = words.select(applied.as("s"), col("wcnt")).localCheckpoint()
+        words = words.withColumn("s", applied).localCheckpoint()
         round += 1
       }
     }
-    merges.result()
-      .toDF("round", "pair_l", "pair_r", "merged", "cnt")
+    (merges.result(), words)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    import spark.implicits._
+    val vocab0 = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(bpeSepRep(col("word")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("wcnt"))
+    val (merges, _) = bpeTrain(vocab0, rounds)
+    merges.toDF("round", "pair_l", "pair_r", "merged", "cnt")
       .orderBy(col("round").asc)
   }
 
   val BpeRounds = 6
+
+  /** TOKENIZE THE CORPUS with the learned merges — the other half of
+    * the BPE loop ([[bpeMerges]] trains; this encodes): every distinct
+    * word is symbolized, the `rounds` merges apply in training order,
+    * and the per-word token counts aggregate back to per-document
+    * statistics (words, BPE tokens, chars, chars-per-token — the
+    * compression a tokenizer team actually reads off a corpus).
+    * Training here includes 1-char words (they carry no pairs, so the
+    * merge sequence is identical to [[bpeMerges]]'s), which lets ONE
+    * vocabulary chain serve both training and encoding.
+    *
+    * Scale shape: the corpus-sized stages are the word explode and the
+    * final doc aggregation; everything between runs over the DISTINCT
+    * vocabulary, and the per-word token counts come back to the corpus
+    * through a BROADCAST join (the vocabulary is orders of magnitude
+    * smaller than the corpus). */
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val corpus = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val vocab0 = corpus.groupBy(col("word"))
+      .agg(count(lit(1)).as("wcnt"))
+      .withColumn("s", bpeSepRep(col("word")))
+    val (_, encoded) = bpeTrain(vocab0, rounds)
+    val perWord = encoded.select(col("word"),
+      size(expr("filter(split(s, '·'), t -> t <> '')"))
+        .cast("bigint").as("w_tokens"))
+    corpus.join(broadcast(perWord), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("chars_per_token", round(
+        col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_chars"), col("chars_per_token"))
+  }
+
+  def bpeEncodeOracle(rounds: Int = BpeRounds): String = {
+    def rep5(s: String) = (1 to 5).foldLeft(s)((acc, _) =>
+      s"replace($acc, m.pat, m.rep)")
+    val cte = new StringBuilder(
+      """WITH w0 AS (
+        |  SELECT word, regexp_replace(word, '(.)', '·\1', 'g') || '·' AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS wcnt
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2)""".stripMargin)
+    for (k <- 1 to rounds) {
+      cte.append(s""",
+        |p$k AS (
+        |  SELECT toks[i] AS l, toks[i + 1] AS r,
+        |         CAST(SUM(wcnt) AS BIGINT) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, '·'), t -> t <> '')
+        |          AS toks, wcnt FROM w${k - 1}),
+        |       UNNEST(range(1, len(toks))) AS u(i)
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT l, r, cnt FROM p$k
+        |        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |w$k AS (
+        |  SELECT w.word, CASE WHEN m.pat IS NULL THEN w.s
+        |              ELSE ${rep5("w.s")} END AS s, w.wcnt
+        |  FROM w${k - 1} w LEFT JOIN
+        |    (SELECT '·' || l || '·' || r || '·' AS pat,
+        |            '·' || l || r || '·' AS rep FROM m$k) m ON TRUE)"""
+        .stripMargin)
+    }
+    cte.append(s""",
+      |tok AS (
+      |  SELECT word, CAST(len(list_filter(string_split(s, '·'),
+      |    t -> t <> '')) AS BIGINT) AS w_tokens FROM w$rounds),
+      |corpus AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |         CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
+      |  FROM corpus JOIN tok USING (word) GROUP BY 1)
+      |SELECT a.doc_id, n_words, n_tokens, d.n_chars,
+      |  ROUND(CAST(d.n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS chars_per_token
+      |FROM agg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin)
+    cte.toString
+  }
 
   def bpeMergesOracle(rounds: Int = BpeRounds): String = {
     def rep5(s: String) = (1 to 5).foldLeft(s)((acc, _) =>

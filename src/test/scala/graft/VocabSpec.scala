@@ -195,6 +195,30 @@ class VocabSpec extends SparkSpec {
     assert(m.head.getAs[String]("merged") == first)
   }
 
+  test("bpeEncode: tokens bounded by words and chars; 0 rounds = char count; merges only shrink") {
+    val enc = Vocab.bpeEncode(spark, Sf001).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))
+      // Every word is at least one token; tokens never exceed the
+      // doc's non-space chars (n_chars counts the w-1 joining spaces).
+      assert(t >= w && t <= c - (w - 1))
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+    // Zero merge rounds tokenizes every word into its characters.
+    val enc0 = Vocab.bpeEncode(spark, Sf001, rounds = 0).collect()
+    val t6 = enc.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    enc0.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))
+      assert(t == c - (w - 1))
+      // Applying merges can only shrink a document's token count.
+      assert(t6(r.getAs[Long]("doc_id")) <= t)
+    }
+  }
+
   test("bpeMerges mass conservation: each round shrinks total symbols by (0, cnt], losslessly") {
     val merges = Vocab.bpeMerges(spark, Sf001, rounds = 6).collect()
     // Re-derive the symbolization and re-apply each round's merge,
