@@ -418,6 +418,9 @@ object SparkEntry {
     Q("q_ann_pq", // product quantization + ADC: integer-exact, codes-only scan
       (s, d) => llm.Similarity.pqTopK(s, d),
       Some(llm.Similarity.pqOracle())),
+    Q("q_ann_ivfpq", // IVF list pruning composed in front of the ADC scan
+      (s, d) => llm.Similarity.ivfpqTopK(s, d),
+      Some(llm.Similarity.ivfpqOracle())),
     Q("q_text_drift", // χ² token-distribution drift per source, decimal-summed
       (s, d) => llm.TextAnalysis.drift(s, d),
       Some(llm.TextAnalysis.driftOracle)),

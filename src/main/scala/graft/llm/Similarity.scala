@@ -332,6 +332,33 @@ object Similarity {
       codes: Int = 8, iters: Int = 2, numQueries: Int = 8,
       k: Int = 5, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (codesTbl, luts) =
+      pqCodesAndLuts(spark, dir, m, codes, iters, numQueries, dim)
+    val scored = luts.zipWithIndex.foldLeft(codesTbl) {
+      case (acc, (lut, 0)) => acc.join(broadcast(lut), Seq("c0"))
+      case (acc, (lut, mi)) =>
+        acc.join(broadcast(lut), Seq(s"c$mi", "query_id"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist2").asc, col("vec_id").asc)
+    scored
+      .withColumn("approx_dist2",
+        (0 until m).map(mi => col(s"d$mi")).reduce(_ + _))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("approx_dist2"))
+  }
+
+  /** [[pqTopK]]'s training+encoding stages split out so IVF list pruning
+    * can compose in front of the ADC scan ([[ivfpqTopK]]): returns the
+    * stored codes table (vec_id, c0..c{m-1}) and the m per-query LUT
+    * frames (query_id, c{mi}, d{mi}). */
+  private def pqCodesAndLuts(spark: SparkSession, dir: String, m: Int,
+      codes: Int, iters: Int, numQueries: Int, dim: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
     graft.functions.SquaredL2.register(spark)
     require(dim % m == 0, "subspaces must tile the dimension")
     val subDim = dim / m
@@ -384,11 +411,55 @@ object Similarity {
         max(when(col("mi") === 0, col("cid"))).as("c0"),
         (1 until m).map(mi =>
           max(when(col("mi") === mi, col("cid"))).as(s"c$mi")): _*)
-    // ...scored by chained BROADCAST LUT joins (the corpus never shuffles;
-    // the first join fans out by query, the rest key on (code, query)).
-    val scored = perSub.zipWithIndex.foldLeft(codesTbl) {
-      case (acc, ((_, lut), 0)) => acc.join(broadcast(lut), Seq("c0"))
-      case (acc, ((_, lut), mi)) =>
+    // ...scored downstream by chained BROADCAST LUT joins (the corpus
+    // never shuffles; the first join fans out by query, the rest key on
+    // (code, query)).
+    (codesTbl, perSub.map(_._2))
+  }
+
+  /** IVF + PQ combined — the FAISS IVFPQ shape and the production ANN
+    * capstone: the coarse quantizer prunes the SCAN (each query reads
+    * only its `nprobe` inverted lists, which at 100 TB are the partition
+    * key, so pruning happens at the I/O layer), and ADC scoring over the
+    * survivors never touches a float vector (m one-byte codes per vector
+    * + a broadcast per-query LUT).  Store cut × scan cut compose: 64×
+    * fewer bytes per vector (4 codes vs 256 float bytes) over nlist/
+    * nprobe-fold fewer vectors read.  Non-residual variant: codebooks
+    * train over the full vectors, not centroid residuals — simpler, and
+    * exactness of the cross-engine gate is preserved because every ADC
+    * distance stays an exact BIGINT (the coarse stage reuses [[ivfTopK]]'s
+    * deterministic double cosine, gated since round 6).
+    *
+    * Plan shape: coarse assign/probe = one broadcast(nlist-row) rank;
+    * codes+LUTs = [[pqCodesAndLuts]] (no corpus shuffle); the pruning
+    * join keys the codes table on list id against a BROADCAST probe set;
+    * ADC = m broadcast LUT joins; final per-query top-K is the rank
+    * window over candidates only. */
+  def ivfpqTopK(spark: SparkSession, dir: String, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 4, codes: Int = 8, iters: Int = 2,
+      numQueries: Int = 8, k: Int = 5, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Sources.embeddings(spark, dir))
+    val centroids = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("q_embedding"),
+        col("norm").as("q_norm"))
+    val ranked = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", expr(s"$dot / (norm * q_norm)"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_sim").desc, col("cid").asc)))
+    val lists = ranked.filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < numQueries &&
+        col("c_rank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val (codesTbl, luts) =
+      pqCodesAndLuts(spark, dir, m, codes, iters, numQueries, dim)
+    val candidates = codesTbl
+      .join(lists, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cid")) // list pruning before any LUT
+    val scored = luts.zipWithIndex.foldLeft(candidates) {
+      case (acc, (lut, mi)) =>
         acc.join(broadcast(lut), Seq(s"c$mi", "query_id"))
     }
     val w = Window.partitionBy(col("query_id"))
@@ -463,6 +534,110 @@ object Similarity {
     val conds = ((1 until m).map(mi => s"a$mi.vec_id = a0.vec_id") ++
       (0 until m).map(mi => s"l$mi.cid = a$mi.cid") ++
       (1 until m).map(mi => s"l$mi.query_id = l0.query_id"))
+      .mkString("\n    AND ")
+    val dSum = (0 until m).map(mi => s"l$mi.d").mkString(" + ")
+    sb ++= s""",
+       |scored AS (
+       |  SELECT l0.query_id, a0.vec_id, $dSum AS approx_dist2
+       |  FROM $tables
+       |  WHERE $conds
+       |    AND a0.vec_id <> l0.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, approx_dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY approx_dist2 ASC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", vec_id AS neighbor_id,
+       |  approx_dist2
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[ivfpqTopK]]: [[ivfOracle]]'s coarse
+    * assign/probe CTEs prepended to [[pqOracle]]'s per-subspace Lloyd
+    * chains, with the scored join additionally constrained to the
+    * probed inverted lists. */
+  def ivfpqOracle(nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+      codes: Int = 8, iters: Int = 2, numQueries: Int = 8, k: Int = 5,
+      dim: Int = 64): String = {
+    val subDim = dim / m
+    def dist(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len($a)),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |    (acc, v) -> acc + v)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(${dotOracle("emb", "emb")}) AS norm FROM e),
+       |cc AS (
+       |  SELECT vec_id AS cid, emb AS c_emb, norm AS c_norm
+       |  FROM n WHERE vec_id < $nlist),
+       |csim AS (
+       |  SELECT n.vec_id, n.norm, cc.cid,
+       |    ${dotOracle("n.emb", "cc.c_emb")} / (n.norm * cc.c_norm) AS c_sim
+       |  FROM n CROSS JOIN cc),
+       |ranked_c AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY c_sim DESC, cid ASC) AS c_rank
+       |  FROM csim),
+       |lists AS (SELECT vec_id, cid FROM ranked_c WHERE c_rank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM ranked_c
+       |  WHERE vec_id < $numQueries AND c_rank <= $nprobe),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+    for (mi <- 0 until m) {
+      val lo = mi * subDim + 1
+      val hi = (mi + 1) * subDim
+      sb ++= s""",
+         |s${mi}v AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM q),
+         |s${mi}c0 AS (SELECT vec_id AS cid, sv AS cv FROM s${mi}v
+         |             WHERE vec_id < $codes)""".stripMargin
+      for (it <- 1 to iters) {
+        sb ++= s""",
+           |s${mi}d$it AS (
+           |  SELECT v.vec_id, v.sv, c.cid, ${dist("v.sv", "c.cv")} AS dist
+           |  FROM s${mi}v v CROSS JOIN s${mi}c${it - 1} c),
+           |s${mi}a$it AS (
+           |  SELECT vec_id, sv, cid FROM (
+           |    SELECT vec_id, sv, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                         ORDER BY dist ASC, cid ASC) AS rn
+           |    FROM s${mi}d$it) t
+           |  WHERE rn = 1)""".stripMargin
+        if (it < iters)
+          sb ++= s""",
+             |s${mi}c$it AS (
+             |  SELECT cid, list(mn ORDER BY pos) AS cv
+             |  FROM (SELECT cid, u.p AS pos,
+             |          CAST(round(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mn
+             |        FROM (SELECT cid,
+             |                UNNEST(list_transform(generate_series(1, len(sv)),
+             |                  i -> {'p': i - 1, 'v': sv[i]})) AS u
+             |              FROM s${mi}a$it) px
+             |        GROUP BY cid, u.p) s
+             |  GROUP BY cid)""".stripMargin
+      }
+      sb ++= s""",
+         |s${mi}lut AS (
+         |  SELECT v.vec_id AS query_id, c.cid, ${dist("v.sv", "c.cv")} AS d
+         |  FROM s${mi}v v CROSS JOIN s${mi}c${iters - 1} c
+         |  WHERE v.vec_id < $numQueries)""".stripMargin
+    }
+    val tables = ((0 until m).map(mi => s"s${mi}a$iters a$mi") ++
+      (0 until m).map(mi => s"s${mi}lut l$mi")).mkString(", ") +
+      ", lists al, probes p"
+    val conds = ((1 until m).map(mi => s"a$mi.vec_id = a0.vec_id") ++
+      (0 until m).map(mi => s"l$mi.cid = a$mi.cid") ++
+      (1 until m).map(mi => s"l$mi.query_id = l0.query_id") ++
+      Seq("al.vec_id = a0.vec_id", "p.cid = al.cid",
+        "p.query_id = l0.query_id"))
       .mkString("\n    AND ")
     val dSum = (0 until m).map(mi => s"l$mi.d").mkString(" + ")
     sb ++= s""",

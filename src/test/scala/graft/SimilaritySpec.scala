@@ -235,6 +235,38 @@ class SimilaritySpec extends SparkSpec {
     assert(hit >= 2, s"ADC top-3 captured the true NN for only $hit/4 queries")
   }
 
+  test("IVFPQ: list pruning changes WHICH candidates, never their ADC distance") {
+    val ivfpq = Similarity.ivfpqTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(ivfpq.nonEmpty)
+    // Ranks are contiguous and distances monotone per query.
+    ivfpq.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1 to s.length))
+      val ds = s.map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // Every (query, neighbor) ADC distance equals the UNPRUNED PQ scan's
+    // distance for the same pair: the IVF stage only restricts the
+    // candidate set, it must not perturb the quantized arithmetic.
+    val full = Similarity.pqTopK(spark, Sf001, numQueries = 4, k = 1000000)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    ivfpq.foreach { case (q, _, n, d) =>
+      assert(full((q, n)) == d, s"ADC dist drift for ($q, $n)")
+    }
+    // Pruning can only keep or WORSEN each rank's distance (the pruned
+    // candidate set is a subset of the full scan's): per query, the
+    // IVFPQ rank-r distance must be >= the unpruned rank-r distance.
+    val fullTop = Similarity.pqTopK(spark, Sf001, numQueries = 4, k = 3)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    ivfpq.foreach { case (q, r, _, d) =>
+      assert(d >= fullTop((q, r)),
+        s"pruned rank-$r dist $d beat the full scan for query $q")
+    }
+  }
+
   test("LSH top-k neighbors are a subset of candidates sharing the query bucket, ranked consistently") {
     val out = Similarity.lshTopK(spark, Sf001, numQueries = 4, k = 3)
       .as[(Long, Int, Long, Double)].collect()
