@@ -38,21 +38,35 @@ for name in todo:
     times = []
     timed_out = False
     for _ in range(reps):
-        done = threading.Event()
-        if TIMEOUT:
-            def watchdog():
-                if not done.wait(TIMEOUT):
-                    con.interrupt()
-            threading.Thread(target=watchdog, daemon=True).start()
-        t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-            times.append(time.time() - t0)
-        except duckdb.InterruptException:
-            timed_out = True
+        # Same stale-interrupt guard as check.py: a watchdog firing in
+        # the window between fetchall() returning and done.set() leaves
+        # a pending interrupt that cancels the NEXT healthy query —
+        # an interrupt long before this rep's own deadline is retried
+        # once instead of being reported as a timeout.
+        for attempt in (1, 2):
+            done = threading.Event()
+            w = None
+            if TIMEOUT:
+                def watchdog():
+                    if not done.wait(TIMEOUT):
+                        con.interrupt()
+                w = threading.Thread(target=watchdog, daemon=True)
+                w.start()
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                times.append(time.time() - t0)
+                break
+            except duckdb.InterruptException:
+                if time.time() - t0 >= TIMEOUT * 0.9 or attempt == 2:
+                    timed_out = True
+                    break
+            finally:
+                done.set()
+                if w is not None:
+                    w.join()
+        if timed_out:
             break
-        finally:
-            done.set()
     if timed_out:
         print(f"{name}\ttimeout>{TIMEOUT}s")
     else:

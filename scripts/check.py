@@ -38,17 +38,28 @@ ORACLE_TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
 def run_oracle(sql):
     if not ORACLE_TIMEOUT:
         return con.execute(sql).fetchdf()
-    import threading
-    done = threading.Event()
-    def watchdog():
-        if not done.wait(ORACLE_TIMEOUT):
-            con.interrupt()
-    w = threading.Thread(target=watchdog, daemon=True)
-    w.start()
-    try:
-        return con.execute(sql).fetchdf()
-    finally:
-        done.set()
+    import threading, time
+    # The watchdog can fire in the window between fetchdf() returning
+    # and done.set(); the pending interrupt then cancels the NEXT
+    # (healthy) oracle.  An InterruptException that arrives well before
+    # this query's own deadline is therefore a stale interrupt from the
+    # previous watchdog -> retried once, not reported as a timeout.
+    for attempt in (1, 2):
+        done = threading.Event()
+        def watchdog():
+            if not done.wait(ORACLE_TIMEOUT):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        start = time.monotonic()
+        w.start()
+        try:
+            return con.execute(sql).fetchdf()
+        except duckdb.InterruptException:
+            if time.monotonic() - start >= ORACLE_TIMEOUT * 0.9 or attempt == 2:
+                raise
+        finally:
+            done.set()
+            w.join()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 

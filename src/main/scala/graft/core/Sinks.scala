@@ -337,6 +337,11 @@ object Sinks {
     * per committed (app_id, batch_id), living next to the target. */
   private def ledgerOf(table: String): String = table + "_graft_ledger"
 
+  /** Ledgers already checked (and if needed migrated) for the UNIQUE
+    * (app_id, batch_id) backstop this JVM — see [[ensureLedger]]. */
+  private val migratedLedgers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Highest batch id committed for `appId` into `table`'s ledger, or
     * None when the ledger (or any batch) doesn't exist yet — the
     * database twin of [[TxLog.lastCommittedBatch]]. */
@@ -378,6 +383,26 @@ object Sinks {
       val rs = st.executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0")
       rs.close()
       conn.releaseSavepoint(sp)
+      // Ledger predates this writer?  Tables created before the UNIQUE
+      // backstop existed carry no constraint, so the zombie-replay
+      // guarantee would silently not apply to them: migrate in place.
+      // The ALTER runs under its own savepoint — "constraint already
+      // exists" (the steady state, Derby 42Z93 / Postgres duplicates)
+      // rolls back to the savepoint and the transaction continues.
+      // One attempt per (connection URL, ledger) per JVM: the failed
+      // DDL probe is not worth paying on every micro-batch.
+      val migKey = conn.getMetaData.getURL + "#" + ledger
+      if (migratedLedgers.add(migKey)) {
+        val sp2 = conn.setSavepoint()
+        try {
+          val cname = (ledger + "_uq").replaceAll("[^A-Za-z0-9_]", "_")
+          st.executeUpdate(s"ALTER TABLE $ledger ADD CONSTRAINT $cname " +
+            "UNIQUE (app_id, batch_id)")
+          conn.releaseSavepoint(sp2)
+        } catch {
+          case _: java.sql.SQLException => conn.rollback(sp2)
+        }
+      }
     } catch {
       case _: java.sql.SQLException =>
         conn.rollback(sp)
@@ -399,11 +424,15 @@ object Sinks {
     * (both passed the probe; the ledger UNIQUE index picks the winner). */
   private[graft] var ledgerRaceHook: () => Unit = () => ()
 
-  /** SQLSTATE class 23 = integrity-constraint violation (23505 is the
-    * standard unique-violation code on Postgres AND Derby). */
+  /** SQLSTATE 23505 = unique-constraint violation — the SAME code on
+    * Postgres and Derby, and the ONLY class-23 state that can mean
+    * "lost the ledger replay race".  The rest of class 23 (23502 NOT
+    * NULL, 23503 FK, 23513/23514 CHECK) means the TARGET insert is
+    * genuinely broken and must propagate so the stream checkpoint does
+    * NOT advance past a lost batch. */
   private def isUniqueViolation(t: Throwable): Boolean = t match {
     case e: java.sql.SQLException =>
-      Option(e.getSQLState).exists(_.startsWith("23")) ||
+      Option(e.getSQLState).contains("23505") ||
         isUniqueViolation(e.getNextException)
     case _ => false
   }
@@ -456,11 +485,19 @@ object Sinks {
         committed = true
       }
     } catch {
-      // Lost the replay race: the other writer's ledger row committed
-      // first, our UNIQUE insert failed, and stagedJdbcLoad rolled this
-      // whole transaction back — the batch IS in the table (applied by
-      // the winner), so report "already committed", not an error.
-      case t: Throwable if isUniqueViolation(t) => return false
+      // Possibly lost the replay race: the other writer's ledger row
+      // committed first, our UNIQUE insert failed, and stagedJdbcLoad
+      // rolled this whole transaction back.  A unique violation can
+      // ALSO come from the target table itself, so "lost the race" is
+      // only believed when the ledger — re-read on a fresh connection
+      // after our rollback — actually shows the batch committed by the
+      // winner; anything else (including every other class-23 state)
+      // rethrows so the caller retries instead of silently dropping
+      // the batch.
+      case t: Throwable if isUniqueViolation(t) =>
+        if (lastCommittedBatchJdbc(env, table, appId).exists(_ >= batchId))
+          return false
+        else throw t
     }
     committed
   }

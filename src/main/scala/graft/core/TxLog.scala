@@ -1156,9 +1156,23 @@ object TxLog {
     // no data and, having no stats, would never be prunable.  Shows up
     // when a rewrite's survivors are empty (delete matched a whole
     // file); the orphan is reclaimed by [[vacuum]].
-    files.flatMap { rel =>
-      val name = rel.substring(rel.lastIndexOf('/') + 1)
-      stats.get(name).map(s => (rel, s))
+    val (kept, dropped) = files.partition { rel =>
+      stats.contains(rel.substring(rel.lastIndexOf('/') + 1))
+    }
+    // Guard the drop: absence of a stats entry is only PROOF of zero
+    // rows if the input_file_name()-derived names actually matched the
+    // listed paths.  A silent mismatch (URI encoding, layout change)
+    // would drop a LIVE data file from the commit — so any file about
+    // to be dropped is re-read and must really be empty.
+    dropped.foreach { rel =>
+      val abs = new Path(table, rel).toString
+      require(spark.read.schema(df.schema).parquet(abs).isEmpty,
+        s"TxLog: staged file $rel has rows but no stats entry — " +
+          "file-name mismatch between input_file_name() and the " +
+          "staged listing; refusing to drop a live data file")
+    }
+    kept.map { rel =>
+      (rel, stats(rel.substring(rel.lastIndexOf('/') + 1)))
     }
   }
 

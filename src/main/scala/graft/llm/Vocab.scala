@@ -391,6 +391,21 @@ object Vocab {
     * the SAME merges as excluding them (the merge-table path). */
   private def bpeTrain(vocab0: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // The 5-pass replace reaches its fixpoint only for words under 64
+    // symbols (each left-to-right pass merges at least every other
+    // occurrence of a self-overlapping run, so passes needed grows as
+    // log2 of the run length).  Longer words would ship an UNDER-MERGED
+    // tokenization that is merely identically-wrong in the oracle — so
+    // the bound is enforced, not assumed.  Merging only ever shrinks a
+    // word's symbol count, so checking vocab0 once covers every round.
+    val maxSyms = vocab0
+      .select(size(expr("filter(split(s, '·'), t -> t <> '')")).as("n"))
+      .agg(max(col("n")).as("m")).collect()(0)
+    val maxN = if (maxSyms.isNullAt(0)) 0 else maxSyms.getInt(0)
+    require(maxN < 64,
+      s"bpeTrain: longest word has $maxN symbols; the 5-pass merge is " +
+        "only a fixpoint for words under 64 symbols — pre-split longer " +
+        "words (or raise the pass count in BOTH engines) before training")
     var words = vocab0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1

@@ -524,6 +524,94 @@ class SinksSpec extends SparkSpec {
       .contains(1L))
   }
 
+  test("JDBC appendBatch: a genuine target-constraint violation PROPAGATES (r10 ADVICE)") {
+    // Before r11 ANY SQLSTATE class-23 error was swallowed as "lost the
+    // replay race" → the checkpoint advanced and the batch was silently
+    // lost.  A NOT NULL violation (23502) on the TARGET insert must now
+    // rethrow so the stream can retry the batch.
+    dropJdbc("strict_tgt"); dropJdbc("strict_tgt_graft_ledger")
+    val env = graft.core.JdbcEnv(jdbcUrl, None, None)
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE strict_tgt (\"k\" BIGINT, \"v\" VARCHAR(32) NOT NULL)")
+      st.close()
+    } finally conn.close()
+    val bad = Seq((1L, Option.empty[String])).toDF("k", "v")
+    val e = intercept[Exception] {
+      Sinks.appendBatchJdbc(bad, env, "strict_tgt", "job", 0L)
+    }
+    def states(t: Throwable): Seq[String] = t match {
+      case s: java.sql.SQLException =>
+        Option(s.getSQLState).toSeq ++ states(s.getNextException) ++
+          Option(s.getCause).toSeq.flatMap(states)
+      case s if s != null =>
+        Option(s.getCause).toSeq.flatMap(states)
+      case _ => Nil
+    }
+    assert(states(e).exists(_.startsWith("23")),
+      s"expected a class-23 SQLSTATE to propagate, got $e")
+    // The batch is NOT marked committed: a retry with good data works.
+    assert(Sinks.lastCommittedBatchJdbc(env, "strict_tgt", "job").isEmpty)
+    assert(Sinks.appendBatchJdbc(
+      Seq((1L, "a")).toDF("k", "v"), env, "strict_tgt", "job", 0L))
+  }
+
+  test("JDBC appendBatch: a target-table UNIQUE violation is not mistaken for a lost race") {
+    // 23505 can come from the TARGET table too; only a ledger re-read
+    // showing the batch actually committed may downgrade it to
+    // "already committed" — otherwise it rethrows.
+    dropJdbc("uniq_tgt"); dropJdbc("uniq_tgt_graft_ledger")
+    val env = graft.core.JdbcEnv(jdbcUrl, None, None)
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE uniq_tgt " +
+        "(\"k\" BIGINT NOT NULL UNIQUE, \"v\" VARCHAR(32))")
+      st.close()
+    } finally conn.close()
+    assert(Sinks.appendBatchJdbc(
+      Seq((1L, "a")).toDF("k", "v"), env, "uniq_tgt", "job", 0L))
+    // Batch 1 re-inserts k=1 → target UNIQUE violation; the ledger
+    // shows only batch 0, so this must THROW, not return false.
+    intercept[Exception] {
+      Sinks.appendBatchJdbc(
+        Seq((1L, "dup")).toDF("k", "v"), env, "uniq_tgt", "job", 1L)
+    }
+    assert(Sinks.lastCommittedBatchJdbc(env, "uniq_tgt", "job")
+      .contains(0L))
+  }
+
+  test("ensureLedger migrates a pre-UNIQUE ledger in place (r10 ADVICE)") {
+    // Ledger tables created by versions before the UNIQUE backstop
+    // carried no constraint; the exists path must add it so existing
+    // deployments get the zombie-replay guarantee too.
+    dropJdbc("mig_tgt"); dropJdbc("mig_tgt_graft_ledger")
+    val env = graft.core.JdbcEnv(jdbcUrl, None, None)
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE mig_tgt_graft_ledger " +
+        "(app_id VARCHAR(256) NOT NULL, batch_id BIGINT NOT NULL)")
+      st.close()
+    } finally conn.close()
+    assert(Sinks.appendBatchJdbc(
+      Seq((1L, "a")).toDF("k", "v"), env, "mig_tgt", "job", 0L))
+    // The migration ran inside that append: a duplicate ledger row must
+    // now violate the added UNIQUE constraint.
+    val conn2 = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = conn2.createStatement()
+      val e = intercept[java.sql.SQLException] {
+        st.executeUpdate("INSERT INTO mig_tgt_graft_ledger " +
+          "(app_id, batch_id) VALUES ('job', 0)")
+      }
+      assert(e.getSQLState == "23505")
+      st.close()
+    } finally conn2.close()
+  }
+
   test("JDBC streaming sink: micro-batches land exactly once into Derby") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -179,6 +179,25 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain enforces the 64-symbol word bound (r10 ADVICE: 5-pass merge fixpoint)") {
+    // A word with >= 64 symbols may not reach the replace fixpoint in
+    // 5 passes; both engines would be identically under-merged, so the
+    // bound is enforced loudly instead of shipping a wrong tokenization.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_bound")
+      .toString
+    val longWord = "ab" * 40 // 80 symbols
+    Seq((1L, s"hello $longWord world", "en", "synthetic", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Vocab.bpeMerges(spark, dir, rounds = 2).collect()
+    }
+    assert(e.getMessage.contains("64 symbols"))
+    // And the gate corpus itself is inside the bound (so the gate
+    // fixtures can never regress into the unenforced zone silently).
+    assert(Vocab.bpeMerges(spark, Sf001, rounds = 1).count() == 1)
+  }
+
   test("bpeMerges: rounds are complete, counts non-increasing, round 1 = bpePairs top-1") {
     val m = Vocab.bpeMerges(spark, Sf001, rounds = 6).collect()
     assert(m.map(_.getAs[Int]("round")).toSeq == (1 to 6))
