@@ -767,21 +767,9 @@ object Dedup {
 
   def ngramJaccardHashedOracle(minJaccard: Double = 0.3,
       n: Int = 1): String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, lang, source,
-       |    list_transform(${ngramSetOracleExpr("text", n)},
-       |      s -> ${shingleHashDuck("s")}) AS toks
-       |  FROM documents)
-       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) + len(b.toks)
-       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
-       |FROM docs a JOIN docs b
-       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) + len(b.toks)
-       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-       |  >= $minJaccard""".stripMargin
+    ngramJaccardOracleBounded(minJaccard,
+      s"""list_transform(${ngramSetOracleExpr("text", n)},
+         |      s -> ${shingleHashDuck("s")})""".stripMargin)
 
   /** The AllPairs prefix-filter stage of [[ngramJaccard]] split out so the
     * scale probe can measure the candidate-pair population the prefix
@@ -1294,18 +1282,9 @@ object Dedup {
 
   def containmentHashedOracle(minContainment: Double = 0.3,
       n: Int = 3): String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, lang,
-       |    list_transform(${ngramSetOracleExpr("text", n)},
-       |      s -> ${shingleHashDuck("s")}) AS toks
-       |  FROM documents)
-       |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) AS DOUBLE) AS containment
-       |FROM docs a JOIN docs b
-       |  ON a.lang = b.lang AND a.doc_id <> b.doc_id
-       |WHERE len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) AS DOUBLE) >= $minContainment""".stripMargin
+    containmentOracleBounded(minContainment,
+      s"""list_transform(${ngramSetOracleExpr("text", n)},
+         |      s -> ${shingleHashDuck("s")})""".stripMargin)
 
   /** The asymmetric prefix-filter stage of [[containment]] split out for
     * the scale probe — candidate (doc_a ⊂? doc_b) ordered pairs. */
@@ -1343,31 +1322,91 @@ object Dedup {
   }
 
   def containmentOracle(minContainment: Double = 0.3, n: Int = 3): String =
+    containmentOracleBounded(minContainment,
+      ngramSetOracleExpr("text", n))
+
+  /** Candidate-bounded containment oracle (r10 verdict #1): the SAME
+    * AllPairs asymmetric prefix filter [[containmentCandidates]] runs —
+    * A's first |A| − ⌈t·|A|⌉ + 1 tokens in global (df, tok) order joined
+    * against ALL of B's tokens — spelled in DuckDB SQL, replacing the
+    * O(N²/langs) all-pairs CTE that timed out at sf1.  Lossless for ANY
+    * global total order (the filter's theorem doesn't depend on the
+    * order, only on it being total), so the oracle may rank plain
+    * tokens where Spark ranks xxhash64 keys and the thresholded output
+    * is still identical. */
+  private def containmentOracleBounded(minContainment: Double,
+      toksExpr: String): String =
     s"""WITH docs AS (
-       |  SELECT doc_id, lang, ${ngramSetOracleExpr("text", n)} AS toks
-       |  FROM documents)
-       |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) AS DOUBLE) AS containment
-       |FROM docs a JOIN docs b
-       |  ON a.lang = b.lang AND a.doc_id <> b.doc_id
-       |WHERE len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) AS DOUBLE) >= $minContainment""".stripMargin
+       |  SELECT doc_id, lang, $toksExpr AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang, len(toks) AS n_toks, UNNEST(toks) AS tok
+       |  FROM docs),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+       |pref AS (
+       |  SELECT lang, tok, doc_id FROM (
+       |    SELECT t.lang, t.tok, t.doc_id, t.n_toks,
+       |      ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |                         ORDER BY d.df ASC, t.tok ASC) AS rn
+       |    FROM tok t JOIN dfreq d USING (tok))
+       |  WHERE rn <= n_toks
+       |    - CAST(CEIL($minContainment * n_toks) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN tok b
+       |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id <> b.doc_id)
+       |SELECT c.lang, c.doc_a, c.doc_b,
+       |  len(list_intersect(da.toks, db.toks)) /
+       |    CAST(len(da.toks) AS DOUBLE) AS containment
+       |FROM cand c
+       |JOIN docs da ON da.doc_id = c.doc_a
+       |JOIN docs db ON db.doc_id = c.doc_b
+       |WHERE len(list_intersect(da.toks, db.toks)) /
+       |    CAST(len(da.toks) AS DOUBLE) >= $minContainment""".stripMargin
 
   def ngramJaccardOracle(minJaccard: Double = 0.3, n: Int = 1): String =
+    ngramJaccardOracleBounded(minJaccard, ngramSetOracleExpr("text", n))
+
+  /** Candidate-bounded Jaccard oracle (r10 verdict #1): the symmetric
+    * AllPairs prefix filter of [[ngramJaccardCandidates]] in DuckDB SQL —
+    * prefix × prefix equi-joined on the token within (lang, source) —
+    * replacing the all-pairs CTE that timed out at sf1.  Same losslessness
+    * argument as [[containmentOracleBounded]]. */
+  private def ngramJaccardOracleBounded(minJaccard: Double,
+      toksExpr: String): String =
     s"""WITH docs AS (
-       |  SELECT doc_id, lang, source,
-       |         ${ngramSetOracleExpr("text", n)} AS toks
-       |  FROM documents)
-       |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) + len(b.toks)
-       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
-       |FROM docs a JOIN docs b
-       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.toks, b.toks)) /
-       |    CAST(len(a.toks) + len(b.toks)
-       |         - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= $minJaccard""".stripMargin
+       |  SELECT doc_id, lang, source, $toksExpr AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang, source, len(toks) AS n_toks,
+       |         UNNEST(toks) AS tok
+       |  FROM docs),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+       |pref AS (
+       |  SELECT lang, source, tok, doc_id FROM (
+       |    SELECT t.lang, t.source, t.tok, t.doc_id, t.n_toks,
+       |      ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |                         ORDER BY d.df ASC, t.tok ASC) AS rn
+       |    FROM tok t JOIN dfreq d USING (tok))
+       |  WHERE rn <= n_toks
+       |    - CAST(CEIL($minJaccard * n_toks) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.lang, a.source, a.doc_id AS doc_a,
+       |         b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
+       |   AND a.doc_id < b.doc_id)
+       |SELECT c.lang, c.source, c.doc_a, c.doc_b,
+       |  len(list_intersect(da.toks, db.toks)) /
+       |    CAST(len(da.toks) + len(db.toks)
+       |         - len(list_intersect(da.toks, db.toks)) AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN docs da ON da.doc_id = c.doc_a
+       |JOIN docs db ON db.doc_id = c.doc_b
+       |WHERE len(list_intersect(da.toks, db.toks)) /
+       |    CAST(len(da.toks) + len(db.toks)
+       |         - len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+       |  >= $minJaccard""".stripMargin
 
   /** C4-style LINE-level dedup: cut each document into fixed
     * `window`-token lines ([[graft.llm.TextAnalysis]] chunking at stride

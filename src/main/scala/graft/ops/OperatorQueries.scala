@@ -137,6 +137,13 @@ object OperatorQueries {
       .agg(count(lit(1)).as("n_rows"),
         expr(Frag.sumMoney("receita")).as("receita_total"))
 
+  // The three period-membership oracles spell the open-ended interval as
+  // `fact_date < COALESCE(end_date, DATE '9999-12-31')` rather than
+  // `(end_date IS NULL OR ...)`: the OR keeps DuckDB from using the
+  // client_id equality as a hash-join key (it planned BLOCKWISE_NL_JOIN
+  // and timed out at sf1 — r10 verdict #1); the sentinel form hash-joins
+  // with inequality residuals and is equivalent for any fact_date below
+  // the sentinel.  The Spark side is unchanged.
   val responsibilityFilterOracle: String =
     s"""WITH ${Responsibility.oraclePeriodsCte},
        |$factsCte
@@ -147,7 +154,7 @@ object OperatorQueries {
        |  SELECT 1 FROM periods p
        |  WHERE p.client_id = facts.client_id
        |    AND p.start_date <= facts.fact_date
-       |    AND (p.end_date IS NULL OR facts.fact_date < p.end_date))
+       |    AND facts.fact_date < COALESCE(p.end_date, DATE '9999-12-31'))
        |GROUP BY 1""".stripMargin
 
   /** J8 — enrichment variant: July-2001 fact rows with the responsible
@@ -169,7 +176,7 @@ object OperatorQueries {
        |LEFT JOIN periods p
        |  ON p.client_id = facts.client_id
        |  AND p.start_date <= facts.fact_date
-       |  AND (p.end_date IS NULL OR facts.fact_date < p.end_date)
+       |  AND facts.fact_date < COALESCE(p.end_date, DATE '9999-12-31')
        |WHERE ${Frag.mes("fact_date")} = DATE '2001-07-01'""".stripMargin
 
   /** J8 composed into an A1-style rollup — the reference's core
@@ -201,7 +208,7 @@ object OperatorQueries {
        |LEFT JOIN periods p
        |  ON p.client_id = facts.client_id
        |  AND p.start_date <= facts.fact_date
-       |  AND (p.end_date IS NULL OR facts.fact_date < p.end_date)
+       |  AND facts.fact_date < COALESCE(p.end_date, DATE '9999-12-31')
        |WHERE fact_date >= DATE '${cfg.windowStart}'
        |  AND fact_date < DATE '${cfg.currentMonthStart}'
        |GROUP BY 1, 2""".stripMargin
