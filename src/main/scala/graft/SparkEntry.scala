@@ -233,6 +233,12 @@ object SparkEntry {
       // threshold) hash-exactly, not just the sf0.1-sized default.
       (s, d) => llm.Dedup.embeddingCosine(s, d, bits = 9),
       Some(llm.Dedup.embeddingCosineOracle(bits = 9))),
+    Q("q_dedup_embedding_cosine_adaptive", // corpus-count-sized bits: the
+      // same entry (and the SAME static oracle string, which recomputes
+      // the sizing in SQL) is green at sf0.01, sf1, and sf10 with no
+      // per-scale edit — retiring the manual bits knob (r10 verdict #3).
+      (s, d) => llm.Dedup.embeddingCosineAdaptive(s, d),
+      Some(llm.Dedup.embeddingCosineAdaptiveOracle())),
     Q("q_stream_sessionize", // flatMapGroupsWithState, batch-evaluated vs gaps-and-islands SQL
       (s, d) => streaming.EventsStream
         .sessionizeSummary(graft.core.Sources.events(s, d)),

@@ -892,6 +892,79 @@ object Dedup {
        |FROM scored WHERE cos >= $minCosine""".stripMargin
   }
 
+  /** LSH table width sized from the corpus: the smallest `bits` whose
+    * 2^bits buckets hold ≤ `target` vectors each on average, clamped to
+    * [6, 24].  Integer-only (ceil-div + bit length) so the DuckDB oracle
+    * computes the IDENTICAL value with `(COUNT(*)+39)//40` and
+    * `length(bin(buckets-1))` — no float log2 whose last-ulp could
+    * disagree across engines at power-of-two boundaries.  This retires
+    * the per-decade manual knob that sized bits=9 for sf1 and provably
+    * died at sf10 (r10 verdict #3; docs/SCALE_r10.md sizing rule: keep
+    * Σ bucket² bounded by holding the mean bucket size constant). */
+  private[graft] def adaptiveLshBits(count: Long, target: Long = 40L): Int = {
+    val buckets = (count + target - 1) / target
+    val b =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(6, b))
+  }
+
+  /** [[embeddingCosine]] with `bits` computed from ONE cheap count scan
+    * via [[adaptiveLshBits]] — the same query needs no per-scale edit
+    * from sf0.01 through sf10; the corpus count is the knob. */
+  def embeddingCosineAdaptive(spark: SparkSession, dir: String,
+      minCosine: Double = 0.35, tables: Int = 4): DataFrame = {
+    val bits = adaptiveLshBits(Sources.embeddings(spark, dir).count())
+    embeddingCosine(spark, dir, minCosine, tables, bits)
+  }
+
+  /** DuckDB oracle for [[embeddingCosineAdaptive]]: ONE static SQL
+    * string for every scale — `bits` is computed IN SQL from the same
+    * integer-only rule ([[adaptiveLshBits]]'s ceil-div + bit-length),
+    * and the per-bit hyperplane terms unroll via a `generate_series`
+    * lambda instead of Scala-side string repetition, so the oracle can
+    * never desync from the engine's sizing (the r10 "static SQL string"
+    * excuse, retired). */
+  def embeddingCosineAdaptiveOracle(minCosine: Double = 0.35,
+      tables: Int = 4): String = {
+    val proj =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, len(emb)),
+         |          i -> emb[i] * (${Similarity.weightExpr(
+                        "(t.tbl * bcfg.bits + bb) * 4099 + (i - 1) + 1")}))),
+         |        (acc, v) -> acc + v)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bcfg AS (
+       |  SELECT GREATEST(6, LEAST(24,
+       |    CASE WHEN (COUNT(*) + 39) // 40 <= 1 THEN 0
+       |         ELSE length(bin(CAST((COUNT(*) + 39) // 40 AS BIGINT) - 1))
+       |    END)) AS bits
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(${Similarity.dotOracle("emb", "emb")}) AS norm FROM e),
+       |bk AS (
+       |  SELECT vec_id, t.tbl AS tbl,
+       |    list_reduce(list_prepend(0,
+       |      list_transform(generate_series(0, bcfg.bits - 1),
+       |      bb -> CASE WHEN $proj > 0 THEN (1 << bb) ELSE 0 END)),
+       |      (acc, v) -> acc + v) AS bkt
+       |  FROM n CROSS JOIN bcfg
+       |       CROSS JOIN (SELECT UNNEST(range($tables)) AS tbl) t),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+       |  FROM bk a JOIN bk b2
+       |    ON a.tbl = b2.tbl AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id),
+       |scored AS (
+       |  SELECT p.vec_a, p.vec_b,
+       |    ${Similarity.dotOracle("nb.emb", "na.emb")} / (nb.norm * na.norm) AS cos
+       |  FROM pairs p
+       |  JOIN n na ON na.vec_id = p.vec_a
+       |  JOIN n nb ON nb.vec_id = p.vec_b)
+       |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $minCosine""".stripMargin
+  }
+
   /** Distinct word-n-gram set of a text column (n = 1 degenerates to the
     * token set).  Shorter-than-n documents contribute their whole token
     * list as one shingle (the [[MinHashSignature]] convention — `sequence`

@@ -117,7 +117,7 @@ object Similarity {
     * mix mod the prime 1e9+7, scaled to [-1, 1].  Replaces round-2's
     * murmur3 `hash()` (Spark-only) so the SAME doubles come out of DuckDB;
     * max intermediate ≈ 2.7e14, far below signed-64 overflow (ANSI-safe). */
-  private def weightExpr(k: String): String =
+  private[llm] def weightExpr(k: String): String =
     s"CAST((($k) * 2654435761) % 1000000007 AS DOUBLE) / 500000003.0 - 1.0"
 
   /** Deterministic random-hyperplane bucket id for an embedding column,

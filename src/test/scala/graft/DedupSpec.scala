@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("adaptiveLshBits: integer-only sizing rule, clamped, mean bucket size bounded") {
+    // The rule: smallest bits with 2^bits >= ceil(count/40), in [6, 24] —
+    // integer-exact so the SQL twin (ceil-div + bit length) can't drift.
+    assert(Dedup.adaptiveLshBits(0) == 6)
+    assert(Dedup.adaptiveLshBits(200) == 6)     // sf0.01 → floor clamp
+    assert(Dedup.adaptiveLshBits(2000) == 6)    // sf0.1: ceil(50)→6
+    assert(Dedup.adaptiveLshBits(20000) == 9)   // sf1: the SCALE_r10 sizing
+    assert(Dedup.adaptiveLshBits(200000) == 13) // sf10: no manual knob
+    assert(Dedup.adaptiveLshBits(40L << 24) == 24) // ceiling clamp
+    // Exact powers of two (the float-log2 danger zone): 40*2^k vectors
+    // need exactly k buckets' worth of bits.
+    assert(Dedup.adaptiveLshBits(40 * 512) == 9)
+    assert(Dedup.adaptiveLshBits(40 * 512 + 1) == 10)
+    // At the spec corpus the adaptive entry IS the default-bits entry.
+    val fixed = Dedup.embeddingCosine(spark, Sf001)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val adaptive = Dedup.embeddingCosineAdaptive(spark, Sf001)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(adaptive == fixed)
+  }
+
   test("simhash bands are 16-bit, deterministic, and equal for identical texts") {
     val bands = Dedup.simhash(spark, Sf001)
     val rows = bands.collect()
