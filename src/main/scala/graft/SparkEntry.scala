@@ -593,6 +593,12 @@ object SparkEntry {
     Q("q_text_lm_score", // mean bigram-LM probability doc quality score
       (s, d) => llm.Vocab.lmScore(s, d),
       Some(llm.Vocab.lmScoreOracle)),
+    Q("q_text_lm_score_bounded", // scale twin: top-4096 closed vocabulary,
+      // OOV bucketed to <unk> — the LM table stays capped however fast
+      // the raw vocabulary grows (lmScore grew 40x at sf10 because the
+      // synthetic corpus grows vocabulary ~100x; r10 verdict #7).
+      (s, d) => llm.Vocab.lmScoreBounded(s, d),
+      Some(llm.Vocab.lmScoreBoundedOracle())),
     Q("q_ops_unpivot", // melt the pivot back: unpivot ∘ pivot ≡ GROUP BY
       (s, d) => OperatorQueries.unpivotMelt(s, d),
       Some(OperatorQueries.unpivotMeltOracle)),

@@ -266,6 +266,102 @@ object Vocab {
       |    AS lm_score
       |FROM scored GROUP BY 1""".stripMargin
 
+  /** Scale twin of [[lmScore]] with a TOP-K-BOUNDED VOCABULARY: every
+    * token outside the `k` most frequent (count DESC, token ASC — a
+    * total order, so the boundary tie is deterministic and identical in
+    * both engines) is bucketed to the single `<unk>` type before the LM
+    * builds, exactly the closed-vocabulary convention of a real KenLM /
+    * CCNet perplexity filter.  This bounds the LM table by the BUCKETED
+    * bigram types (≤ (k+1)²; in practice far less), independent of how
+    * fast the raw vocabulary grows — the r10 sf10 sweep measured
+    * [[lmScore]] growing 40× for 100× data precisely because the
+    * synthetic per-copy token remap grows the RAW bigram vocabulary
+    * ~100× (docs/SCALE_r10.md; r10 verdict #7).  Scoring and output
+    * shape are [[lmScore]]'s; only the vocabulary is closed.
+    *
+    * Scale: one extra corpus-sized token count feeding a k-row TOP-K
+    * (driver-bounded), which then BROADCASTS into the bucketing joins —
+    * the LM aggregate and scoring join run over bucketed keys whose
+    * cardinality is capped, so the plan's growth is the explode stages'
+    * (linear), never the vocabulary's. */
+  def lmScoreBounded(spark: SparkSession, dir: String,
+      k: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.WordNgramShingles.register(spark)
+    val pairs = Sources.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
+      .filter(expr("size(split(bigram, ' ')) = 2"))
+      .select(col("doc_id"),
+        expr("split(bigram, ' ')[0]").as("w1"),
+        expr("split(bigram, ' ')[1]").as("w2"))
+      .localCheckpoint()
+    val topk = Sources.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(k)
+      .select(col("w"))
+    val bucketed = pairs
+      .join(broadcast(topk.select(col("w").as("w1"), lit(1).as("in1"))),
+        Seq("w1"), "left")
+      .join(broadcast(topk.select(col("w").as("w2"), lit(1).as("in2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"),
+        when(col("in1").isNotNull, col("w1")).otherwise(lit("<unk>")).as("w1"),
+        when(col("in2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("w2"))
+    val w = Window.partitionBy(col("w1"))
+    val lm = bucketed.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_context", sum(col("c_bigram")).over(w))
+    bucketed.join(lm, Seq("w1", "w2"))
+      .withColumn("p", expr(
+        "CAST(ROUND(CAST(c_bigram AS DOUBLE) / CAST(c_context AS DOUBLE), 9) " +
+          "AS DECIMAL(28,9))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(p) AS DECIMAL(38,9))").as("sum_p"))
+      .withColumn("lm_score", expr(
+        "ROUND(CAST(sum_p AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)"))
+  }
+
+  def lmScoreBoundedOracle(k: Int = 4096): String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, UNNEST(list_transform(
+       |    generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |    j -> array_to_string(list_slice(string_split(text, ' '), j, j + 1),
+       |                         ' '))) AS bigram
+       |  FROM documents),
+       |sp0 AS (
+       |  SELECT doc_id, string_split(bigram, ' ')[1] AS w1,
+       |         string_split(bigram, ' ')[2] AS w2
+       |  FROM bg WHERE len(string_split(bigram, ' ')) = 2),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+       |  GROUP BY w ORDER BY COUNT(*) DESC, w ASC LIMIT $k),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN v1.w IS NULL THEN '<unk>' ELSE sp0.w1 END AS w1,
+       |    CASE WHEN v2.w IS NULL THEN '<unk>' ELSE sp0.w2 END AS w2
+       |  FROM sp0 LEFT JOIN vocab v1 ON sp0.w1 = v1.w
+       |           LEFT JOIN vocab v2 ON sp0.w2 = v2.w),
+       |c AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM sp GROUP BY 1, 2),
+       |lm AS (
+       |  SELECT w1, w2, c_bigram,
+       |    SUM(c_bigram) OVER (PARTITION BY w1) AS c_context
+       |  FROM c),
+       |scored AS (
+       |  SELECT sp.doc_id,
+       |    CAST(ROUND(CAST(c_bigram AS DOUBLE) / CAST(c_context AS DOUBLE), 9)
+       |      AS DECIMAL(28,9)) AS p
+       |  FROM sp JOIN lm USING (w1, w2))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(p) AS DECIMAL(38,9)) AS sum_p,
+       |  ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS lm_score
+       |FROM scored GROUP BY 1""".stripMargin
+
   /** Fuzzy vocabulary matching: token pairs within edit distance
     * `maxDist` — typo/variant clustering for tokenizer vocab cleanup
     * (merge "scan"/"span" classes before assigning merges).  The

@@ -179,6 +179,29 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("lmScoreBounded: k beyond the vocabulary degenerates to lmScore; small k buckets OOV") {
+    // The synthetic corpus has a ~31-word vocabulary, so k=4096 closes
+    // over everything: the bounded twin must equal the unbounded score
+    // exactly (same counts, same divisions, same rounding).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_bigrams", $"sum_p".cast("string"), $"lm_score")
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    val full = rows(Vocab.lmScore(spark, Sf001))
+    val bounded = rows(Vocab.lmScoreBounded(spark, Sf001))
+    assert(bounded == full)
+    // A 5-type vocabulary forces real <unk> mass: every doc still scores,
+    // bigram counts are conserved, and scores stay in (0, 1].
+    val tiny = Vocab.lmScoreBounded(spark, Sf001, k = 5)
+      .as[(Long, Long, java.math.BigDecimal, Double)].collect()
+    assert(tiny.length == full.length)
+    assert(tiny.map(_._2).sum == full.map(_._2).sum,
+      "bucketing must not create or destroy bigrams")
+    assert(tiny.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+    // Bucketing coarsens contexts, so scores genuinely move for some doc
+    // (if they didn't, the tiny-k path silently wasn't exercising <unk>).
+    assert(tiny.sortBy(_._1).map(_._4).toSeq != full.map(_._4))
+  }
+
   test("bpeTrain enforces the 64-symbol word bound (r10 ADVICE: 5-pass merge fixpoint)") {
     // A word with >= 64 symbols may not reach the replace fixpoint in
     // 5 passes; both engines would be identically under-merged, so the
