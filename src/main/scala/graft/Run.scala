@@ -46,7 +46,9 @@ import graft.kpi._
   * `--farmer-id N`, `--months-back N`, `--run-date yyyy-MM-dd`,
   * `--in <sfDir>`, `--out <warehouse>`, `--sink parquet|jdbc|txlog`,
   * `--log-file <path>`, `--summary-json <path>` (machine-readable
-  * per-pipeline results).  Unset CLI values fall back to the environment
+  * per-pipeline results), `--warmup <sampleDir>` (execute each selected
+  * plan on a small sample first — JIT/codegen warm-up, nothing written).
+  * Unset CLI values fall back to the environment
   * ([[graft.core.RunConfig.fromEnv]]), then to pipeline defaults.
   * Exit code 0 = all pipelines loaded; 1 = at least one failed (failures
   * are logged and do NOT stop later pipelines, matching `run_etl.ps1`'s
@@ -141,6 +143,30 @@ object Run {
     Target("corpus_curation", "documents_curated",
       Seq("lang"), fullWhenUnscoped = true, farmerScoped = false,
       (s, d, _) => graft.llm.CorpusPipeline.curated(s, d)))
+
+  /** JIT/codegen warm-up (`--warmup <sampleDir>`): execute every selected
+    * pipeline's OWN plan against a small sample directory and discard the
+    * result, so whole-stage-codegen compilation, classloading, and the
+    * parquet reader paths are hot before the measured/production run —
+    * the recipe docs/SCALE_r10.md measured as a 1.7× steady-state gain on
+    * first-query wall time (r10 verdict #8).  Same builders, same config;
+    * only the input directory differs, and nothing is written — a warm-up
+    * can never touch a target table.  Returns per-pipeline sample row
+    * counts (spec hook). */
+  def warmUp(spark: SparkSession, sampleDir: String, cfg: RunConfig,
+      kpis: Set[String] = Set("all"), jdbcMode: Boolean = false,
+      log: String => Unit = _ => ()): Seq[(String, Long)] = {
+    val selected = targets(jdbcMode).filter(t =>
+      kpis.contains("all") || kpis.contains(t.kpi)) ++
+      extraTargets.filter(t => kpis.contains(t.kpi))
+    selected.map { t =>
+      val t0 = System.nanoTime()
+      val n = t.build(spark, sampleDir, cfg).count()
+      log(f"[warmup] ${t.kpi} plan executed on $sampleDir " +
+        f"($n rows discarded, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      t.kpi -> n
+    }
+  }
 
   /** Library entry: run the selected pipelines, write each through its
     * sink, return per-pipeline results.  Never throws for a pipeline
@@ -258,6 +284,8 @@ object Run {
     }
 
     try {
+      a.get("warmup").foreach(dir =>
+        warmUp(spark, dir, cfg, kpis, jdbc.nonEmpty, log))
       val results = runAll(spark, sfDir, outDir, cfg, kpis, jdbc, log, txlog)
       a.get("summary-json").foreach(p =>
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
@@ -279,7 +307,7 @@ object Run {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val known = Set("kpi", "farmer-id", "months-back", "run-date", "in",
-      "out", "sink", "log-level", "log-file", "summary-json")
+      "out", "sink", "log-level", "log-file", "summary-json", "warmup")
     args.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") && known(k.drop(2)) =>
         k.drop(2) -> v

@@ -36,6 +36,30 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("warm-up executes every selected plan on the sample dir and changes nothing (r10 #8)") {
+    val out = Files.createTempDirectory("graft_e2e_warm").toString
+    // Cold E2E baseline (no warm-up).
+    val cold = Run.runAll(spark, Sf001, out, cfg)
+    assert(cold.forall(_.ok))
+    val snap = cold.map(r => r.table -> tableRows(out, r.table)).toMap
+    // Warm-up: each selected pipeline's OWN plan runs on the sample dir;
+    // every plan really executed (non-zero sample rows) and NOTHING was
+    // written anywhere (no warehouse path is even passed in).
+    val warmLog = Seq.newBuilder[String]
+    val warmed = Run.warmUp(spark, Sf001, cfg, log = warmLog += _)
+    assert(warmed.size == 6)
+    assert(warmed.forall(_._2 > 0))
+    assert(warmLog.result().count(_.startsWith("[warmup]")) == 6)
+    // E2E after warm-up is byte-identical to the cold run.
+    val after = Run.runAll(spark, Sf001, out, cfg)
+    assert(after.forall(_.ok))
+    after.foreach(r => assert(tableRows(out, r.table) == snap(r.table),
+      s"${r.table} drifted after warm-up"))
+    // --warmup is a known CLI flag (the contract main() parses).
+    val sel = Run.warmUp(spark, Sf001, cfg, Set("receita_cliente"))
+    assert(sel.map(_._1) == Seq("receita_cliente"))
+  }
+
   test("txlog sink mode: full graph on the commit log, run-twice equals run-once") {
     import graft.core.TxLog
     val out = Files.createTempDirectory("graft_e2e_txlog").toString
