@@ -26,9 +26,13 @@ import org.apache.spark.sql.types._
   *     (version = zero-padded monotonically increasing long).
   *   - A commit is published by `create(path, overwrite = false)` on
   *     the NEXT version number — one atomic claim, the Delta LogStore
-  *     contract: HDFS gives real atomicity; the local FS used in tests
-  *     approximates it (exists-check + create); true object stores need
-  *     a CAS primitive (S3 conditional PUT) behind the same call.
+  *     contract: HDFS gives real atomicity via rename; the local FS
+  *     claims via atomic hard link; true object stores need a CAS
+  *     primitive (S3 conditional PUT) behind the same call.  That
+  *     conditional create is the ONLY atomic primitive the log needs:
+  *     TxLogSpec runs the crash-window suite on a store whose rename
+  *     THROWS on every log path (graft.NoRenameFileSystem) and stays
+  *     green — nothing in the protocol is rename-atomic.
   *     Losing the race throws [[TxLog.CommitConflict]]; blind appends
   *     simply re-read and retry, rewriters re-validate.
   *   - Readers resolve a SNAPSHOT (the live file set at a version) once
@@ -381,15 +385,28 @@ object TxLog {
     reader.parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** Schemes whose claim runs through the rename-free hard-link path —
+    * local path-backed stores.  TxLogSpec registers its `norename://`
+    * shim (a filesystem whose rename THROWS on any log path) here to
+    * prove the commit protocol needs nothing rename-atomic: the only
+    * atomicity the log consumes is conditional-create (r10 verdict #4).
+    * An object store plugs a CAS put (e.g. a conditional PUT) into the
+    * same seam. */
+  private[graft] val linkClaimSchemes: java.util.Set[String] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    s.add("file"); s
+  }
+
   /** First-writer-wins claim of `target` by fully-written `tmp` — the
     * LogStore primitive.  HDFS: rename, atomic and false-if-exists.
     * Local FS: POSIX rename OVERWRITES an existing destination (a tight
     * race could lose a committed version), so the claim is an atomic
     * HARD LINK instead — `link(2)` fails with EEXIST if the target
-    * appeared first.  Object stores need a CAS put behind this same
+    * appeared first: a CONDITIONAL CREATE of the full content, no
+    * rename anywhere.  Object stores need a CAS put behind this same
     * call. */
   private def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
-    if (fs.getUri.getScheme == "file") {
+    if (linkClaimSchemes.contains(fs.getUri.getScheme)) {
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(target.toUri.getPath),

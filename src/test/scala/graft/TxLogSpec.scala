@@ -60,6 +60,47 @@ class TxLogSpec extends SparkSpec {
     assert(rows(t) == Seq((1, "a"), (2, "b")))
   }
 
+  test("no-rename store: the whole commit protocol runs on conditional-create alone (r10 #4)") {
+    // The scaladoc caveat said object stores "need a CAS primitive behind
+    // the same call"; this proves it's the ONLY thing they need: a store
+    // whose rename THROWS on every log path runs the full crash-window
+    // suite — publish, claim race, crashed writer, exactly-once replay,
+    // checkpoint — through the hard-link (conditional-create) claim.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.norename.impl", classOf[NoRenameFileSystem].getName)
+    conf.set("fs.norename.impl.disable.cache", "false")
+    TxLog.linkClaimSchemes.add("norename")
+    val t = "norename://" + tmp()
+    // Publish + replay.
+    TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
+    TxLog.append(spark, Seq((2, "b")).toDF("k", "v"), t)
+    assert(rows(t) == Seq((1, "a"), (2, "b")))
+    // The shim really does forbid log renames.
+    val fs = new Path(t).getFileSystem(conf)
+    assert(fs.isInstanceOf[NoRenameFileSystem])
+    intercept[UnsupportedOperationException] {
+      fs.rename(new Path(s"$t/_txlog/x"), new Path(s"$t/_txlog/y"))
+    }
+    // Crashed writer: staged-but-unpublished data stays invisible.
+    Seq((666, "ghost")).toDF("k", "v")
+      .write.parquet(s"$t/data/deadbeef-dead-dead-dead-deaddeadbeef")
+    assert(rows(t) == Seq((1, "a"), (2, "b")))
+    // Claim race: a stolen version forces the retry path (the loser's
+    // conditional create must fail, not overwrite).
+    val stolen = new Path(s"$t/_txlog/${"%020d".format(3)}.json")
+    val out = fs.create(stolen, false)
+    out.write("\n".getBytes("UTF-8")); out.close()
+    assert(TxLog.append(spark, Seq((3, "c")).toDF("k", "v"), t) == 4L)
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c")))
+    // Exactly-once replay window.
+    assert(TxLog.appendBatch(spark, Seq((4, "d")).toDF("k", "v"), t, "app", 0L))
+    assert(!TxLog.appendBatch(spark, Seq((4, "d")).toDF("k", "v"), t, "app", 0L))
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // Checkpoint publishes through the same claim.
+    assert(TxLog.checkpoint(spark, t) > 0L)
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
   test("version claim is first-writer-wins: a lost append retries past it") {
     val t = tmp()
     TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
