@@ -9,6 +9,19 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Test-only, NOT a resolved dependency: the pre-warmed coursier cache
+// happens to carry the DuckDB JDBC driver, which implements Postgres's
+// INSERT ... ON CONFLICT syntax — the one statement of the Postgres
+// fast path no embeddable engine here could execute (Derby has no
+// upsert).  PgUpsertSpec runs the pinned SqlDialect.Postgres statement
+// text against it for real; absent the jar the spec cancels, it never
+// fails the build.
+Test / unmanagedJars ++= {
+  val duck = file(sys.props("user.home")) /
+    ".cache/coursier/v1/hosted-maven-mirror" /
+    "maven-all/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
+  if (duck.exists) Seq(Attributed.blank(duck)) else Seq.empty
+}
 Test / fork := true
 run / fork := true
 // Forked run output goes straight to stdout, NOT through sbt's logger:
