@@ -233,7 +233,7 @@ object SparkEntry {
       // threshold) hash-exactly, not just the sf0.1-sized default.
       (s, d) => llm.Dedup.embeddingCosine(s, d, bits = 9),
       Some(llm.Dedup.embeddingCosineOracle(bits = 9))),
-    Q("q_dedup_embedding_cosine_adaptive", // corpus-count-sized bits: the
+    Q("q_dedup_cosine_adaptive", // corpus-count-sized LSH bits: the
       // same entry (and the SAME static oracle string, which recomputes
       // the sizing in SQL) is green at sf0.01, sf1, and sf10 with no
       // per-scale edit — retiring the manual bits knob (r10 verdict #3).
