@@ -22,17 +22,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Builder-local resume (GRAFT_VERIFY_RESUME=1): skip queries whose
+    // output already landed (_SUCCESS present) — lets a multi-hour sf10
+    // sweep continue after a restart instead of recomputing everything.
+    // The driver never sets this, so its gate always recomputes.
+    val resume = sys.env.get("GRAFT_VERIFY_RESUME").contains("1")
+    // Deterministic alphabetical order (the registry Map's hash order is
+    // arbitrary) so progress is legible and resume points are stable.
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1))
+      .foreach { case (name, fn) =>
+        val done = new java.io.File(s"$outDir/$name/_SUCCESS").exists()
+        if (resume && done)
+          System.err.println(s"[verify] $name skipped (resume)")
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(f"[verify] $name ok in " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+        // Persisted intermediates (e.g. minhash signatures) are per-query;
+        // drop them so cached blocks don't accumulate across the queries
+        // sharing this session.
+        spark.catalog.clearCache()
       }
-      // Persisted intermediates (e.g. minhash signatures) are per-query;
-      // drop them so cached blocks don't accumulate across the 50+ queries
-      // sharing this session.
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
