@@ -843,6 +843,22 @@ object Dedup {
     // position IS the table id (plane offset t*bits, same as before).
     graft.functions.HyperplaneBuckets.register(spark)
     val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
+    // Fail-fast sizing guard (r10 watch item (a), made loud in r11): a
+    // table width sized for a much smaller corpus makes Σ bucket² — the
+    // candidate-pair volume — explode quadratically; at sf10 the bits=6
+    // config spills ~100 GB and dies HOURS later.  Refuse up front when
+    // the mean bucket size exceeds ~16× the design target (adaptive
+    // sizing would use ≥4 more bits); the cheap count scan is noise next
+    // to the pair join it prevents.  [[embeddingCosineAdaptive]] never
+    // trips this — it computes the width from the same count.
+    val n = Sources.embeddings(spark, dir).count()
+    val needed = adaptiveLshBits(n)
+    require(needed - bits < 4,
+      s"embeddingCosine: bits=$bits gives ~${n >> bits} vectors per bucket " +
+        s"at corpus size $n — this configuration is sized for a smaller " +
+        s"corpus and its candidate-pair volume would be ~2^${2 * (needed - bits)}× " +
+        s"the design target. Use embeddingCosineAdaptive (would pick " +
+        s"bits=$needed) or pass bits >= ${needed - 3}.")
     val bucketed = emb.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(expr(s"hyperplane_buckets(embedding, $tables, $bits)")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))

@@ -72,6 +72,19 @@ class DedupSpec extends SparkSpec {
     assert(adaptive == fixed)
   }
 
+  test("embeddingCosine refuses a grossly mis-sized table width (fail fast, not spill)") {
+    // bits four or more below the corpus-sized width means ~16x+ the
+    // design mean bucket size - the config that spilled ~100 GB and died
+    // at sf10.  It must refuse in the driver, before any pair join runs.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosine(spark, Sf001, bits = 2)
+    }
+    assert(e.getMessage.contains("sized for a smaller corpus"))
+    // The boundary: 3 bits under is still allowed (the sf1 default-bits
+    // configuration the full sf1 sweep runs green).
+    Dedup.embeddingCosine(spark, Sf001, bits = 3).collect()
+  }
+
   test("simhash bands are 16-bit, deterministic, and equal for identical texts") {
     val bands = Dedup.simhash(spark, Sf001)
     val rows = bands.collect()
