@@ -17,10 +17,12 @@ libraryDependencies ++= Seq(
 // text against it for real; absent the jar the spec cancels, it never
 // fails the build.
 Test / unmanagedJars ++= {
-  val duck = file(sys.props("user.home")) /
-    ".cache/coursier/v1/hosted-maven-mirror" /
-    "maven-all/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
-  if (duck.exists) Seq(Attributed.blank(duck)) else Seq.empty
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  val found =
+    if (cache.exists)
+      (cache ** "duckdb_jdbc-*.jar").get.headOption
+    else None
+  found.map(Attributed.blank(_)).toSeq
 }
 Test / fork := true
 run / fork := true
