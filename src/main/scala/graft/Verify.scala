@@ -29,10 +29,18 @@ object Verify {
     val resume = sys.env.get("GRAFT_VERIFY_RESUME").contains("1")
     // Deterministic alphabetical order (the registry Map's hash order is
     // arbitrary) so progress is legible and resume points are stable.
+    // Above gate scale the exact single-task scaffolds are demoted to
+    // their registered twins (r11 verdict #5).  Gate scales (the
+    // driver's sf0.01 run) are unaffected; GRAFT_RUN_EXACT=1 restores
+    // them for an everything-for-real sweep.
+    val demoted = SparkEntry.demotedAt(sfDir)
     SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1))
       .foreach { case (name, fn) =>
         val done = new java.io.File(s"$outDir/$name/_SUCCESS").exists()
-        if (resume && done)
+        if (demoted.contains(name))
+          System.err.println(s"[verify] $name skipped above gate scale " +
+            s"(exact scaffold; production twin ${demoted(name)} is in the run)")
+        else if (resume && done)
           System.err.println(s"[verify] $name skipped (resume)")
         else {
           val t0 = System.nanoTime()

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Sources
@@ -78,7 +77,20 @@ object Clustering {
        |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        |    (acc, v) -> acc + v)""".stripMargin
 
-  /** Final Lloyd's-iteration assignment: (vec_id, qv, cid, dist). */
+  /** Final Lloyd's-iteration assignment: (vec_id, cid, dist).
+    *
+    * The per-row argmin is a `min(struct(dist, cid))` AGGREGATE, not a
+    * `row_number` window (r12): both spell the same (dist ASC, cid ASC)
+    * tie-break, but the window form shuffled all n×k scored rows — each
+    * still carrying the 8·dim-byte quantized vector — to sort them per
+    * vec_id, which is exactly the exchange that would melt at an
+    * adaptive k (n×k grows with n²/target).  The aggregate form folds
+    * the k candidates into one 16-byte struct per vec_id INSIDE the
+    * scan stage (map-side partial min over the broadcast-product
+    * stream), so the only exchange per iteration is n one-struct rows;
+    * the quantized vectors are re-attached by a vec_id equi-join ONLY
+    * for the centroid update (and not at all after the last
+    * iteration). */
   private[graft] def assignments(spark: SparkSession, dir: String,
       k: Int = DefaultK, iters: Int = DefaultIters): DataFrame = {
     graft.functions.SquaredL2.register(spark)
@@ -90,15 +102,16 @@ object Clustering {
     for (it <- 1 to iters) {
       // k×dim integers: a legitimate bounded broadcast (the IVF pattern).
       assigned = q.crossJoin(broadcast(centroids))
-        .withColumn("dist", expr(distSpark("qv", "cv")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist").asc, col("cid").asc)))
-        .filter(col("rn") === 1)
-        .select("vec_id", "qv", "cid", "dist")
+        .select(col("vec_id"),
+          struct(expr(distSpark("qv", "cv")).as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("dc"))
+        .select(col("vec_id"), col("dc.cid").as("cid"),
+          col("dc.dist").as("dist"))
       if (it < iters)
         // Rounded integer mean per (cid, pos): exact int sums (map-side
         // partials, k×dim groups), then ONE deterministic double division.
-        centroids = assigned
+        centroids = assigned.join(q, "vec_id")
           .select(col("cid"), posexplode(col("qv")))
           .groupBy(col("cid"), col("pos"))
           .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS BIGINT)")
@@ -122,11 +135,11 @@ object Clustering {
 
   /** CTE chain `q, c0, d1, a1, c1, d2, a2, …` ending at `a$iters` — the
     * DuckDB mirror of [[assignments]], iterations unrolled. */
-  private def assignCtes(k: Int, iters: Int): String = {
+  private def assignCtes(kSql: String, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH q AS (
        |  SELECT vec_id, $quantDuck AS qv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $k)""".stripMargin
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $kSql)""".stripMargin
     for (it <- 1 to iters) {
       sb ++= s""",
          |d$it AS (
@@ -156,7 +169,7 @@ object Clustering {
   }
 
   def kmeansOracle(k: Int = DefaultK, iters: Int = DefaultIters): String =
-    s"""${assignCtes(k, iters)}
+    s"""${assignCtes(k.toString, iters)}
        |SELECT cid, COUNT(*) AS n_members,
        |  CAST(SUM(dist) AS BIGINT) AS inertia,
        |  MIN(vec_id) AS first_member
@@ -170,6 +183,54 @@ object Clustering {
   def semanticDedup(spark: SparkSession, dir: String,
       minCosine: Double = 0.35, k: Int = DefaultK,
       iters: Int = DefaultIters): DataFrame = {
+    // Fail-fast sizing guard (the [[Dedup.embeddingCosine]] recipe, r12):
+    // pair work is Σ cluster_size² ≈ n²/k, so a k sized for a much
+    // smaller corpus makes the within-cluster pair join explode
+    // quadratically (the fixed k = 16 ran 268 s at sf10 and only gets
+    // worse).  Refuse up front when the mean cluster size exceeds ~16×
+    // the design target; [[semanticDedupAdaptive]] never trips this —
+    // it computes k from the same count and passes it down.
+    val n = Sources.embeddings(spark, dir).count()
+    val needed = adaptiveKmeansK(n)
+    require(needed / k < 16,
+      s"semanticDedup: k=$k gives ~${n / math.max(k, 1)} vectors per " +
+        s"cluster at corpus size $n — this configuration is sized for a " +
+        s"smaller corpus and its within-cluster pair volume would be " +
+        s"~${needed / math.max(k, 1)}× the design target. Use " +
+        s"semanticDedupAdaptive (would pick k=$needed) or pass a larger k.")
+    semanticDedupSized(spark, dir, minCosine, k, iters)
+  }
+
+  /** Mean-cluster-size-targeted k: the smallest k whose clusters hold
+    * ≤ `target` vectors each on average, clamped to [DefaultK, 65536].
+    * Integer-only (one ceil-div) so the DuckDB oracle computes the
+    * IDENTICAL value with `GREATEST(16, LEAST(65536, (COUNT(*)+127)//128))`
+    * — the [[Dedup.adaptiveLshBits]] recipe applied to the LAST manual
+    * scale knob (r11 verdict #1): holding the mean cluster size constant
+    * bounds Σ cluster_size² ≈ n·target, so SemDeDup's pair work grows
+    * linearly with the corpus instead of quadratically. */
+  private[graft] def adaptiveKmeansK(count: Long, target: Long = 128L): Int =
+    math.min(65536L,
+      math.max(DefaultK.toLong, (count + target - 1) / target)).toInt
+
+  /** The adaptive-k rule, DuckDB spelling — must stay the bit-for-bit
+    * mirror of [[adaptiveKmeansK]] (ClusteringSpec pins them equal). */
+  private[graft] val adaptiveKSql: String =
+    "(SELECT GREATEST(16, LEAST(65536, (COUNT(*) + 127) // 128)) FROM embeddings)"
+
+  /** [[semanticDedup]] with k computed from ONE cheap count scan via
+    * [[adaptiveKmeansK]] — the same query needs no per-scale edit from
+    * sf0.01 through sf10; the corpus count is the knob. */
+  def semanticDedupAdaptive(spark: SparkSession, dir: String,
+      minCosine: Double = 0.35, iters: Int = DefaultIters): DataFrame = {
+    val k = adaptiveKmeansK(Sources.embeddings(spark, dir).count())
+    semanticDedupSized(spark, dir, minCosine, k, iters)
+  }
+
+  /** [[semanticDedup]] body with the sizing already settled — no count
+    * scan, no guard. */
+  private def semanticDedupSized(spark: SparkSession, dir: String,
+      minCosine: Double, k: Int, iters: Int): DataFrame = {
     val asg = assignments(spark, dir, k, iters).select("vec_id", "cid")
     // Both sides of the pair join read this table; materialize it once so
     // the 3-iteration k-means lineage isn't executed twice (the
@@ -192,7 +253,19 @@ object Clustering {
 
   def semanticDedupOracle(minCosine: Double = 0.35, k: Int = DefaultK,
       iters: Int = DefaultIters): String =
-    s"""${assignCtes(k, iters)},
+    semanticDedupOracleFrom(assignCtes(k.toString, iters), minCosine, iters)
+
+  /** DuckDB oracle for [[semanticDedupAdaptive]]: ONE static SQL string
+    * for every scale — k is computed IN SQL from the same integer-only
+    * ceil-div rule ([[adaptiveKSql]]), so the oracle can never desync
+    * from the engine's sizing. */
+  def semanticDedupAdaptiveOracle(minCosine: Double = 0.35,
+      iters: Int = DefaultIters): String =
+    semanticDedupOracleFrom(assignCtes(adaptiveKSql, iters), minCosine, iters)
+
+  private def semanticDedupOracleFrom(ctes: String, minCosine: Double,
+      iters: Int): String =
+    s"""$ctes,
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |n AS (SELECT vec_id, emb,
        |        sqrt(${Similarity.dotOracle("emb", "emb")}) AS norm FROM e),

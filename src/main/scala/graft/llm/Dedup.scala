@@ -836,13 +836,6 @@ object Dedup {
     * [[embeddingCosineOracle]]). */
   def embeddingCosine(spark: SparkSession, dir: String,
       minCosine: Double = 0.35, tables: Int = 4, bits: Int = 6): DataFrame = {
-    // All tables' buckets come from ONE pass of the codegen'd
-    // [[graft.functions.HyperplaneBuckets]] kernel; the previous
-    // formulation ran tables × bits interpreted aggregate(zip_with(...))
-    // lambdas per row and dominated this query's profile.  posexplode's
-    // position IS the table id (plane offset t*bits, same as before).
-    graft.functions.HyperplaneBuckets.register(spark)
-    val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
     // Fail-fast sizing guard (r10 watch item (a), made loud in r11): a
     // table width sized for a much smaller corpus makes Σ bucket² — the
     // candidate-pair volume — explode quadratically; at sf10 the bits=6
@@ -850,7 +843,9 @@ object Dedup {
     // the mean bucket size exceeds ~16× the design target (adaptive
     // sizing would use ≥4 more bits); the cheap count scan is noise next
     // to the pair join it prevents.  [[embeddingCosineAdaptive]] never
-    // trips this — it computes the width from the same count.
+    // trips this — it computes the width from the same count and passes
+    // it down, so the corpus is scanned ONCE per invocation (r11 advice:
+    // the adaptive path used to count here a second time).
     val n = Sources.embeddings(spark, dir).count()
     val needed = adaptiveLshBits(n)
     require(needed - bits < 4,
@@ -859,6 +854,22 @@ object Dedup {
         s"corpus and its candidate-pair volume would be ~2^${2 * (needed - bits)}× " +
         s"the design target. Use embeddingCosineAdaptive (would pick " +
         s"bits=$needed) or pass bits >= ${needed - 3}.")
+    embeddingCosineSized(spark, dir, minCosine, tables, bits)
+  }
+
+  /** [[embeddingCosine]] body with the sizing already settled — no count
+    * scan, no guard.  Callers are the guarded public form and
+    * [[embeddingCosineAdaptive]] (whose `bits` came FROM the count, so
+    * the guard is true by construction). */
+  private def embeddingCosineSized(spark: SparkSession, dir: String,
+      minCosine: Double, tables: Int, bits: Int): DataFrame = {
+    // All tables' buckets come from ONE pass of the codegen'd
+    // [[graft.functions.HyperplaneBuckets]] kernel; the previous
+    // formulation ran tables × bits interpreted aggregate(zip_with(...))
+    // lambdas per row and dominated this query's profile.  posexplode's
+    // position IS the table id (plane offset t*bits, same as before).
+    graft.functions.HyperplaneBuckets.register(spark)
+    val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
     val bucketed = emb.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(expr(s"hyperplane_buckets(embedding, $tables, $bits)")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
@@ -931,7 +942,7 @@ object Dedup {
   def embeddingCosineAdaptive(spark: SparkSession, dir: String,
       minCosine: Double = 0.35, tables: Int = 4): DataFrame = {
     val bits = adaptiveLshBits(Sources.embeddings(spark, dir).count())
-    embeddingCosine(spark, dir, minCosine, tables, bits)
+    embeddingCosineSized(spark, dir, minCosine, tables, bits)
   }
 
   /** DuckDB oracle for [[embeddingCosineAdaptive]]: ONE static SQL

@@ -44,6 +44,38 @@ class ClusteringSpec extends SparkSpec {
     assert(i3 <= i1, s"inertia rose across iterations: $i1 -> $i3")
   }
 
+  test("adaptive k: integer rule matches its SQL mirror's fixtures and clamps") {
+    // The DuckDB spelling is GREATEST(16, LEAST(65536, (n+127)//128));
+    // these fixtures pin the Scala rule to the same arithmetic at the
+    // boundaries where a float-log formulation could drift.
+    import Clustering.adaptiveKmeansK
+    assert(adaptiveKmeansK(0) == 16)
+    assert(adaptiveKmeansK(1) == 16)
+    assert(adaptiveKmeansK(2048) == 16)
+    assert(adaptiveKmeansK(2049) == 17) // first count past the clamp
+    assert(adaptiveKmeansK(2560) == 20)
+    assert(adaptiveKmeansK(2561) == 21) // ceil, not floor
+    assert(adaptiveKmeansK(200000) == 1563) // the sf10 corpus
+    assert(adaptiveKmeansK(Long.MaxValue / 2) == 65536) // upper clamp
+  }
+
+  test("adaptive semantic dedup ≡ fixed-k at gate scale, and undersized k refuses") {
+    // At 500 vectors the ceil-div clamps to DefaultK, so the adaptive
+    // entry must be row-identical to the fixed one (the same property
+    // the driver gate hash-checks at sf0.01).
+    val fixed = Clustering.semanticDedup(spark, dir)
+      .orderBy("cid", "vec_a", "vec_b").collect().toSeq
+    val adaptive = Clustering.semanticDedupAdaptive(spark, dir)
+      .orderBy("cid", "vec_a", "vec_b").collect().toSeq
+    assert(fixed == adaptive)
+    // k=1 means one corpus-sized cluster — all-pairs in disguise; the
+    // sizing guard must refuse at plan-build time, not spill at runtime.
+    val e = intercept[IllegalArgumentException] {
+      Clustering.semanticDedup(spark, dir, k = 1)
+    }
+    assert(e.getMessage.contains("semanticDedupAdaptive"))
+  }
+
   test("semantic dedup equals brute-force cosine restricted to clusters") {
     val minCos = 0.3
     val pairs = Clustering.semanticDedup(spark, dir, minCosine = minCos)

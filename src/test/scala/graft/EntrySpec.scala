@@ -14,6 +14,23 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("exact scaffolds and their twins are both registered; gate scales demote nothing") {
+    val names = SparkEntry.registry.map(_.name).toSet
+    SparkEntry.exactScaffolds.foreach { case (exact, twin) =>
+      assert(names(exact), s"scaffold $exact not in registry")
+      assert(names(twin), s"twin $twin not in registry")
+      assert(SparkEntry.oracleSql.contains(twin),
+        s"twin $twin must stay oracle-gated — it is the production path")
+    }
+    // The driver's correctness run (sf0.01) and smoke dirs must see the
+    // FULL registry; only above-gate sweeps drop the exact forms.
+    assert(SparkEntry.demotedAt("/root/testdata/sf0.01").isEmpty)
+    assert(SparkEntry.demotedAt("/root/testdata/sf0.001").isEmpty)
+    assert(SparkEntry.demotedAt("/weird/dir").isEmpty)
+    assert(SparkEntry.demotedAt("/root/testdata/sf0.1") ==
+      SparkEntry.exactScaffolds)
+  }
+
   test("registered outputs carry no driver-gate hazard columns") {
     // The driver's canonicalizer stringifies Decimal cells with trailing
     // zeros (DuckDB's side is float64 -> hash mismatch) and its row-sorter
