@@ -18,7 +18,18 @@ package graft.core
 final case class JdbcEnv(
     url: String,
     user: Option[String],
-    password: Option[String]) {
+    password: Option[String],
+    /** Force a [[SqlDialect]] instead of deriving it from the URL — the
+      * execute-one-dialect's-text-on-another-engine hook: PgExecSpec
+      * points the UNCHANGED Postgres statement text at DuckDB (the only
+      * engine in this zero-egress sandbox that parses it), so the
+      * production Postgres load path runs for real instead of being
+      * text-pinned only.  Production deployments leave it None. */
+    dialectOverride: Option[SqlDialect] = None) {
+
+  /** The dialect every raw statement on this connection speaks. */
+  def dialect: SqlDialect =
+    dialectOverride.getOrElse(SqlDialect.forUrl(url))
 
   /** Options for `spark.read/write.format("jdbc")` — credentials ride as
     * options, never embedded in the URL (they would leak into plans and

@@ -370,42 +370,65 @@ object Sinks {
     } finally conn.close()
   }
 
+  /** Savepoint when the engine has them (Derby, Postgres) — None where
+    * it doesn't (DuckDB).  The two populations are complementary in
+    * exactly the way the callers need: engines WITH savepoints (Postgres)
+    * abort the whole transaction on any errored statement, so the
+    * savepoint is what makes an error recoverable; engines WITHOUT them
+    * (DuckDB) keep the transaction usable past a failed statement, so
+    * there is nothing to roll back to.  Callers pair this with a FRESH
+    * Statement per risky operation, because some drivers (DuckDB) close
+    * the Statement object itself on error. */
+  private def trySavepoint(
+      conn: java.sql.Connection): Option[java.sql.Savepoint] =
+    try Some(conn.setSavepoint())
+    catch { case _: java.sql.SQLException => None }
+
   /** Create the ledger if missing, INSIDE the load transaction.  The
     * existence probe runs under a savepoint because an errored statement
     * aborts the whole transaction on Postgres — same pattern as
     * [[upsertOrFallback]]; the CREATE itself is transactional DDL on
     * both supported dialects, so a failed load rolls the ledger back
-    * with it. */
+    * with it.  Every risky statement runs on its own Statement object
+    * ([[trySavepoint]]'s driver caveat). */
   private def ensureLedger(st: java.sql.Statement, ledger: String): Unit = {
     val conn = st.getConnection
-    val sp = conn.setSavepoint()
+    val sp = trySavepoint(conn)
     try {
-      val rs = st.executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0")
-      rs.close()
-      conn.releaseSavepoint(sp)
+      val probe = conn.createStatement()
+      try { probe.executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0").close() }
+      finally probe.close()
+      sp.foreach(conn.releaseSavepoint)
       // Ledger predates this writer?  Tables created before the UNIQUE
       // backstop existed carry no constraint, so the zombie-replay
       // guarantee would silently not apply to them: migrate in place.
-      // The ALTER runs under its own savepoint — "constraint already
-      // exists" (the steady state, Derby 42Z93 / Postgres duplicates)
-      // rolls back to the savepoint and the transaction continues.
-      // One attempt per (connection URL, ledger) per JVM: the failed
-      // DDL probe is not worth paying on every micro-batch.
+      // The ALTER runs under its own savepoint.  Memoization (one DDL
+      // probe per (URL, ledger) per JVM) is recorded ONLY when a
+      // "constraint already exists" error proves the constraint is
+      // durably there — NOT on ALTER success (this transaction could
+      // still roll back and transactional DDL would undo the
+      // constraint) and NOT on other failures (a lock timeout must be
+      // retried by the next batch, or the backstop silently never
+      // applies for the JVM's lifetime — r11 advice).  Steady-state
+      // cost: one redundant failing ALTER after the migrating batch.
       val migKey = conn.getMetaData.getURL + "#" + ledger
-      if (migratedLedgers.add(migKey)) {
-        val sp2 = conn.setSavepoint()
+      if (!migratedLedgers.contains(migKey)) {
+        val sp2 = trySavepoint(conn)
+        val alter = conn.createStatement()
         try {
           val cname = (ledger + "_uq").replaceAll("[^A-Za-z0-9_]", "_")
-          st.executeUpdate(s"ALTER TABLE $ledger ADD CONSTRAINT $cname " +
+          alter.executeUpdate(s"ALTER TABLE $ledger ADD CONSTRAINT $cname " +
             "UNIQUE (app_id, batch_id)")
-          conn.releaseSavepoint(sp2)
+          sp2.foreach(conn.releaseSavepoint)
         } catch {
-          case _: java.sql.SQLException => conn.rollback(sp2)
-        }
+          case e: java.sql.SQLException =>
+            sp2.foreach(conn.rollback)
+            if (isAlreadyExists(e)) migratedLedgers.add(migKey)
+        } finally alter.close()
       }
     } catch {
       case _: java.sql.SQLException =>
-        conn.rollback(sp)
+        sp.foreach(conn.rollback)
         // UNIQUE (app_id, batch_id) is the replay-race backstop: under
         // READ COMMITTED two writers replaying one batch can BOTH pass
         // the in-transaction MAX(batch_id) probe (neither sees the
@@ -423,6 +446,19 @@ object Sinks {
     * the exact window where a zombie driver and a restarted query race
     * (both passed the probe; the ledger UNIQUE index picks the winner). */
   private[graft] var ledgerRaceHook: () => Unit = () => ()
+
+  /** "That constraint/object already exists" — the DDL outcomes that
+    * prove the ledger's UNIQUE backstop is durably present: Derby X0Y32
+    * (object exists) / 42Z93 (duplicate constraint column set),
+    * Postgres 42710 (duplicate_object) / 42P07 (duplicate_table).  Any
+    * OTHER SQLException (lock timeout, permissions) proves nothing and
+    * must leave the migration un-memoized so the next batch retries. */
+  private def isAlreadyExists(t: Throwable): Boolean = t match {
+    case e: java.sql.SQLException =>
+      Option(e.getSQLState).exists(Set("X0Y32", "42Z93", "42710", "42P07")) ||
+        isAlreadyExists(e.getNextException)
+    case _ => false
+  }
 
   /** SQLSTATE 23505 = unique-constraint violation — the SAME code on
     * Postgres and Derby, and the ONLY class-23 state that can mean
@@ -539,15 +575,16 @@ object Sinks {
     dialect.upsertFromStaging(table, staging, keys, cols) match {
       case Some(upsert) =>
         val conn = st.getConnection
-        val sp = conn.setSavepoint()
-        try {
-          st.executeUpdate(upsert)
-          conn.releaseSavepoint(sp)
+        val sp = trySavepoint(conn)
+        val attempt = conn.createStatement() // own Statement: some drivers
+        try {                                // close it on error (DuckDB)
+          attempt.executeUpdate(upsert)
+          sp.foreach(conn.releaseSavepoint)
         } catch {
           case _: java.sql.SQLException =>
-            conn.rollback(sp)
+            sp.foreach(conn.rollback)
             deleteThenInsert()
-        }
+        } finally attempt.close()
       case None => deleteThenInsert()
     }
   }
@@ -567,7 +604,7 @@ object Sinks {
 
   private def stagedJdbcLoad(df: DataFrame, env: JdbcEnv, table: String)(
       swap: (SqlDialect, java.sql.Statement, String, Boolean) => Unit): Unit = {
-    val dialect = SqlDialect.forUrl(env.url)
+    val dialect = env.dialect
     val staging =
       table + "_stg_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
     val conn = connect(env)
