@@ -52,13 +52,15 @@ for name in todo:
                         con.interrupt()
                 w = threading.Thread(target=watchdog, daemon=True)
                 w.start()
-            t0 = time.time()
+            # monotonic, not wall-clock: a clock step mid-rep would
+            # misclassify a timeout vs a stale interrupt (check.py twin).
+            t0 = time.monotonic()
             try:
                 con.execute(sql).fetchall()
-                times.append(time.time() - t0)
+                times.append(time.monotonic() - t0)
                 break
             except duckdb.InterruptException:
-                if time.time() - t0 >= TIMEOUT * 0.9 or attempt == 2:
+                if time.monotonic() - t0 >= TIMEOUT * 0.9 or attempt == 2:
                     timed_out = True
                     break
             finally:

@@ -69,7 +69,15 @@ class TxLogSpec extends SparkSpec {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.norename.impl", classOf[NoRenameFileSystem].getName)
     conf.set("fs.norename.impl.disable.cache", "false")
+    // Registered for THIS test only: linkClaimSchemes is production-global
+    // mutable state, and leaking "norename" would silently put every later
+    // test in the JVM on the hard-link claim path (r11 advice).
     TxLog.linkClaimSchemes.add("norename")
+    try norenameBody(conf)
+    finally TxLog.linkClaimSchemes.remove("norename")
+  }
+
+  private def norenameBody(conf: org.apache.hadoop.conf.Configuration): Unit = {
     val t = "norename://" + tmp()
     // Publish + replay.
     TxLog.append(spark, Seq((1, "a")).toDF("k", "v"), t)
