@@ -916,10 +916,15 @@ object SparkEntry {
 
   /** True when `sfDir`'s basename names a gate scale (sf ≤ 0.01), where
     * the exact scaffolds are cheap and the driver's DuckDB compare runs.
-    * Unrecognized directory names count as gate scale so ad-hoc dirs
-    * keep the full registry. */
+    * The scale is the TRAILING `sf<number>` of the basename, so both the
+    * driver's `sf0.01` and the sweep dirs' `testdata_sf10` parse (the
+    * first r12 sweep missed the demotion on exactly that spelling).
+    * Unrecognized names count as gate scale so ad-hoc dirs keep the
+    * full registry. */
   def isGateScale(sfDir: String): Boolean =
-    new java.io.File(sfDir).getName.stripPrefix("sf").toDoubleOption
+    "sf([0-9]*\\.?[0-9]+)$".r
+      .findFirstMatchIn(new java.io.File(sfDir).getName)
+      .flatMap(_.group(1).toDoubleOption)
       .forall(_ <= 0.011)
 
   /** The entries Bench/Verify must SKIP at `sfDir` (exact scaffold →

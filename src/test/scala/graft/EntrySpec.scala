@@ -29,6 +29,13 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.demotedAt("/weird/dir").isEmpty)
     assert(SparkEntry.demotedAt("/root/testdata/sf0.1") ==
       SparkEntry.exactScaffolds)
+    // The sweep directories spell the scale as a SUFFIX — the first r12
+    // sf10 sweep ran the 367 s exact histogram because this spelling
+    // fell through to "unrecognized = gate scale".
+    assert(SparkEntry.demotedAt("/root/repo/testdata_sf10") ==
+      SparkEntry.exactScaffolds)
+    assert(SparkEntry.demotedAt("/root/repo/testdata_sf1") ==
+      SparkEntry.exactScaffolds)
   }
 
   test("registered outputs carry no driver-gate hazard columns") {
