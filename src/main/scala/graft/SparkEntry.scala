@@ -912,7 +912,13 @@ object SparkEntry {
     "q_dedup_containment" -> "q_dedup_containment_hashed",
     "q_dedup_token_jaccard" -> "q_dedup_token_jaccard_hashed",
     "q_an_mad" -> "q_an_mad_sketch",
-    "q_an_histogram_eqdepth" -> "q_an_histogram_eqdepth_sketch")
+    "q_an_histogram_eqdepth" -> "q_an_histogram_eqdepth_sketch",
+    // Promoted in r12 (SCALE_r12 watch item): <75 s at sf10 on r11's
+    // host, but the same exact global-sort cliff as the four above —
+    // 562 s / 87.9 s on the r12 boot.  Their sketch twins are the
+    // production paths, same as the rest of this map.
+    "q_an_percentiles" -> "q_an_quantile_sketch",
+    "q_an_outliers" -> "q_an_outliers_sketch")
 
   /** True when `sfDir`'s basename names a gate scale (sf ≤ 0.01), where
     * the exact scaffolds are cheap and the driver's DuckDB compare runs.
