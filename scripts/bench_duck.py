@@ -8,13 +8,37 @@ list restricts it (the BASELINE.md "slowest comparable entries" subset).
 Set GRAFT_ORACLE_TIMEOUT=seconds to interrupt a runaway naive oracle —
 reported as `timeout`, which IS the measurement (the scale-twin rationale).
 """
-import json, os, sys, time, threading
+import json, os, re, sys, time, threading
 import duckdb
 
 sfdir = sys.argv[1]
 oracle_path = sys.argv[2]
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 names = sys.argv[4:]
+
+# Population-rule mirror of SparkEntry.demotedAt (r12 advice #1): above
+# gate scale the exact single-task scaffolds are skipped on BOTH engines,
+# so a cross-engine total always compares the same population.  The name
+# list must stay in sync with SparkEntry.exactScaffolds — PopulationSpec
+# asserts this file contains every scaffold name.  GRAFT_RUN_EXACT=1
+# restores them, same as the Scala side.
+EXACT_SCAFFOLDS = {
+    "q_dedup_containment": "q_dedup_containment_hashed",
+    "q_dedup_token_jaccard": "q_dedup_token_jaccard_hashed",
+    "q_an_mad": "q_an_mad_sketch",
+    "q_an_histogram_eqdepth": "q_an_histogram_eqdepth_sketch",
+    "q_an_percentiles": "q_an_quantile_sketch",
+    "q_an_outliers": "q_an_outliers_sketch",
+}
+
+def is_gate_scale(d):
+    # Trailing sf<number> of the basename (SparkEntry.isGateScale twin);
+    # unrecognized names count as gate scale so ad-hoc dirs keep all oracles.
+    m = re.search(r"sf([0-9]*\.?[0-9]+)$", os.path.basename(os.path.normpath(d)))
+    return m is None or float(m.group(1)) <= 0.011
+
+DEMOTED = ({} if is_gate_scale(sfdir)
+           or os.environ.get("GRAFT_RUN_EXACT") == "1" else EXACT_SCAFFOLDS)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -31,6 +55,10 @@ for t in TABLES:
 oracle = json.load(open(oracle_path))
 todo = names if names else sorted(oracle)
 for name in todo:
+    if name in DEMOTED:
+        print(f"{name}\tdemoted (exact scaffold above gate scale; "
+              f"production twin {DEMOTED[name]})")
+        continue
     sql = oracle.get(name)
     if not sql:
         print(f"{name}\tno-oracle")

@@ -190,6 +190,7 @@ object Clustering {
     // worse).  Refuse up front when the mean cluster size exceeds ~16×
     // the design target; [[semanticDedupAdaptive]] never trips this —
     // it computes k from the same count and passes it down.
+    require(k > 0, s"semanticDedup: k must be positive, got $k")
     val n = Sources.embeddings(spark, dir).count()
     val needed = adaptiveKmeansK(n)
     require(needed / k < 16,
@@ -201,22 +202,34 @@ object Clustering {
     semanticDedupSized(spark, dir, minCosine, k, iters)
   }
 
+  /** Upper clamp for [[adaptiveKmeansK]]: past this the per-iteration
+    * centroid broadcast (k×dim integers) stops being trivially
+    * broadcast-sized. */
+  val MaxK = 65536
+
+  /** Design mean cluster size for [[adaptiveKmeansK]] — the pair bound
+    * Σ cluster_size² ≈ n·KTarget is linear in the corpus at this size. */
+  val KTarget = 128L
+
   /** Mean-cluster-size-targeted k: the smallest k whose clusters hold
-    * ≤ `target` vectors each on average, clamped to [DefaultK, 65536].
+    * ≤ `target` vectors each on average, clamped to [DefaultK, MaxK].
     * Integer-only (one ceil-div) so the DuckDB oracle computes the
-    * IDENTICAL value with `GREATEST(16, LEAST(65536, (COUNT(*)+127)//128))`
-    * — the [[Dedup.adaptiveLshBits]] recipe applied to the LAST manual
-    * scale knob (r11 verdict #1): holding the mean cluster size constant
-    * bounds Σ cluster_size² ≈ n·target, so SemDeDup's pair work grows
-    * linearly with the corpus instead of quadratically. */
-  private[graft] def adaptiveKmeansK(count: Long, target: Long = 128L): Int =
-    math.min(65536L,
+    * IDENTICAL value via [[adaptiveKSql]] — the [[Dedup.adaptiveLshBits]]
+    * recipe applied to the LAST manual scale knob (r11 verdict #1):
+    * holding the mean cluster size constant bounds
+    * Σ cluster_size² ≈ n·target, so SemDeDup's pair work grows linearly
+    * with the corpus instead of quadratically. */
+  private[graft] def adaptiveKmeansK(count: Long, target: Long = KTarget): Int =
+    math.min(MaxK.toLong,
       math.max(DefaultK.toLong, (count + target - 1) / target)).toInt
 
-  /** The adaptive-k rule, DuckDB spelling — must stay the bit-for-bit
-    * mirror of [[adaptiveKmeansK]] (ClusteringSpec pins them equal). */
+  /** The adaptive-k rule, DuckDB spelling — interpolated from the SAME
+    * constants as [[adaptiveKmeansK]] so the two spellings cannot desync
+    * (r12 advice #4); ClusteringSpec pins them equal on the boundary
+    * fixtures. */
   private[graft] val adaptiveKSql: String =
-    "(SELECT GREATEST(16, LEAST(65536, (COUNT(*) + 127) // 128)) FROM embeddings)"
+    s"(SELECT GREATEST($DefaultK, LEAST($MaxK, " +
+      s"(COUNT(*) + ${KTarget - 1}) // $KTarget)) FROM embeddings)"
 
   /** [[semanticDedup]] with k computed from ONE cheap count scan via
     * [[adaptiveKmeansK]] — the same query needs no per-scale edit from

@@ -38,6 +38,22 @@ class EntrySpec extends SparkSpec {
       SparkEntry.exactScaffolds)
   }
 
+  test("bench_duck.py mirrors the demotion population rule (r12 advice #1)") {
+    // A cross-engine total must compare the same population on both
+    // sides; the Python yardstick carries its own copy of the scaffold
+    // map, so pin every name (and the twin it names) into the script.
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("scripts/bench_duck.py")), "UTF-8")
+    SparkEntry.exactScaffolds.foreach { case (exact, twin) =>
+      assert(script.contains("\"" + exact + "\""),
+        s"bench_duck.py EXACT_SCAFFOLDS is missing $exact")
+      assert(script.contains("\"" + twin + "\""),
+        s"bench_duck.py EXACT_SCAFFOLDS is missing twin $twin")
+    }
+    assert(script.contains("GRAFT_RUN_EXACT"),
+      "bench_duck.py must honor the GRAFT_RUN_EXACT override")
+  }
+
   test("registered outputs carry no driver-gate hazard columns") {
     // The driver's canonicalizer stringifies Decimal cells with trailing
     // zeros (DuckDB's side is float64 -> hash mismatch) and its row-sorter

@@ -50,19 +50,27 @@ class PgExecSpec extends SparkSpec {
       try { Class.forName("org.duckdb.DuckDBDriver"); true }
       catch { case _: ClassNotFoundException => false }
     assume(loaded, "duckdb_jdbc not on the test classpath")
+    // Register for THIS test body only and always unregister (the TxLogSpec
+    // claim-scheme pattern): JdbcDialects is production-global mutable
+    // state, and a dialect left behind would shadow any later registrant
+    // for jdbc:duckdb URLs.
     org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbSparkDialect)
-    // File-backed, not jdbc:duckdb: — every connection to the in-memory
-    // URL gets its OWN private database, and the load path opens several
-    // (driver transaction + Spark writer).
-    val db = java.nio.file.Files.createTempDirectory("pgexec")
-      .resolve("pg.duckdb").toString
-    val env = JdbcEnv(s"jdbc:duckdb:$db", None, None,
-      dialectOverride = Some(SqlDialect.Postgres))
-    val conn = DriverManager.getConnection(env.url)
     try {
-      val st = conn.createStatement()
-      try f(env, st) finally st.close()
-    } finally conn.close()
+      // File-backed, not jdbc:duckdb: — every connection to the in-memory
+      // URL gets its OWN private database, and the load path opens several
+      // (driver transaction + Spark writer).
+      val db = java.nio.file.Files.createTempDirectory("pgexec")
+        .resolve("pg.duckdb").toString
+      val env = JdbcEnv(s"jdbc:duckdb:$db", None, None,
+        dialectOverride = Some(SqlDialect.Postgres))
+      val conn = DriverManager.getConnection(env.url)
+      try {
+        val st = conn.createStatement()
+        try f(env, st) finally st.close()
+      } finally conn.close()
+    } finally {
+      org.apache.spark.sql.jdbc.JdbcDialects.unregisterDialect(DuckDbSparkDialect)
+    }
   }
 
   private def snap(st: java.sql.Statement, sql: String): Seq[Seq[Any]] = {
