@@ -46,6 +46,21 @@ class BasketSpec extends SparkSpec {
       Seq("part_a", "part_b", "support", "n_a", "n_b", "lift"))
   }
 
+  test("a-priori prune: sub-minSupport parts never reach the pair join") {
+    // Parts 98/99 each sit in ONE existing basket — below minSupport 2
+    // they cannot form a qualifying pair, so pruning them is
+    // result-invariant (the r12 verdict #3 identity; the tail rides
+    // existing orders so n_orders and lift are untouched) and the plan
+    // must show the semi-join BELOW the okey self-join.
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+    val tail = Seq((1L, 99L), (2L, 98L))
+    assert(pairs(base) === pairs(base ++ tail))
+    val plan = Basket.pairAffinityOf(
+      (base ++ tail).toDF("okey", "pk"), 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"prune semi-join missing:\n$plan")
+  }
+
   test("real lineitem: ordered pairs, support floor, lift reproduces") {
     val out = Basket.pairAffinity(spark, Sf001).collect()
     assert(out.nonEmpty)
