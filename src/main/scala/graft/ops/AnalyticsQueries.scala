@@ -570,27 +570,135 @@ object AnalyticsQueries {
        |WINDOW w AS (PARTITION BY c_mktsegment
        |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 
+  // ---- Adaptive sketch caps (r12 verdict #1) ------------------------
+  //
+  // The r12 sketch twins ran gate-exact `cap = 1 << 20` buffers — the
+  // last manual scale-knob family, a near-exact sort in disguise above
+  // gate scale.  Retired with the adaptiveLshBits/adaptiveKmeansK
+  // recipe: the cap is an integer-only function of the MAX GROUP COUNT
+  // (one column-pruned pre-pass, the adaptiveKmeansK count-scan
+  // precedent), recomputed independently by the oracle in SQL
+  // ([[sketchCapRule]] pins the arithmetic at every scale), with a
+  // fail-fast on grossly undersized manual caps.  Two regimes:
+  //
+  //   g ≤ SketchExactCapMax → cap = max(SketchMinCap, g): ZERO
+  //     compaction anywhere (cap equals the group size), so the sketch
+  //     IS the sorted group and hash-matches the exact rank-walk oracle
+  //     — guaranteed at every gate scale, by rule instead of by the
+  //     r12 luck of value ties.  The buffer is bounded by the constant
+  //     (64 MB of longs at the final merge), never by the data.
+  //   g > SketchExactCapMax → cap = SketchBoundedCap: the production
+  //     compaction regime (the [[quantileSketchCapped]] ε-band, its
+  //     rank error property-tested in QuantileSketchSpec) — map-side
+  //     partials stay KB-sized no matter how large the group grows.
+
+  /** Floor for [[adaptiveSketchCap]]: tiny groups still get a sane
+    * buffer (8 KB of longs). */
+  private[graft] val SketchMinCap = 1024
+
+  /** Exact-regime ceiling: the largest group the rule holds VERBATIM
+    * (64 MB of longs at the final merge — the deliberate memory bound;
+    * map-side partials only ever hold a partition's share). */
+  private[graft] val SketchExactCapMax = 1 << 23
+
+  /** Compaction cap above the ceiling: deterministic-KLL rank error
+    * ~ log2²(n/cap)/cap stays under ~1% out to n ≈ 10^12 per group. */
+  private[graft] val SketchBoundedCap = 1 << 14
+
+  private[graft] def adaptiveSketchCap(maxGroup: Long): Int =
+    if (maxGroup <= SketchExactCapMax)
+      math.max(SketchMinCap.toLong, maxGroup).toInt
+    else SketchBoundedCap
+
+  /** The same rule, DuckDB spelling over a max-group-count scalar
+    * subquery — interpolated from the SAME constants so the spellings
+    * cannot desync (the adaptiveKSql recipe). */
+  private[graft] def adaptiveCapSql(gSql: String): String =
+    s"(SELECT CASE WHEN g <= $SketchExactCapMax " +
+      s"THEN GREATEST($SketchMinCap, g) ELSE $SketchBoundedCap END " +
+      s"FROM ($gSql) _g(g))"
+
+  /** Resolve a sketch entry's cap: `manual = 0` means adaptive; a
+    * manual cap below the adaptive choice refuses fast naming the fix
+    * (the semanticDedup guard recipe — a mis-sized knob must never
+    * silently leave the regime the gate expects). */
+  private[graft] def sketchCapFor(maxGroup: Long, manual: Int,
+      who: String): Int = {
+    val needed = adaptiveSketchCap(maxGroup)
+    if (manual == 0) needed
+    else {
+      require(manual >= needed,
+        s"$who: cap=$manual is below the adaptive choice $needed for " +
+          s"max group size $maxGroup — this cap is sized for a smaller " +
+          s"corpus. Omit cap (adaptive) or pass >= $needed.")
+      manual
+    }
+  }
+
+  /** Max group count pre-pass: one column-pruned scan + tiny agg. */
+  private def maxGroupOf(df: DataFrame, key: String): Long = {
+    val r = df.groupBy(col(key)).count().agg(max(col("count"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private def lineitemFlagMaxGroup(spark: SparkSession, dir: String): Long =
+    maxGroupOf(Sources.lineitem(spark, dir).select(col("l_returnflag")),
+      "l_returnflag")
+
+  /** The cap rule itself as a gated query — one row per group scope the
+    * sketch entries size against, engine side from [[adaptiveSketchCap]]
+    * (Scala), oracle side from [[adaptiveCapSql]] (SQL).  Green at EVERY
+    * scale (the rule is scale-free arithmetic), so the sf10 sweep pins
+    * the regime switch cross-engine even where the bounded-regime value
+    * oracles are infeasible — the q_dedup_semantic_adaptive precedent. */
+  def sketchCapRule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = maxGroupOf(
+      Sources.events(spark, dir).select(col("event_type")), "event_type")
+    val li = lineitemFlagMaxGroup(spark, dir)
+    val glob = Sources.lineitem(spark, dir).count()
+    Seq(("events_by_type", ev, adaptiveSketchCap(ev).toLong),
+      ("lineitem_by_flag", li, adaptiveSketchCap(li).toLong),
+      ("lineitem_global", glob, adaptiveSketchCap(glob).toLong))
+      .toDF("scope", "g", "cap")
+  }
+
+  val sketchCapRuleOracle: String = {
+    def row(scope: String, gSql: String) =
+      s"SELECT '$scope' AS scope, CAST(($gSql) AS BIGINT) AS g, " +
+        s"CAST(${adaptiveCapSql(gSql)} AS BIGINT) AS cap"
+    Seq(
+      row("events_by_type",
+        "SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_type) _e"),
+      row("lineitem_by_flag",
+        "SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_returnflag) _l"),
+      row("lineitem_global", "SELECT COUNT(*) FROM lineitem"))
+      .mkString("\nUNION ALL\n")
+  }
+
   /** Percentiles via the engine's own mergeable quantile sketch
     * ([[graft.functions.QuantileSketch]]) — the bounded-memory companion
     * to [[percentiles]]' exact distributed sort-rank: the sketch merges
-    * map-side (one O(cap·log) buffer per partition × group crosses the
+    * map-side (one bounded buffer per partition × group crosses the
     * exchange, never the rows), which is what survives a 100 TB group.
     * Values go through the exact cents convention (DECIMAL(18,2)·100 →
-    * BIGINT) so the sketch operates on integers; cap = 32768 (256 KB of
-    * longs per group, still bounded) exceeds the group sizes at BOTH
-    * test scales (sf0.01 ~2k/group, sf0.1 ~20k/group), so the sketch is
-    * in its exact regime and the estimates hash-match the oracle's
-    * explicit rank-walk at either scale (the [[hllDistinct]] precedent —
-    * prove the machinery where exactness is defined, property-test the
+    * BIGINT) so the sketch operates on integers; the cap comes from
+    * [[adaptiveSketchCap]] — exact regime at every gate scale by rule
+    * (so the estimates hash-match the oracle's explicit rank-walk),
+    * bounded compaction above (the [[hllDistinct]] precedent — prove
+    * the machinery where exactness is defined, property-test the
     * compaction band beyond in QuantileSketchSpec). */
   def quantileSketch(spark: SparkSession, dir: String,
-      cap: Int = 32768): DataFrame = {
+      cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    def q(p: String, alias: String) =
-      expr(s"q_sketch(cents, $p, $cap)").as(alias)
-    Sources.events(spark, dir)
+    val vals = Sources.events(spark, dir)
       .select(col("event_type"),
         expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+    val c = sketchCapFor(maxGroupOf(vals, "event_type"), cap,
+      "quantileSketch")
+    def q(p: String, alias: String) =
+      expr(s"q_sketch(cents, $p, $c)").as(alias)
+    vals
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), q("0.25D", "p25_cents"),
         q("0.5D", "p50_cents"), q("0.75D", "p75_cents"))
@@ -717,19 +825,22 @@ object AnalyticsQueries {
     * buffer for q1 and q3) instead of the per-group rank window that
     * serializes one task per group; the fence comparison and final
     * aggregation are identical.  Bit-equal to [[outliers]] in the exact
-    * regime (cap ≥ largest group; 2^20 covers both test scales) and
-    * shares its oracle; the bounded-cap compaction regime is the
-    * production trade, property-tested in QuantileSketchSpec and
-    * gate-checked via [[quantileSketchCapped]]. */
+    * regime ([[adaptiveSketchCap]] holds cap = group size wherever the
+    * max group fits the exact ceiling — every gate scale, by rule) and
+    * shares its oracle; the bounded-cap compaction regime above the
+    * ceiling is the production trade, property-tested in
+    * QuantileSketchSpec and gate-checked via [[quantileSketchCapped]]. */
   def outliersSketch(spark: SparkSession, dir: String,
-      cap: Int = 1 << 20): DataFrame = {
+      cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
+      "outliersSketch")
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
           .as("cents"))
     val fences = cents.groupBy(col("l_returnflag"))
-      .agg(expr(s"q_sketch_multi(cents, array(0.25D, 0.75D), $cap)").as("qs"))
+      .agg(expr(s"q_sketch_multi(cents, array(0.25D, 0.75D), $c)").as("qs"))
       .select(col("l_returnflag"),
         expr("qs[0]").as("q1_cents"), expr("qs[1]").as("q3_cents"))
     cents.join(broadcast(fences), Seq("l_returnflag"))
@@ -757,20 +868,22 @@ object AnalyticsQueries {
     * (ROUND 6).  Boundary rows are KEPT (closed interval) — with the
     * engine-wide ⌈p·n⌉ discrete-quantile convention both engines trim
     * the identical row set, so counts and mean hash-match.  Exact
-    * regime at gate scales (cap 2^20 ≥ every group); the bounded-cap
-    * production regime is gated by [[quantileSketchCapped]].
+    * regime at gate scales ([[adaptiveSketchCap]], by rule); the
+    * bounded-cap production regime is gated by [[quantileSketchCapped]].
     *
     * Scale: sketch agg (one exchange) → broadcast fence join → one
     * more group aggregate.  Same topology as [[outliersSketch]]. */
   def trimmedMean(spark: SparkSession, dir: String,
-      cap: Int = 1 << 20): DataFrame = {
+      cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
+      "trimmedMean")
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
           .as("cents"))
     val fences = cents.groupBy(col("l_returnflag"))
-      .agg(expr(s"q_sketch_multi(cents, array(0.1D, 0.9D), $cap)").as("qs"))
+      .agg(expr(s"q_sketch_multi(cents, array(0.1D, 0.9D), $c)").as("qs"))
       .select(col("l_returnflag"),
         expr("qs[0]").as("lo_cents"), expr("qs[1]").as("hi_cents"))
     cents.join(broadcast(fences), Seq("l_returnflag"))
@@ -1136,17 +1249,20 @@ object AnalyticsQueries {
     * sketch's quantile definition (smallest value with cumulative weight
     * ⌈p·n⌉, p = k/B an exact dyadic) IS the rank-walk boundary
     * definition, so in the exact regime (cap ≥ n — this is one GLOBAL
-    * group, so cap must cover the whole table: 2^20 holds both test
-    * scales' lineitem at ≤8 MB of longs) this variant is bit-equal to
-    * the exact form and shares its oracle.  Production would keep cap at
-    * 2^15 and take the ε rank error — that trade is the operator's whole
-    * point, and the compaction regime is property-tested in
-    * QuantileSketchSpec; the gate pins the exact regime (the
-    * [[quantileSketch]]/Packing lesson: the scale path exists as CODE
-    * under the gate, not as a scaladoc promise). */
+    * group, so [[adaptiveSketchCap]] sizes against the whole table count)
+    * this variant is bit-equal to the exact form and shares its oracle.
+    * Past the exact ceiling the rule snaps to the bounded compaction
+    * cap and takes the ε rank error — that trade is the operator's
+    * whole point, property-tested in QuantileSketchSpec; the gate pins
+    * the exact regime (the [[quantileSketch]]/Packing lesson: the scale
+    * path exists as CODE under the gate, not as a scaladoc promise). */
   def histogramEqDepthSketch(spark: SparkSession, dir: String,
-      buckets: Int = 8, cap: Int = 1 << 20): DataFrame = {
+      buckets: Int = 8, cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    // Global sketch: the "group" is the whole table, so the adaptive
+    // rule sizes against the table count (parquet-metadata cheap).
+    val c = sketchCapFor(Sources.lineitem(spark, dir).count(), cap,
+      "histogramEqDepthSketch")
     val cents = Sources.lineitem(spark, dir)
       .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
         .as("cents"))
@@ -1156,7 +1272,7 @@ object AnalyticsQueries {
     // each carried their own full copy of identical sketch state).
     val psArray = bs.map(k => s"${k.toDouble / buckets}D").mkString(", ")
     val bounds = cents
-      .agg(expr(s"q_sketch_multi(cents, array($psArray), $cap)").as("qs"))
+      .agg(expr(s"q_sketch_multi(cents, array($psArray), $c)").as("qs"))
       .select(bs.map(k => expr(s"qs[${k - 1}]").as(s"b$k")): _*)
     val bucketExpr = bs.map(k => s"CAST(cents > b$k AS INT)").mkString(" + ")
     cents.crossJoin(broadcast(bounds))
@@ -1222,24 +1338,26 @@ object AnalyticsQueries {
   /** The mergeable-boundary scale form of [[mad]] — both medians through
     * `q_sketch` group aggregates (map-side partials) instead of per-group
     * rank windows, which serialize one task per group regardless of group
-    * size.  Bit-equal to [[mad]] in the exact regime (cap ≥ largest
-    * group; 2^20 covers both test scales) and shares its oracle; the
-    * bounded-cap regime is the production trade, property-tested in
-    * QuantileSketchSpec. */
+    * size.  Bit-equal to [[mad]] in the exact regime
+    * ([[adaptiveSketchCap]] — every gate scale, by rule) and shares its
+    * oracle; the bounded-cap regime above the exact ceiling is the
+    * production trade, property-tested in QuantileSketchSpec. */
   def madSketch(spark: SparkSession, dir: String,
-      cap: Int = 1 << 20): DataFrame = {
+      cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
+      "madSketch")
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
           .as("cents"))
     val med = cents.groupBy(col("l_returnflag"))
-      .agg(expr(s"q_sketch(cents, 0.5D, $cap)").as("median_cents"))
+      .agg(expr(s"q_sketch(cents, 0.5D, $c)").as("median_cents"))
     cents.join(broadcast(med), Seq("l_returnflag"))
       .withColumn("adev", abs(col("cents") - col("median_cents")))
       .groupBy(col("l_returnflag"))
       .agg(max(col("median_cents")).as("median_cents"),
-        expr(s"q_sketch(adev, 0.5D, $cap)").as("mad_cents"))
+        expr(s"q_sketch(adev, 0.5D, $c)").as("mad_cents"))
   }
 
   val madOracle: String =
@@ -1333,59 +1451,89 @@ object AnalyticsQueries {
     * `corrFormula` shape).  Both slope and intercept use the full
     * rational form, so neither inherits the other's rounding.
     *
-    * Scale: one scan, map-side partial sums (5 decimals per group), one
-    * 3-group exchange — the same plan as any SUM.  The day index is
-    * engine-local (Spark `DATEDIFF` / DuckDB date subtraction both yield
-    * exact INTs from the shared epoch), while the moment and formula
-    * fragments are shared verbatim.  NULLIF guards the all-one-day
+    * Scale (r12 verdict #4): the r12 form summed
+    * `CAST(d AS DECIMAL)·cents` per ROW — a Java-BigDecimal multiply-add
+    * chain over the whole fact table (715 s at sf10 for a plan that is
+    * otherwise one scan).  The moments are exact integers, so the hot
+    * path needs no decimals at all: the engine first folds the table to
+    * DAY GRAIN with pure-BIGINT map-side partials (count + cents sum per
+    * (flag, day) — codegen'd long adds; a day·flag's cents bounded by
+    * ~9·10^16 dollars before ANSI raises), then computes the five
+    * moments over the ≤ #flags×#days day rows, where the DECIMAL(38,0)
+    * widening that protects the 100 TB regime costs thousands of decimal
+    * ops instead of per-row billions.  The moments are exact either way,
+    * so the value is grouping-path-independent and the ORACLE keeps the
+    * one-level spelling (DuckDB sums BIGINT into exact HUGEINT).  The
+    * day index is engine-local (Spark `DATEDIFF` / DuckDB date
+    * subtraction both yield exact INTs from the shared epoch); the
+    * formula fragments are shared verbatim and divide the cents scale
+    * back out inside the ROUND.  NULLIF guards the all-one-day
     * degenerate group (ANSI would raise where LEGACY returned NULL). */
   def linearTrend(spark: SparkSession, dir: String): DataFrame =
     trendOf(Sources.lineitem(spark, dir)
       .selectExpr("l_returnflag",
         s"DATEDIFF(CAST(l_shipdate AS DATE), DATE '$trendEpoch') AS d",
-        s"${Frag.money("l_extendedprice")} AS cents"))
+        s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT) AS cents"))
 
-  /** Normal-equations core over a (l_returnflag, d, cents) frame —
-    * split out so degenerate regimes (one distinct day per group) are
-    * spec-testable on synthetic frames. */
-  private[graft] def trendOf(points: DataFrame): DataFrame =
-    points
+  /** Normal-equations core over a (l_returnflag, d INT, cents BIGINT)
+    * frame — split out so degenerate regimes (one distinct day per
+    * group) are spec-testable on synthetic frames. */
+  private[graft] def trendOf(points: DataFrame): DataFrame = {
+    val daily = points
+      .groupBy("l_returnflag", "d")
+      .agg(count(lit(1)).as("c"), sum(col("cents")).as("sc"))
+    daily
       .groupBy("l_returnflag")
-      .agg(expr(trendSums.head._2).as(trendSums.head._1),
-        trendSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+      .agg(expr(trendMoments.head._2).as(trendMoments.head._1),
+        trendMoments.tail.map { case (a, e) => expr(e).as(a) }: _*)
       .selectExpr("l_returnflag", "n",
         s"$trendSlope AS slope_per_day", s"$trendIntercept AS intercept")
+  }
 
   private val trendEpoch = "1995-01-01"
 
-  private val trendSums: Seq[(String, String)] = {
-    val x = "CAST(d AS DECIMAL(18,0))"
-    Seq("n" -> "COUNT(*)", "sx" -> s"SUM($x)", "sy" -> "SUM(cents)",
-      "sxy" -> s"SUM($x * cents)", "sxx" -> s"SUM($x * $x)")
+  /** Day-grain → group moments.  `d·c` stays BIGINT (days ≤ ~10^4,
+    * count ≤ ~10^12 before ANSI raises); the cents-carrying and
+    * quadratic moments widen to DECIMAL(38,0) — per DAY row, not per
+    * fact row. */
+  private val trendMoments: Seq[(String, String)] = {
+    val d38 = "CAST(d AS DECIMAL(38,0))"
+    Seq("n" -> "SUM(c)", "sx" -> "SUM(d * c)",
+      "sy" -> "SUM(CAST(sc AS DECIMAL(38,0)))",
+      "sxy" -> s"SUM($d38 * sc)", "sxx" -> s"SUM($d38 * d * c)")
   }
 
   private val trendDenom =
     "NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
       "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)"
 
+  /** sy/sxy carry cents (100× money); the x-moments don't, so slope and
+    * intercept each divide the scale back out ONCE, inside the ROUND —
+    * shared verbatim, deterministic IEEE in both engines. */
   private val trendSlope: String =
     s"""ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-       |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / $trendDenom, 6)""".stripMargin
+       |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / $trendDenom
+       |  / CAST(100 AS DOUBLE), 6)""".stripMargin
 
   private val trendIntercept: String =
     s"""ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
-       |  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) / $trendDenom, 6)""".stripMargin
+       |  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) / $trendDenom
+       |  / CAST(100 AS DOUBLE), 6)""".stripMargin
 
+  /** One-level spelling: DuckDB's SUM(BIGINT) accumulates in exact
+    * HUGEINT, so its moments equal the engine's day-grain sums exactly
+    * (integer sums are grouping-path-independent); the formula
+    * fragments are shared verbatim. */
   val linearTrendOracle: String =
     s"""SELECT l_returnflag, n,
        |  $trendSlope AS slope_per_day, $trendIntercept AS intercept
        |FROM (
-       |  SELECT l_returnflag,
-       |    ${trendSums.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")}
+       |  SELECT l_returnflag, COUNT(*) AS n, SUM(d) AS sx, SUM(cents) AS sy,
+       |    SUM(d * cents) AS sxy, SUM(d * d) AS sxx
        |  FROM (
        |    SELECT l_returnflag,
        |      CAST(l_shipdate AS DATE) - DATE '$trendEpoch' AS d,
-       |      ${Frag.money("l_extendedprice")} AS cents
+       |      CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT) AS cents
        |    FROM lineitem)
        |  GROUP BY 1) t""".stripMargin
 

@@ -40,8 +40,8 @@ class LinearTrendSpec extends SparkSpec {
 
   test("single-day group yields NULL slope and intercept, not an ANSI error") {
     import spark.implicits._
-    val oneDay = Seq(("A", 7, java.math.BigDecimal.valueOf(100.00)),
-      ("A", 7, java.math.BigDecimal.valueOf(300.00)))
+    // cents is the money×100 BIGINT convention (trendOf's input contract).
+    val oneDay = Seq(("A", 7, 10000L), ("A", 7, 30000L))
       .toDF("l_returnflag", "d", "cents")
     val row = AnalyticsQueries.trendOf(oneDay).collect().head
     assert(row.getLong(row.fieldIndex("n")) === 2L)
@@ -51,12 +51,24 @@ class LinearTrendSpec extends SparkSpec {
 
   test("two exact points recover the line through them") {
     import spark.implicits._
-    // y = 50*x + 100 through (0, 100) and (10, 600): integer-exact fit.
-    val pts = Seq(("B", 0, java.math.BigDecimal.valueOf(100.00)),
-      ("B", 10, java.math.BigDecimal.valueOf(600.00)))
+    // y = 50*x + 100 (money) through (0, 100.00) and (10, 600.00):
+    // integer-exact fit, cents scale divided back out by the formula.
+    val pts = Seq(("B", 0, 10000L), ("B", 10, 60000L))
       .toDF("l_returnflag", "d", "cents")
     val row = AnalyticsQueries.trendOf(pts).collect().head
     assert(row.getDouble(row.fieldIndex("slope_per_day")) === 50.0)
     assert(row.getDouble(row.fieldIndex("intercept")) === 100.0)
+  }
+
+  test("day-grain pre-aggregation: one partial-agg pair below the moment agg") {
+    // The r12 verdict-#4 shape: the fact scan folds to (flag, day) grain
+    // in pure BIGINT before any DECIMAL appears, so the per-row hot path
+    // carries no BigDecimal ops.  Two aggregates must stack in the plan.
+    val plan = AnalyticsQueries.linearTrend(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 4, s"expected stacked day-grain + moment aggregates:\n$plan")
+    assert(!plan.toLowerCase.contains("decimal(18,0)"),
+      "per-row decimal moment chain should be gone")
   }
 }
