@@ -414,6 +414,11 @@ object SparkEntry {
     Q("q_an_quantile_sketch_capped", // production compaction regime: ε-rank bound
       (s, d) => graft.ops.AnalyticsQueries.quantileSketchCapped(s, d),
       Some(graft.ops.AnalyticsQueries.quantileSketchCappedOracle)),
+    Q("q_an_sketch_cap_rule", // adaptive sketch-cap rule, oracle-recomputed
+      // in SQL at every scale (r12 verdict #1 — the adaptiveKmeansK
+      // recipe applied to the last manual knob family)
+      (s, d) => graft.ops.AnalyticsQueries.sketchCapRule(s, d),
+      Some(graft.ops.AnalyticsQueries.sketchCapRuleOracle)),
     Q("q_text_tfidf", // TF × rational BM25-IDF, per-doc top-K characteristic terms
       (s, d) => llm.TextAnalysis.tfidf(s, d),
       Some(llm.TextAnalysis.tfidfOracle())),

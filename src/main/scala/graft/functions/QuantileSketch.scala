@@ -59,7 +59,7 @@ case class QuantileSketch(
   override def prettyName: String = "q_sketch"
 
   override def createAggregationBuffer(): QuantileSketch.State =
-    new QuantileSketch.State(ArrayBuffer(ArrayBuffer.empty[Long]))
+    QuantileSketch.emptyState()
 
   override def update(buf: QuantileSketch.State,
       input: InternalRow): QuantileSketch.State = {
@@ -75,28 +75,11 @@ case class QuantileSketch(
 
   override def eval(buf: QuantileSketch.State): Any = buf.quantile(p)
 
-  override def serialize(buf: QuantileSketch.State): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.levels.length)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.length); lvl.foreach(out.writeLong)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: QuantileSketch.State): Array[Byte] =
+    QuantileSketch.serializeState(buf)
 
-  override def deserialize(bytes: Array[Byte]): QuantileSketch.State = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val nLevels = in.readInt()
-    val levels = ArrayBuffer.tabulate(nLevels) { _ =>
-      val n = in.readInt()
-      val b = new ArrayBuffer[Long](n)
-      var i = 0
-      while (i < n) { b += in.readLong(); i += 1 }
-      b
-    }
-    new QuantileSketch.State(levels)
-  }
+  override def deserialize(bytes: Array[Byte]): QuantileSketch.State =
+    QuantileSketch.deserializeState(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
     copy(mutableAggBufferOffset = newOffset)
@@ -109,6 +92,36 @@ case class QuantileSketch(
 
 object QuantileSketch {
 
+  /** One level's growable PRIMITIVE buffer.  The r12 State kept
+    * `ArrayBuffer[Long]` per level, which boxes every value on the add
+    * path — at fact-table row rates (60M adds at sf10) the allocation
+    * churn dominated the aggregate.  Same algorithm, unboxed storage;
+    * results are bit-identical (the compaction is the same sort over the
+    * same multiset). */
+  final class Level(initialCapacity: Int) {
+    var arr: Array[Long] = new Array[Long](initialCapacity)
+    var len: Int = 0
+    def length: Int = len
+    def nonEmpty: Boolean = len > 0
+    def add(v: Long): Unit = {
+      if (len == arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(8, arr.length * 2))
+      arr(len) = v
+      len += 1
+    }
+    def addAll(o: Level): Unit = {
+      if (len + o.len > arr.length)
+        arr = java.util.Arrays.copyOf(arr,
+          math.max(len + o.len, arr.length * 2))
+      System.arraycopy(o.arr, 0, arr, len, o.len)
+      len += o.len
+    }
+    def clear(): Unit = len = 0
+  }
+
+  /** A fresh one-level State — the aggregation-buffer seed. */
+  def emptyState(): State = new State(ArrayBuffer(new Level(8)))
+
   /** Level i's items each stand for 2^i original values.
     *
     * Weight contract: [[totalWeight]] equals the true count n exactly in
@@ -117,18 +130,18 @@ object QuantileSketch {
     * (QuantileSketchProps) — and [[quantile]] ranks against the
     * sketch's OWN weight, so the drift is just another component of the
     * deterministic-KLL rank-error band the spec measures. */
-  final class State(val levels: ArrayBuffer[ArrayBuffer[Long]]) {
+  final class State(val levels: ArrayBuffer[Level]) {
 
     def add(v: Long, cap: Int): Unit = {
-      levels(0) += v
-      if (levels(0).length > cap) cascade(cap)
+      levels(0).add(v)
+      if (levels(0).len > cap) cascade(cap)
     }
 
     def mergeIn(other: State, cap: Int): Unit = {
       var i = 0
       while (i < other.levels.length) {
-        if (i >= levels.length) levels += ArrayBuffer.empty[Long]
-        levels(i) ++= other.levels(i)
+        if (i >= levels.length) levels += new Level(8)
+        levels(i).addAll(other.levels(i))
         i += 1
       }
       cascade(cap)
@@ -140,30 +153,45 @@ object QuantileSketch {
     private def cascade(cap: Int): Unit = {
       var i = 0
       while (i < levels.length) {
-        if (levels(i).length > cap) {
-          val sorted = levels(i).sorted
-          if (i + 1 >= levels.length) levels += ArrayBuffer.empty[Long]
+        val lvl = levels(i)
+        if (lvl.len > cap) {
+          java.util.Arrays.sort(lvl.arr, 0, lvl.len)
+          if (i + 1 >= levels.length) levels += new Level(8)
+          val next = levels(i + 1)
           var j = i % 2
-          while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
-          levels(i).clear()
+          while (j < lvl.len) { next.add(lvl.arr(j)); j += 2 }
+          lvl.clear()
         }
         i += 1
       }
     }
 
-    def totalWeight: Long =
-      levels.iterator.zipWithIndex
-        .map { case (lvl, i) => lvl.length.toLong << i }.sum
+    def totalWeight: Long = {
+      var s = 0L
+      var i = 0
+      while (i < levels.length) { s += levels(i).len.toLong << i; i += 1 }
+      s
+    }
 
     /** Discrete quantile: smallest value whose cumulative weight reaches
       * ⌈p·n⌉ in the weighted sorted multiset. */
     def quantile(p: Double): Any = {
       val n = totalWeight
       if (n == 0L) return null
-      val items = levels.iterator.zipWithIndex
-        .flatMap { case (lvl, i) => lvl.iterator.map(v => (v, 1L << i)) }
-        .toArray.sortBy(_._1)
       val rank = math.max(1L, math.ceil(p * n).toLong)
+      if (levels.length == 1) {
+        // Exact regime (never compacted): all weights are 1, so the
+        // answer is a primitive in-place sort + direct index — the
+        // common gate-scale path, no tuple boxing.  Idempotent: eval
+        // for several probes re-sorts an already-sorted buffer.
+        val lvl = levels(0)
+        java.util.Arrays.sort(lvl.arr, 0, lvl.len)
+        return lvl.arr(math.min(rank, lvl.len.toLong).toInt - 1)
+      }
+      val items = levels.iterator.zipWithIndex
+        .flatMap { case (lvl, i) =>
+          (0 until lvl.len).iterator.map(j => (lvl.arr(j), 1L << i)) }
+        .toArray.sortBy(_._1)
       var cum = 0L
       var idx = 0
       while (idx < items.length) {
@@ -173,6 +201,33 @@ object QuantileSketch {
       }
       items.last._1
     }
+  }
+
+  /** Wire format shared by both aggregate classes (unchanged from r12:
+    * int nLevels, then per level int len + len longs). */
+  private[functions] def serializeState(buf: State): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.len)
+      var i = 0
+      while (i < lvl.len) { out.writeLong(lvl.arr(i)); i += 1 }
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private[functions] def deserializeState(bytes: Array[Byte]): State = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val nLevels = in.readInt()
+    val levels = ArrayBuffer.tabulate(nLevels) { _ =>
+      val n = in.readInt()
+      val lvl = new Level(math.max(8, n))
+      var i = 0
+      while (i < n) { lvl.add(in.readLong()); i += 1 }
+      lvl
+    }
+    new State(levels)
   }
 
   private[functions] def pLiteral(e: Expression, fn: String): Double = e match {
@@ -235,7 +290,7 @@ case class QuantileSketchMulti(
   override def prettyName: String = "q_sketch_multi"
 
   override def createAggregationBuffer(): QuantileSketch.State =
-    new QuantileSketch.State(ArrayBuffer(ArrayBuffer.empty[Long]))
+    QuantileSketch.emptyState()
 
   override def update(buf: QuantileSketch.State,
       input: InternalRow): QuantileSketch.State = {
@@ -254,28 +309,11 @@ case class QuantileSketchMulti(
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(
       ps.map(buf.quantile).toArray)
 
-  override def serialize(buf: QuantileSketch.State): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.levels.length)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.length); lvl.foreach(out.writeLong)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: QuantileSketch.State): Array[Byte] =
+    QuantileSketch.serializeState(buf)
 
-  override def deserialize(bytes: Array[Byte]): QuantileSketch.State = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val nLevels = in.readInt()
-    val levels = ArrayBuffer.tabulate(nLevels) { _ =>
-      val n = in.readInt()
-      val b = new ArrayBuffer[Long](n)
-      var i = 0
-      while (i < n) { b += in.readLong(); i += 1 }
-      b
-    }
-    new QuantileSketch.State(levels)
-  }
+  override def deserialize(bytes: Array[Byte]): QuantileSketch.State =
+    QuantileSketch.deserializeState(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMulti =
     copy(mutableAggBufferOffset = newOffset)

@@ -14,8 +14,7 @@ import graft.functions.QuantileSketch
   * must hold under arbitrary chunked merges. */
 object QuantileSketchProps extends Properties("QuantileSketch") {
 
-  private def freshState() =
-    new QuantileSketch.State(ArrayBuffer(ArrayBuffer.empty[Long]))
+  private def freshState() = QuantileSketch.emptyState()
 
   private def stateOf(xs: Seq[Long], cap: Int): QuantileSketch.State = {
     val s = freshState(); xs.foreach(s.add(_, cap)); s

@@ -8,8 +8,7 @@ import graft.functions.{Mix31, QuantileSketch}
   * bounds, merge-order robustness, and serialization. */
 class QuantileSketchSpec extends SparkSpec {
 
-  private def freshState() =
-    new QuantileSketch.State(ArrayBuffer(ArrayBuffer.empty[Long]))
+  private def freshState() = QuantileSketch.emptyState()
 
   private def vals(n: Int): Seq[Long] =
     (0 until n).map(j => Mix31.mix(j.toLong)) // deterministic shuffled order
@@ -132,6 +131,29 @@ class QuantileSketchSpec extends SparkSpec {
         assert(rankError(xs, est, p) <= 0.02, s"n=$n p=$p")
       }
     }
+  }
+
+  test("adaptive cap rule: exact to the ceiling, bounded beyond, guard refuses") {
+    import graft.ops.AnalyticsQueries._
+    // Exact regime: cap = max(floor, group size) — zero compaction.
+    assert(adaptiveSketchCap(0) === SketchMinCap)
+    assert(adaptiveSketchCap(1023) === SketchMinCap)
+    assert(adaptiveSketchCap(1025) === 1025)
+    assert(adaptiveSketchCap(200125) === 200125) // sf0.1 lineitem flag group
+    assert(adaptiveSketchCap(2001250) === 2001250) // sf1
+    assert(adaptiveSketchCap(SketchExactCapMax) === SketchExactCapMax)
+    // Past the ceiling: the bounded production cap, a constant.
+    assert(adaptiveSketchCap(SketchExactCapMax + 1L) === SketchBoundedCap)
+    assert(adaptiveSketchCap(20012500L) === SketchBoundedCap) // sf10
+    assert(adaptiveSketchCap(Long.MaxValue / 2) === SketchBoundedCap)
+    // Manual caps: adaptive sentinel, >= needed passes, undersized refuses
+    // naming the fix (the semanticDedup guard recipe).
+    assert(sketchCapFor(200125, 0, "t") === 200125)
+    assert(sketchCapFor(200125, 1 << 20, "t") === (1 << 20))
+    val e = intercept[IllegalArgumentException] {
+      sketchCapFor(200125, 1024, "t")
+    }
+    assert(e.getMessage.contains("adaptive"))
   }
 
   test("SQL path: exact regime across partitions, null on empty") {
