@@ -127,9 +127,22 @@ object Bench {
     // Basename only ("sf0.1") in the compact line: the full path costs 15
     // chars of the 2000-char window; bench_out.json keeps it complete.
     val sfName = new java.io.File(sfDir).getName
+    // Host-speed canary (r12 verdict #5): a FIXED DuckDB probe set timed
+    // in the SAME invocation, so every wall ships with its own yardstick
+    // and cross-round comparisons can be normalized by the canary ratio
+    // (the r12 host-drift lesson: 2-4x between boots on unchanged code).
+    // Runs AFTER the timed passes so it never perturbs the Spark walls.
+    val canary: String = try {
+      val out = scala.sys.process.Process(
+        Seq("python3", "scripts/canary_duck.py", sfDir, "3")).!!.trim
+      val last = out.linesIterator.toSeq.lastOption.getOrElse("null")
+      if (last.startsWith("{")) last else "null"
+    } catch { case _: Throwable => "null" }
+    val canaryTotal = "\"canary_total\":\\s*([0-9.]+)".r
+      .findFirstMatchIn(canary).map(_.group(1)).getOrElse("null")
     def compactAt(dec: Int) = {
       val qs = obj(v => s"%.${dec}f".format(v.map(_._2).min))
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":$canaryTotal,"queries":$qs,"sf":"$sfName"}"""
     }
     // Last-resort tier: greedily keep the SLOWEST queries that still fit
     // the window (full set always lands in bench_out.json), so the line
@@ -139,7 +152,7 @@ object Bench {
       val sorted = samples.toSeq.map { case (k, v) => k -> v.map(_._2).min }
         .sortBy { case (k, m) => (-m, k) }
         .map { case (k, m) => s"\"" + k + "\":" + f"$m%.2f" }
-      val shell = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"sf":"$sfName"}"""
+      val shell = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":$canaryTotal,"queries":{},"sf":"$sfName"}"""
       var budget = 1900 - shell.length
       val kept = sorted.takeWhile { e =>
         val cost = e.length + 1
@@ -147,7 +160,7 @@ object Bench {
         if (ok) budget -= cost
         ok
       }
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","canary":$canaryTotal,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfName"}"""
     }
     val compact = {
       val c3 = compactAt(3)
@@ -165,7 +178,7 @@ object Bench {
       s"\"" + k + "\":" + v.map(d => f"${d._2}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"medians":$medArrays,"warmup":$warmArrays,"reps":$repArrays,"starts":$startArrays,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary":$canary,"queries":$qsFull,"medians":$medArrays,"warmup":$warmArrays,"reps":$repArrays,"starts":$startArrays,"sf":"$sfDir"}"""
     try Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), full)
     catch { case _: Throwable => }
