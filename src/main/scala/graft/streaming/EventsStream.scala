@@ -106,7 +106,15 @@ object EventsStream {
       n_events: Long,
       total_value: Double)
 
-  private case class SessionState(
+  /** `private[streaming]`, not `private`: Scala `private` emits a
+    * package-private CLASS FILE, and the state-store serializer Spark
+    * codegens for `flatMapGroupsWithState` lives in another package —
+    * janino then rejects every accessor as inapplicable and the query
+    * dies on its first REAL stream (batch evaluation, which the driver
+    * gate uses, never touches the state serializer; found by the r13
+    * `streambench` probe).  Scala-level privacy stays; the bytecode
+    * becomes public, which is what the generated serializer needs. */
+  private[streaming] case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
   /** Custom stateful streaming: gap-based sessionization via
@@ -118,6 +126,16 @@ object EventsStream {
     *
     * Works on a streaming Dataset (Update mode) and, for tests/batch
     * backfill, on a bounded one.
+    *
+    * Spark 4.1.2 operational note (found by the r13 `streambench`
+    * probe): the engine dies planning a NO-DATA micro-batch over
+    * `flatMapGroupsWithState` ([INTERNAL_ERROR] NPE building the exec
+    * node's metrics with no active session).  No-data batches are how
+    * an IDLE stream fires processing-time timeouts, so on this Spark
+    * version run sessionize with
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false` — trailing
+    * sessions then close on the next data batch instead of on wall
+    * clock, which is the usual trade on engines without idle triggers.
     */
   def sessionize(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       gapMinutes: Int = 30): org.apache.spark.sql.Dataset[UserSession] = {
