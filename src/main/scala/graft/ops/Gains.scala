@@ -27,8 +27,6 @@ import graft.core.{Frag, Sources}
   */
 object Gains {
 
-  val Cap = 1 << 20
-
   def gainsCurve(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
     gainsOf(Sources.events(spark, dir)
@@ -44,9 +42,12 @@ object Gains {
   private[graft] def gainsOf(rawCells: DataFrame): DataFrame = {
     val cells = rawCells
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Adaptive cap (r12 verdict #1): counting the persisted cells frame
+    // materializes the persist the scoring pass reuses anyway.
+    val cap = AnalyticsQueries.adaptiveSketchCap(cells.count())
     val ps = (1 to 9).map(i => s"0.${i}D").mkString(", ")
     val bounds = cells.agg(
-      expr(s"q_sketch_multi(score, array($ps), $Cap)").as("b"))
+      expr(s"q_sketch_multi(score, array($ps), $cap)").as("b"))
     val decile = (1 to 9).map(i => (col("score") > expr(s"b[${i - 1}]"))
       .cast("int")).reduce(_ + _) + lit(1)
     val byDecile = cells.crossJoin(broadcast(bounds))

@@ -32,17 +32,16 @@ import graft.core.{Frag, Sources}
   * MAX/COUNT/SUM); the cells persist once (the ngramJaccard convention)
   * and feed (a) the 1-row boundary aggregate and (b) the broadcast-join
   * scoring pass; the final rollup has ≤ 4³ groups.  At 100 TB no stage
-  * moves more than the customer dimension, and the sketch cap (2^20)
-  * bounds the boundary aggregate's memory regardless of customer count
-  * (bounded-cap regime gated by q_an_quantile_sketch_capped).
+  * moves more than the customer dimension, and the adaptive sketch cap
+  * ([[AnalyticsQueries.adaptiveSketchCap]]) bounds the boundary
+  * aggregate's memory regardless of customer count (bounded-cap regime
+  * gated by q_an_quantile_sketch_capped).
   */
 object Rfm {
 
   /** Pinned "now" for recency: first month boundary past the corpus's
     * last order (orders span 1995-01-01 .. 2001-08-01). */
   val Now = "2001-09-01"
-
-  val Cap = 1 << 20
 
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
@@ -61,8 +60,13 @@ object Rfm {
   private[graft] def rfmOf(rawCells: DataFrame): DataFrame = {
     val cells = rawCells
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Adaptive cap (r12 verdict #1): the boundary "group" is the whole
+    // cells frame; its count materializes the persist the scoring pass
+    // reuses anyway, so the sizing pre-pass is free.  Exact regime to
+    // the ceiling, bounded compaction beyond.
+    val cap = AnalyticsQueries.adaptiveSketchCap(cells.count())
     def qs(c: String) =
-      expr(s"q_sketch_multi($c, array(0.25D, 0.5D, 0.75D), $Cap)").as(s"b_$c")
+      expr(s"q_sketch_multi($c, array(0.25D, 0.5D, 0.75D), $cap)").as(s"b_$c")
     val bounds = cells.agg(qs("r"), qs("f"), qs("m"))
     def score(c: String) =
       (lit(1) + (col(c) > expr(s"b_$c[0]")).cast("int")

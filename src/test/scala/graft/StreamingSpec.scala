@@ -43,6 +43,40 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.forall(_.user_id == 1L))
   }
 
+  test("sessionize runs as a REAL stream: state encoder survives the state store") {
+    // Batch evaluation never touches the state-store serializer Spark
+    // codegens for flatMapGroupsWithState, so the driver gate cannot see
+    // this class of bug (r13: a package-private SessionState class file
+    // made janino reject every accessor and killed the first streaming
+    // batch).  Drive an actual MemoryStream through the operator; the
+    // no-data-batch engine bug is sidestepped per the sessionize
+    // scaladoc note.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, Timestamp, String, Double)]
+      val events = stream.toDF().toDF("user_id", "ts", "event_type", "value")
+      val q = EventsStream.sessionize(events, gapMinutes = 30)
+        .toDF()
+        .writeStream.format("memory").queryName("sess_stream_out")
+        .outputMode("append").start()
+      try {
+        // Batch 1: two events in one session; batch 2: a gap > 30m event
+        // closes it — the closed session must cross the state store.
+        stream.addData((1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+          (1L, ts("2024-01-01 10:10:00"), "click", 2.0))
+        q.processAllAvailable()
+        stream.addData((1L, ts("2024-01-01 12:00:00"), "click", 3.0))
+        q.processAllAvailable()
+        val closed = spark.table("sess_stream_out").collect()
+        assert(closed.length == 1)
+        assert(closed.head.getAs[Long]("n_events") == 2L)
+        assert(closed.head.getAs[Double]("total_value") == 3.0)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+  }
+
   test("stream-static enrichment joins the dim per micro-batch: streaming equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((10L, "n10", 1, 0.0, "BUILDING"), (20L, "n20", 2, 0.0, "MACHINERY"))
