@@ -55,12 +55,23 @@ object Basket {
     // support >= minSupport, so both self-join inputs drop its lines
     // BEFORE pair generation — identical output by construction, smaller
     // pair exchange whenever the part popularity distribution has a
-    // sub-minSupport tail.  Broadcast semi-join: the frequent-part id
-    // set is dimension-sized next to the basket lines (and shrinks as
+    // sub-minSupport tail.  CONDITIONAL: one cheap driver-side probe
+    // over the persisted baskets (it doubles as the persist
+    // materializer) decides whether a tail exists at all — on
+    // distributions where every part is frequent (TPC-H at
+    // minSupport=2: ~30 baskets/part) the semi-join would prune nothing
+    // and only pay its broadcast + two extra stages (measured +2.0 s at
+    // sf0.1), so it is skipped and the plan is the bare self-join.
+    // Broadcast semi-join when it does engage: the frequent-part id set
+    // is dimension-sized next to the basket lines (and shrinks as
     // minSupport grows), so the prune adds no basket-side shuffle.
-    val pruned = baskets.join(
-      broadcast(partOrders.where(col("n") >= minSupport).select(col("pk"))),
-      Seq("pk"), "left_semi")
+    val tailExists =
+      !partOrders.where(col("n") < minSupport).limit(1).isEmpty
+    val pruned =
+      if (!tailExists) baskets
+      else baskets.join(
+        broadcast(partOrders.where(col("n") >= minSupport).select(col("pk"))),
+        Seq("pk"), "left_semi")
     val pairs = pruned.select(col("okey"), col("pk").as("part_a"))
       .join(pruned.select(col("okey"), col("pk").as("part_b")), "okey")
       .where(col("part_a") < col("part_b"))
