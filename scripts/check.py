@@ -120,7 +120,25 @@ def gate_hazards(df, oracle_checked=True):
             haz.append(f"col {c}: ARRAY cells (driver row-sorter crashes)")
     return haz
 
-fails, passes, skipped = [], [], []
+# Above-gate-scale knobs (r13 ADVICE #4) — both default OFF so the
+# default invocation stays driver-identical:
+#   GRAFT_DIVERGE_OK=a,b,c  entries whose adaptive sizing rule is in its
+#     BOUNDED (approximate) regime at this scale, so a value mismatch
+#     against the exact oracle is BY DESIGN (e.g. the lineitem quantile
+#     sketches at sf10, where adaptiveSketchCap snaps to 2^14).  They
+#     are still compared — a match counts as a normal PASS; a mismatch
+#     is reported as DIVERGE and does not fail the gate.
+#   GRAFT_TIMEOUT_OK=1  count ORACLE-TIMEOUT entries (naive oracle
+#     infeasible at this scale) as a named exclusion list instead of a
+#     failure — pairs with GRAFT_ORACLE_TIMEOUT for sf10 sweeps.
+DIVERGE_OK = set(x for x in os.environ.get("GRAFT_DIVERGE_OK", "").split(",") if x)
+TIMEOUT_OK = bool(os.environ.get("GRAFT_TIMEOUT_OK", ""))
+
+fails, passes, skipped, diverged, timeouts = [], [], [], [], []
+
+def mismatch(name, msg):
+    (diverged if name in DIVERGE_OK else fails).append((name, msg))
+
 names = sorted(d for d in os.listdir(outdir)
                if os.path.isdir(os.path.join(outdir, d)))
 for name in names:
@@ -143,24 +161,25 @@ for name in names:
     try:
         duck_df = run_oracle(oracle[name])
     except duckdb.InterruptException:
-        fails.append((name, f"ORACLE-TIMEOUT after {ORACLE_TIMEOUT}s "
-                            "(naive oracle too slow at this scale)"))
+        (timeouts if TIMEOUT_OK else fails).append(
+            (name, f"ORACLE-TIMEOUT after {ORACLE_TIMEOUT}s "
+                   "(naive oracle too slow at this scale)"))
         continue
     except Exception as e:
         fails.append((name, f"oracle error: {e}"))
         continue
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
-        fails.append((name, f"schema: spark={list(a.columns)} duck={list(b.columns)}"))
+        mismatch(name, f"schema: spark={list(a.columns)} duck={list(b.columns)}")
         continue
     if len(a) != len(b):
-        fails.append((name, f"rows: spark={len(a)} duck={len(b)}"))
+        mismatch(name, f"rows: spark={len(a)} duck={len(b)}")
         continue
     if not a.equals(b):
         diff = (a != b)
         idx = diff.any(axis=1)
         bad = a[idx].head(3), b[idx].head(3)
-        fails.append((name, f"values differ on {int(idx.sum())} rows\nspark:\n{bad[0]}\nduck:\n{bad[1]}"))
+        mismatch(name, f"values differ on {int(idx.sum())} rows\nspark:\n{bad[0]}\nduck:\n{bad[1]}")
         continue
     passes.append((name, len(a)))
 
@@ -168,7 +187,16 @@ for n, r in passes:
     print(f"PASS  {n}  ({r} rows)")
 for n, r in skipped:
     print(f"SKIP  {n}  (no oracle, {r} rows)")
+for n, msg in diverged:
+    print(f"DIVERGE  {n} (expected: bounded adaptive regime at this scale): {msg}")
+for n, msg in timeouts:
+    print(f"TIMEOUT  {n}: {msg}")
 for n, msg in fails:
     print(f"FAIL  {n}: {msg}")
-print(f"\n{len(passes)} pass, {len(skipped)} rows-only, {len(fails)} fail")
+tail = ""
+if diverged or DIVERGE_OK:
+    tail += f", {len(diverged)} expected-divergent"
+if timeouts or TIMEOUT_OK:
+    tail += f", {len(timeouts)} oracle-timeout"
+print(f"\n{len(passes)} pass, {len(skipped)} rows-only, {len(fails)} fail{tail}")
 sys.exit(1 if fails else 0)

@@ -132,12 +132,46 @@ object Bench {
     // and cross-round comparisons can be normalized by the canary ratio
     // (the r12 host-drift lesson: 2-4x between boots on unchanged code).
     // Runs AFTER the timed passes so it never perturbs the Spark walls.
-    val canary: String = try {
-      val out = scala.sys.process.Process(
-        Seq("python3", "scripts/canary_duck.py", sfDir, "3")).!!.trim
-      val last = out.linesIterator.toSeq.lastOption.getOrElse("null")
-      if (last.startsWith("{")) last else "null"
-    } catch { case _: Throwable => "null" }
+    // The script path is RESOLVED, not assumed relative (r13 ADVICE #3):
+    // a Bench launched from any cwd other than the repo root would
+    // otherwise silently ship canary:null, defeating the yardstick.
+    // Resolution order: GRAFT_REPO_ROOT env, the cwd, then walking up
+    // from this class's code location (target/scala-2.13/... lives a few
+    // levels under the repo root).  A null canary warns on stderr.
+    val canaryScript: Option[java.io.File] = {
+      val rel = "scripts/canary_duck.py"
+      val fromEnv = sys.env.get("GRAFT_REPO_ROOT")
+        .map(r => new java.io.File(r, rel))
+      val fromCwd = Some(new java.io.File(rel))
+      val fromClass = try {
+        val src = new java.io.File(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        Iterator.iterate(src)(_.getParentFile).takeWhile(_ != null)
+          .map(d => new java.io.File(d, rel)).find(_.isFile)
+      } catch { case _: Throwable => None }
+      (fromEnv ++ fromCwd ++ fromClass).find(_.isFile)
+    }
+    val canary: String = canaryScript match {
+      case None =>
+        System.err.println("[bench] WARNING: scripts/canary_duck.py not " +
+          "found from env/cwd/classpath — canary:null, walls have no " +
+          "host-speed yardstick")
+        "null"
+      case Some(script) => try {
+        val out = scala.sys.process.Process(
+          Seq("python3", script.getAbsolutePath, sfDir, "3")).!!.trim
+        val last = out.linesIterator.toSeq.lastOption.getOrElse("null")
+        if (last.startsWith("{")) last
+        else {
+          System.err.println("[bench] WARNING: canary produced no JSON " +
+            s"(last line: $last) — canary:null")
+          "null"
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: canary failed ($e) — canary:null")
+        "null"
+      }
+    }
     val canaryTotal = "\"canary_total\":\\s*([0-9.]+)".r
       .findFirstMatchIn(canary).map(_.group(1)).getOrElse("null")
     def compactAt(dec: Int) = {

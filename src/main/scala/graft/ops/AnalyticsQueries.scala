@@ -612,11 +612,15 @@ object AnalyticsQueries {
 
   /** The same rule, DuckDB spelling over a max-group-count scalar
     * subquery — interpolated from the SAME constants so the spellings
-    * cannot desync (the adaptiveKSql recipe). */
+    * cannot desync (the adaptiveKSql recipe).  The scalar is COALESCEd
+    * to 0 (r13 ADVICE): on an EMPTY scope `MAX(c)` yields SQL NULL,
+    * which would fall through the CASE to the bounded branch, while
+    * [[maxGroupOf]] returns 0 and [[adaptiveSketchCap]] picks the
+    * exact-regime floor — the two spellings must agree on that edge. */
   private[graft] def adaptiveCapSql(gSql: String): String =
     s"(SELECT CASE WHEN g <= $SketchExactCapMax " +
       s"THEN GREATEST($SketchMinCap, g) ELSE $SketchBoundedCap END " +
-      s"FROM ($gSql) _g(g))"
+      s"FROM (SELECT COALESCE(($gSql), 0)) _g(g))"
 
   /** Resolve a sketch entry's cap: `manual = 0` means adaptive; a
     * manual cap below the adaptive choice refuses fast naming the fix

@@ -156,6 +156,36 @@ class QuantileSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("adaptive"))
   }
 
+  test("adaptiveCapSql agrees with adaptiveSketchCap on DuckDB, " +
+      "including the empty scope") {
+    import graft.ops.AnalyticsQueries._
+    // r13 ADVICE #1: MAX(c) over ZERO groups is SQL NULL; the un-COALESCEd
+    // CASE fell to the bounded branch (16384) while the Scala spelling
+    // returns the exact-regime floor (1024).  Pin cross-engine agreement
+    // on the empty edge AND around both regime boundaries.
+    val loaded =
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(loaded, "duckdb_jdbc not on the test classpath")
+    val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = con.createStatement()
+      // The empty scope, spelled the way every cap oracle spells it.
+      st.execute("CREATE TABLE empty_ev(event_type VARCHAR, v BIGINT)")
+      val emptyG =
+        "SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM empty_ev GROUP BY event_type) _e"
+      def sqlCap(gSql: String): Long = {
+        val rs = st.executeQuery(s"SELECT ${adaptiveCapSql(gSql)}")
+        rs.next(); val v = rs.getLong(1); rs.close(); v
+      }
+      assert(sqlCap(emptyG) === adaptiveSketchCap(0).toLong)
+      for (g <- Seq(0L, 1L, 1023L, 1024L, 1025L, 200125L,
+          SketchExactCapMax.toLong, SketchExactCapMax + 1L, 20012500L))
+        assert(sqlCap(s"SELECT CAST($g AS BIGINT)") ===
+          adaptiveSketchCap(g).toLong, s"g=$g")
+    } finally con.close()
+  }
+
   test("SQL path: exact regime across partitions, null on empty") {
     import spark.implicits._
     QuantileSketch.register(spark)
