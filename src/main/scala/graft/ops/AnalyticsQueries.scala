@@ -392,27 +392,42 @@ object AnalyticsQueries {
        |  6)""".stripMargin
   }
 
-  private val corrSums: Seq[(String, String)] = {
-    val x = "CAST(l_quantity AS DECIMAL(18,0))"
-    val y = Frag.money("l_extendedprice")
-    Seq("n" -> "COUNT(*)", "sx" -> s"SUM($x)", "sy" -> s"SUM($y)",
-      "sxy" -> s"SUM($x * $y)", "sxx" -> s"SUM($x * $x)",
-      "syy" -> s"SUM($y * $y)")
+  /** The five moment inputs, shared verbatim by engine and oracle: per-row
+    * PRODUCTS in 64-bit integer arithmetic — the linear-trend recipe
+    * applied to the corr family (r12 verdict #3's "same recipe").  qty ≤
+    * ~2^6 and cents ≤ ~2^24 per row, so x·y and y·y fit a long with ~2^15
+    * headroom.  Pearson r is invariant under the dollars→cents rescaling
+    * of y, and both engines run the same product spelling, so the hash
+    * contract is untouched.  Only the cross-row SUM widens past 64 bits —
+    * and the two engines may widen differently (both exactly). */
+  private val corrMoments: Seq[(String, String)] = {
+    val x = "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)"
+    val y = s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)"
+    Seq("sx" -> x, "sy" -> y, "sxy" -> s"$x * $y",
+      "sxx" -> s"$x * $x", "syy" -> s"$y * $y")
   }
 
-  def correlation(spark: SparkSession, dir: String): DataFrame =
+  /** Engine side sums the integer products with
+    * [[graft.functions.LongExactSum]] (`bigsum`): the hash-aggregate hot
+    * path is a long add — Spark's own SUM-over-DECIMAL(>18 digits) buffer
+    * pays a BigDecimal round-trip per row.  The oracle keeps DuckDB's
+    * plain SUM (HUGEINT accumulation) — integer sums are
+    * grouping-/accumulator-independent, the linear-trend precedent. */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.LongExactSum.register(spark)
     Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr(corrSums.head._2).as(corrSums.head._1),
-        corrSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+      .agg(count(lit(1)).as("n"),
+        corrMoments.map { case (a, e) => expr(s"bigsum($e)").as(a) }: _*)
       .selectExpr("l_returnflag", "n",
         s"$corrFormula AS corr_qty_price")
+  }
 
   val correlationOracle: String =
     s"""SELECT l_returnflag, n, $corrFormula AS corr_qty_price
        |FROM (
-       |  SELECT l_returnflag,
-       |    ${corrSums.map { case (a, e) => s"$e AS $a" }.mkString(",\n    ")}
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${corrMoments.map { case (a, e) => s"SUM($e) AS $a" }.mkString(",\n    ")}
        |  FROM lineitem GROUP BY 1) t""".stripMargin
 
   /** Sequential conversion funnel (view → click → purchase, each stage
