@@ -899,10 +899,17 @@ object SparkEntry {
       }
     }.toSeq: _*)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.  The shared
+    * fast scalar/aggregate functions are (re-)registered at dispatch —
+    * registration is idempotent, and ops ALSO self-register so direct
+    * spec calls work; this is the belt for any path that composes ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name ->
-      ((s: SparkSession, d: String) => normalizeOutput(q.fn(s, d)))).toMap
+      ((s: SparkSession, d: String) => {
+        graft.functions.LongExactSum.register(s)
+        graft.functions.MoneyCents.register(s)
+        normalizeOutput(q.fn(s, d))
+      })).toMap
 
   /** The EXACT single-task scaffolds → their registered scale twins.
     * Each exact form exists because the cross-engine hash gate needs

@@ -392,20 +392,29 @@ object AnalyticsQueries {
        |  6)""".stripMargin
   }
 
-  /** The five moment inputs, shared verbatim by engine and oracle: per-row
-    * PRODUCTS in 64-bit integer arithmetic — the linear-trend recipe
-    * applied to the corr family (r12 verdict #3's "same recipe").  qty ≤
-    * ~2^6 and cents ≤ ~2^24 per row, so x·y and y·y fit a long with ~2^15
-    * headroom.  Pearson r is invariant under the dollars→cents rescaling
-    * of y, and both engines run the same product spelling, so the hash
-    * contract is untouched.  Only the cross-row SUM widens past 64 bits —
-    * and the two engines may widen differently (both exactly). */
-  private val corrMoments: Seq[(String, String)] = {
-    val x = "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)"
-    val y = s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)"
+  /** The five moment inputs: per-row PRODUCTS in 64-bit integer
+    * arithmetic — the linear-trend recipe applied to the corr family
+    * (r12 verdict #3's "same recipe").  qty ≤ ~2^6 and cents ≤ ~2^24 per
+    * row, so x·y and y·y fit a long with ~2^15 headroom.  Pearson r is
+    * invariant under the dollars→cents rescaling of y, and the two
+    * spellings produce the SAME integers per row (MoneyCentsSpec pins
+    * the equivalence on every double), so the hash contract is
+    * untouched.  `moments(x, y)` builds both sides' product set from the
+    * normalization spelling each engine runs: the engine normalizes via
+    * [[graft.functions.MoneyCents]] (codegen'd long fast path — Probe
+    * attribution showed the per-row Decimal casts, not the sums,
+    * dominating this scan), the oracle via the canonical Frag casts. */
+  private def corrMoments(x: String, y: String): Seq[(String, String)] =
     Seq("sx" -> x, "sy" -> y, "sxy" -> s"$x * $y",
       "sxx" -> s"$x * $x", "syy" -> s"$y * $y")
-  }
+
+  private val corrMomentsEngine: Seq[(String, String)] =
+    corrMoments("money_cents(l_quantity, 0)",
+      "money_cents(l_extendedprice)")
+
+  private val corrMomentsOracle: Seq[(String, String)] =
+    corrMoments("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)",
+      s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
 
   /** Engine side sums the integer products with
     * [[graft.functions.LongExactSum]] (`bigsum`): the hash-aggregate hot
@@ -415,10 +424,12 @@ object AnalyticsQueries {
     * grouping-/accumulator-independent, the linear-trend precedent. */
   def correlation(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.LongExactSum.register(spark)
+    graft.functions.MoneyCents.register(spark)
     Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        corrMoments.map { case (a, e) => expr(s"bigsum($e)").as(a) }: _*)
+        corrMomentsEngine.map { case (a, e) =>
+          expr(s"bigsum($e)").as(a) }: _*)
       .selectExpr("l_returnflag", "n",
         s"$corrFormula AS corr_qty_price")
   }
@@ -427,7 +438,7 @@ object AnalyticsQueries {
     s"""SELECT l_returnflag, n, $corrFormula AS corr_qty_price
        |FROM (
        |  SELECT l_returnflag, COUNT(*) AS n,
-       |    ${corrMoments.map { case (a, e) => s"SUM($e) AS $a" }.mkString(",\n    ")}
+       |    ${corrMomentsOracle.map { case (a, e) => s"SUM($e) AS $a" }.mkString(",\n    ")}
        |  FROM lineitem GROUP BY 1) t""".stripMargin
 
   /** Sequential conversion funnel (view → click → purchase, each stage
@@ -710,9 +721,10 @@ object AnalyticsQueries {
   def quantileSketch(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     val vals = Sources.events(spark, dir)
       .select(col("event_type"),
-        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+        expr("money_cents(value)").as("cents"))
     val c = sketchCapFor(maxGroupOf(vals, "event_type"), cap,
       "quantileSketch")
     def q(p: String, alias: String) =
@@ -743,10 +755,11 @@ object AnalyticsQueries {
   def quantileSketchCapped(spark: SparkSession, dir: String,
       cap: Int = 1024, eps: Double = 0.02): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     val ps = Seq(0.25, 0.5, 0.75)
     val vals = Sources.events(spark, dir)
       .select(col("event_type"),
-        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+        expr("money_cents(value)").as("cents"))
     val psArray = ps.map(p => s"${p}D").mkString(", ")
     val sk = vals.groupBy(col("event_type"))
       .agg(expr(s"q_sketch_multi(cents, array($psArray), $cap)").as("qs"))
@@ -781,8 +794,9 @@ object AnalyticsQueries {
     * the rank window is the same distributed sort [[percentiles]] uses. */
   def outliers(spark: SparkSession, dir: String): DataFrame = {
     Scaffold.exactTwin("outliers", "q_an_outliers_sketch")
+    graft.functions.MoneyCents.register(spark)
     import org.apache.spark.sql.expressions.Window
-    val cents = expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+    val cents = expr("money_cents(l_extendedprice)")
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
     val ranked = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"), cents.as("cents"))
@@ -852,11 +866,12 @@ object AnalyticsQueries {
   def outliersSketch(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "outliersSketch")
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
-        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+        expr("money_cents(l_extendedprice)")
           .as("cents"))
     val fences = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch_multi(cents, array(0.25D, 0.75D), $c)").as("qs"))
@@ -895,11 +910,12 @@ object AnalyticsQueries {
   def trimmedMean(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "trimmedMean")
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
-        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+        expr("money_cents(l_extendedprice)")
           .as("cents"))
     val fences = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch_multi(cents, array(0.1D, 0.9D), $c)").as("qs"))
@@ -1027,12 +1043,13 @@ object AnalyticsQueries {
     * broadcast-sized dimension. */
   def interpolate(spark: SparkSession, dir: String,
       threshold: Int = 200): DataFrame = {
+    graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
     val ev = Sources.events(spark, dir)
     val sparse = ev.filter(col("value") > threshold)
       .groupBy(date_trunc("day", col("ts")).cast("date").as("dia"),
         col("event_type"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("cents"))
     val days = ev.agg(
         min(date_trunc("day", col("ts")).cast("date")).as("d0"),
@@ -1173,9 +1190,10 @@ object AnalyticsQueries {
     * (population form (Σx² − (Σx)²/n)/n, shared verbatim with the
     * oracle), rounded at 4 dp for the gate. */
   def rollingVariance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MoneyCents.register(spark)
     val daily = Sources.events(spark, dir)
       .select(date_trunc("day", col("ts")).cast("date").as("dia"),
-        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+        expr("money_cents(value)").as("cents"))
       .groupBy(col("dia"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
         sum(expr("cents * cents")).as("sx2"))
@@ -1237,9 +1255,10 @@ object AnalyticsQueries {
   def histogramEqDepth(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
     Scaffold.exactTwin("histogramEqDepth", "q_an_histogram_eqdepth_sketch")
+    graft.functions.MoneyCents.register(spark)
     import org.apache.spark.sql.expressions.Window
     val cents = Sources.lineitem(spark, dir)
-      .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+      .select(expr("money_cents(l_extendedprice)")
         .as("cents"))
     val w = Window.orderBy(col("cents"))
     val ranked = cents
@@ -1278,12 +1297,13 @@ object AnalyticsQueries {
   def histogramEqDepthSketch(spark: SparkSession, dir: String,
       buckets: Int = 8, cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     // Global sketch: the "group" is the whole table, so the adaptive
     // rule sizes against the table count (parquet-metadata cheap).
     val c = sketchCapFor(Sources.lineitem(spark, dir).count(), cap,
       "histogramEqDepthSketch")
     val cents = Sources.lineitem(spark, dir)
-      .select(expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+      .select(expr("money_cents(l_extendedprice)")
         .as("cents"))
     val bs = (1 until buckets)
     // ONE q_sketch_multi aggregate buffers the table once for all B−1
@@ -1332,10 +1352,11 @@ object AnalyticsQueries {
     * the second ranking needs the first median, a broadcast scalar). */
   def mad(spark: SparkSession, dir: String): DataFrame = {
     Scaffold.exactTwin("mad", "q_an_mad_sketch")
+    graft.functions.MoneyCents.register(spark)
     import org.apache.spark.sql.expressions.Window
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
-        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+        expr("money_cents(l_extendedprice)")
           .as("cents"))
     def medianOf(df: DataFrame, valCol: String, alias: String) = {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
@@ -1364,11 +1385,12 @@ object AnalyticsQueries {
   def madSketch(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "madSketch")
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
-        expr(s"CAST(${Frag.money("l_extendedprice")} * 100 AS BIGINT)")
+        expr("money_cents(l_extendedprice)")
           .as("cents"))
     val med = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch(cents, 0.5D, $c)").as("median_cents"))
@@ -1413,10 +1435,11 @@ object AnalyticsQueries {
     * operation.  Share = exact-decimal cents divided as identical
     * integers → bit-identical doubles. */
   def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
     val perSeg = Sources.customer(spark, dir)
       .groupBy(col("c_mktsegment"))
-      .agg(expr(s"CAST(SUM(${Frag.money("c_acctbal")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(c_acctbal)) AS BIGINT)")
         .as("cents"))
     perSeg
       .withColumn("total_cents",

@@ -74,12 +74,14 @@ object Attribution {
     * purchase and the rollup is #channels-sized.  The oracle reaches
     * the same credits through an independent purchase×history
     * self-join formulation. */
-  def linearTouch(spark: SparkSession, dir: String): DataFrame =
+  def linearTouch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MoneyCents.register(spark)
     linearTouchOf(Sources.events(spark, dir)
       .select(col("user_id"),
         col("ts").cast("bigint").as("sec"),
         col("event_id"), col("event_type"),
-        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents")))
+        expr("money_cents(value)").as("cents")))
+  }
 
   private[graft] def linearTouchOf(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

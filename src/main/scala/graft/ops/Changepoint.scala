@@ -29,11 +29,13 @@ import graft.core.{Frag, Sources}
   */
 object Changepoint {
 
-  def cusum(spark: SparkSession, dir: String): DataFrame =
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     cusumOf(Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("cents")))
+  }
 
   /** Core over prepared (event_type, day, cents) daily cells —
     * spec-testable on synthetic series. */
@@ -76,11 +78,13 @@ object Changepoint {
     * Scale: ONE shuffle builds the (type, day) integer cells; the
     * trailing window runs per type over ALREADY AGGREGATED day cells
     * (the cusum convention), and the flag is a pure projection. */
-  def anomalyDays(spark: SparkSession, dir: String): DataFrame =
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     anomalyDaysOf(Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("t")))
+  }
 
   private[graft] def anomalyDaysOf(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -149,11 +153,13 @@ object Changepoint {
     * one-sided (n₁·n₂ = 0) and single-delta regimes.  Scale: day-cells
     * aggregate (one shuffle) + per-type windows over cells + #types-row
     * rollup. */
-  def runsTest(spark: SparkSession, dir: String): DataFrame =
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     runsTestOf(Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("cents")))
+  }
 
   private[graft] def runsTestOf(daily: DataFrame): DataFrame = {
     val wLag = Window.partitionBy("event_type").orderBy("day")

@@ -37,11 +37,11 @@ object Concentration {
   private val TopShareExpr =
     "ROUND(CAST(maxc AS DOUBLE) / CAST(t AS DOUBLE), 6)"
 
-  def hhi(spark: SparkSession, dir: String): DataFrame =
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MoneyCents.register(spark)
     Sources.orders(spark, dir)
       .select(expr(Frag.mes("o_orderdate")).as("mes"), col("o_custkey"),
-        expr(s"CAST(${Frag.money("o_totalprice")} * 100 AS BIGINT)")
-          .as("cents"))
+        expr("money_cents(o_totalprice)").as("cents"))
       .groupBy(col("mes"), col("o_custkey"))
       .agg(sum(col("cents")).as("c"))
       .groupBy(col("mes"))
@@ -53,6 +53,7 @@ object Concentration {
       .select(col("mes"), col("n_customers"), col("t").as("cents"),
         expr(HhiExpr).as("hhi"),
         expr(TopShareExpr).as("top1_share"))
+  }
 
   val hhiOracle: String =
     s"""WITH oc AS (
@@ -93,13 +94,13 @@ object Concentration {
     * set, never the corpus, and the window reuses the (mes, o_custkey)
     * exchange the aggregate already made. */
   def gini(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MoneyCents.register(spark)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("mes"))
       .orderBy(col("c").asc, col("o_custkey").asc)
     Sources.orders(spark, dir)
       .select(expr(Frag.mes("o_orderdate")).as("mes"), col("o_custkey"),
-        expr(s"CAST(${Frag.money("o_totalprice")} * 100 AS BIGINT)")
-          .as("cents"))
+        expr("money_cents(o_totalprice)").as("cents"))
       .groupBy(col("mes"), col("o_custkey"))
       .agg(sum(col("cents")).as("c"))
       .withColumn("rk", row_number().over(w))

@@ -28,11 +28,13 @@ import graft.core.{Frag, Sources}
   */
 object Forecast {
 
-  def naiveBacktest(spark: SparkSession, dir: String): DataFrame =
+  def naiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     naiveBacktestOf(Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("t")))
+  }
 
   private[graft] def naiveBacktestOf(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -76,11 +78,13 @@ object Forecast {
     * constant-series zero-variance denominator (ANSI would raise; the
     * gains-curve sweep lesson applied at design time).  One shuffle to
     * day cells + one lag window over cells + a #types-row aggregate. */
-  def weeklyAutocorr(spark: SparkSession, dir: String): DataFrame =
+  def weeklyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     weeklyAutocorrOf(Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("t")))
+  }
 
   private[graft] def weeklyAutocorrOf(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -139,9 +143,10 @@ object Forecast {
     * broadcast; the pair join keys on the shifted day. */
   def crossCorr(spark: SparkSession, dir: String,
       maxLag: Int = 3): DataFrame = {
+    graft.functions.Fast.register(spark)
     val daily = Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("t"))
       .localCheckpoint()
     val lags = spark.range(0, maxLag + 1L)
@@ -199,10 +204,11 @@ object Forecast {
     *
     * Scale: day cells in one exchange; the fold runs over a ≤ #days
     * array per type (calendar-bounded, never corpus-sized). */
-  def ewma(spark: SparkSession, dir: String): DataFrame =
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     Sources.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("t"))
       .groupBy(col("event_type"))
       .agg(expr(
@@ -221,6 +227,7 @@ object Forecast {
         "ROUND(st.s, 4) AS ewma_cents",
         "ROUND(st.e / CAST(greatest(n_days - 1, 1) AS DOUBLE), 4)" +
           " AS mae_cents")
+  }
 
   val ewmaOracle: String =
     s"""WITH daily AS (
@@ -353,13 +360,14 @@ object Forecast {
     * pairs per type; the rank window runs over those calendar²-bounded
     * frames, never the corpus. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Fast.register(spark)
     val cells = Sources.events(spark, dir)
       .select(col("ts").cast("bigint").as("sec"), col("event_type"),
         col("value"))
       .select(col("event_type"), expr("sec DIV 86400").as("day"),
         col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(expr(s"CAST(SUM(${Frag.money("value")}) * 100 AS BIGINT)")
+      .agg(expr("CAST(bigsum(money_cents(value)) AS BIGINT)")
         .as("t"))
       .localCheckpoint()
     val a = cells.select(col("event_type"), col("day").as("da"),

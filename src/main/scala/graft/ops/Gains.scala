@@ -29,11 +29,12 @@ object Gains {
 
   def gainsCurve(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.MoneyCents.register(spark)
     gainsOf(Sources.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("score"),
         sum(when(col("event_type") === "purchase",
-          expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)"))
+          expr("money_cents(value)"))
           .otherwise(0L)).as("cents")))
   }
 

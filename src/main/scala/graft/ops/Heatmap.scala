@@ -24,14 +24,16 @@ object Heatmap {
   private val DowExpr = "(sec DIV 86400 + 3) % 7 + 1"
   private val HourExpr = "sec % 86400 DIV 3600"
 
-  def dowHour(spark: SparkSession, dir: String): DataFrame =
+  def dowHour(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MoneyCents.register(spark)
     Sources.events(spark, dir)
       .select(col("ts").cast("bigint").as("sec"),
-        expr(s"CAST(${Frag.money("value")} * 100 AS BIGINT)").as("cents"))
+        expr("money_cents(value)").as("cents"))
       .select(expr(DowExpr).cast("int").as("dow"),
         expr(HourExpr).cast("int").as("hora"), col("cents"))
       .groupBy(col("dow"), col("hora"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+  }
 
   val dowHourOracle: String =
     s"""WITH ev AS (

@@ -45,13 +45,14 @@ object Rfm {
 
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.Fast.register(spark)
     rfmOf(Sources.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
         datediff(lit(Now).cast("date"), to_date(max(col("o_orderdate"))))
           .cast("long").as("r"),
         count(lit(1)).as("f"),
-        expr(s"CAST(SUM(${Frag.money("o_totalprice")}) * 100 AS BIGINT)")
+        expr("CAST(bigsum(money_cents(o_totalprice)) AS BIGINT)")
           .as("m")))
   }
 
