@@ -906,8 +906,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name ->
       ((s: SparkSession, d: String) => {
-        graft.functions.LongExactSum.register(s)
-        graft.functions.MoneyCents.register(s)
+        graft.functions.Fast.register(s)
         normalizeOutput(q.fn(s, d))
       })).toMap
 

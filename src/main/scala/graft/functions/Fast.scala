@@ -9,7 +9,15 @@ import org.apache.spark.sql.SparkSession
   * registers them). */
 object Fast {
   def register(spark: SparkSession): Unit = {
-    LongExactSum.register(spark)
-    MoneyCents.register(spark)
+    // Register only when absent: re-registration is harmless but logs a
+    // "function replaced" warning per call, and the dispatch wrapper
+    // calls this for every query.
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bigsum")))
+      LongExactSum.register(spark)
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("money_cents")))
+      MoneyCents.register(spark)
   }
 }

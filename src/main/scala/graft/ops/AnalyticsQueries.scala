@@ -423,8 +423,7 @@ object AnalyticsQueries {
     * plain SUM (HUGEINT accumulation) — integer sums are
     * grouping-/accumulator-independent, the linear-trend precedent. */
   def correlation(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.LongExactSum.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -721,7 +720,7 @@ object AnalyticsQueries {
   def quantileSketch(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     val vals = Sources.events(spark, dir)
       .select(col("event_type"),
         expr("money_cents(value)").as("cents"))
@@ -755,7 +754,7 @@ object AnalyticsQueries {
   def quantileSketchCapped(spark: SparkSession, dir: String,
       cap: Int = 1024, eps: Double = 0.02): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     val ps = Seq(0.25, 0.5, 0.75)
     val vals = Sources.events(spark, dir)
       .select(col("event_type"),
@@ -794,7 +793,7 @@ object AnalyticsQueries {
     * the rank window is the same distributed sort [[percentiles]] uses. */
   def outliers(spark: SparkSession, dir: String): DataFrame = {
     Scaffold.exactTwin("outliers", "q_an_outliers_sketch")
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
     val cents = expr("money_cents(l_extendedprice)")
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
@@ -866,7 +865,7 @@ object AnalyticsQueries {
   def outliersSketch(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "outliersSketch")
     val cents = Sources.lineitem(spark, dir)
@@ -910,7 +909,7 @@ object AnalyticsQueries {
   def trimmedMean(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "trimmedMean")
     val cents = Sources.lineitem(spark, dir)
@@ -1190,7 +1189,7 @@ object AnalyticsQueries {
     * (population form (Σx² − (Σx)²/n)/n, shared verbatim with the
     * oracle), rounded at 4 dp for the gate. */
   def rollingVariance(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     val daily = Sources.events(spark, dir)
       .select(date_trunc("day", col("ts")).cast("date").as("dia"),
         expr("money_cents(value)").as("cents"))
@@ -1255,7 +1254,7 @@ object AnalyticsQueries {
   def histogramEqDepth(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
     Scaffold.exactTwin("histogramEqDepth", "q_an_histogram_eqdepth_sketch")
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
     val cents = Sources.lineitem(spark, dir)
       .select(expr("money_cents(l_extendedprice)")
@@ -1297,7 +1296,7 @@ object AnalyticsQueries {
   def histogramEqDepthSketch(spark: SparkSession, dir: String,
       buckets: Int = 8, cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     // Global sketch: the "group" is the whole table, so the adaptive
     // rule sizes against the table count (parquet-metadata cheap).
     val c = sketchCapFor(Sources.lineitem(spark, dir).count(), cap,
@@ -1352,7 +1351,7 @@ object AnalyticsQueries {
     * the second ranking needs the first median, a broadcast scalar). */
   def mad(spark: SparkSession, dir: String): DataFrame = {
     Scaffold.exactTwin("mad", "q_an_mad_sketch")
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
     val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
@@ -1385,7 +1384,7 @@ object AnalyticsQueries {
   def madSketch(spark: SparkSession, dir: String,
       cap: Int = 0): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "madSketch")
     val cents = Sources.lineitem(spark, dir)

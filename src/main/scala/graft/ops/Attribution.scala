@@ -75,7 +75,7 @@ object Attribution {
     * the same credits through an independent purchase×history
     * self-join formulation. */
   def linearTouch(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     linearTouchOf(Sources.events(spark, dir)
       .select(col("user_id"),
         col("ts").cast("bigint").as("sec"),

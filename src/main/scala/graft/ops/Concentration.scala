@@ -38,7 +38,7 @@ object Concentration {
     "ROUND(CAST(maxc AS DOUBLE) / CAST(t AS DOUBLE), 6)"
 
   def hhi(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     Sources.orders(spark, dir)
       .select(expr(Frag.mes("o_orderdate")).as("mes"), col("o_custkey"),
         expr("money_cents(o_totalprice)").as("cents"))
@@ -94,7 +94,7 @@ object Concentration {
     * set, never the corpus, and the window reuses the (mes, o_custkey)
     * exchange the aggregate already made. */
   def gini(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("mes"))
       .orderBy(col("c").asc, col("o_custkey").asc)

@@ -29,7 +29,7 @@ object Gains {
 
   def gainsCurve(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.QuantileSketch.register(spark)
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     gainsOf(Sources.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("score"),

@@ -25,7 +25,7 @@ object Heatmap {
   private val HourExpr = "sec % 86400 DIV 3600"
 
   def dowHour(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.MoneyCents.register(spark)
+    graft.functions.Fast.register(spark)
     Sources.events(spark, dir)
       .select(col("ts").cast("bigint").as("sec"),
         expr("money_cents(value)").as("cents"))
