@@ -134,29 +134,51 @@ def gate_hazards(df, oracle_checked=True):
 DIVERGE_OK = set(x for x in os.environ.get("GRAFT_DIVERGE_OK", "").split(",") if x)
 TIMEOUT_OK = bool(os.environ.get("GRAFT_TIMEOUT_OK", ""))
 
+#   GRAFT_SHARD=i/n  process only entries with index % n == i (sorted
+#     order) — lets a long sweep run as n parallel processes over the
+#     same read-only data; concatenate the outputs for the full gate.
+#   GRAFT_STREAM=1  print each verdict line as it is computed (flushed)
+#     instead of only at the end — a multi-hour sf10 sweep is otherwise
+#     a black box whose results are lost if it must be interrupted.
+SHARD = os.environ.get("GRAFT_SHARD", "")
+STREAM = bool(os.environ.get("GRAFT_STREAM", ""))
+
 fails, passes, skipped, diverged, timeouts = [], [], [], [], []
 
+def emit(kind, name, msg):
+    if STREAM:
+        print(f"{kind}  {name}: {msg}", flush=True)
+
 def mismatch(name, msg):
-    (diverged if name in DIVERGE_OK else fails).append((name, msg))
+    if name in DIVERGE_OK:
+        diverged.append((name, msg)); emit("DIVERGE", name, msg)
+    else:
+        fails.append((name, msg)); emit("FAIL", name, msg)
 
 names = sorted(d for d in os.listdir(outdir)
                if os.path.isdir(os.path.join(outdir, d)))
+if SHARD:
+    i, n = (int(x) for x in SHARD.split("/"))
+    names = [nm for k, nm in enumerate(names) if k % n == i]
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        fails.append((name, "no spark output"))
+        fails.append((name, "no spark output")); emit("FAIL", name, "no spark output")
         continue
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     if name not in oracle:
         haz = gate_hazards(spark_df, oracle_checked=False)
         if haz:
             fails.append((name, "driver-gate hazard: " + "; ".join(haz)))
+            emit("FAIL", name, "driver-gate hazard")
         else:
             skipped.append((name, len(spark_df)))
+            emit("SKIP", name, f"no oracle, {len(spark_df)} rows")
         continue
     haz = gate_hazards(spark_df)
     if haz:
         fails.append((name, "driver-gate hazard: " + "; ".join(haz)))
+        emit("FAIL", name, "driver-gate hazard")
         continue
     try:
         duck_df = run_oracle(oracle[name])
@@ -164,9 +186,11 @@ for name in names:
         (timeouts if TIMEOUT_OK else fails).append(
             (name, f"ORACLE-TIMEOUT after {ORACLE_TIMEOUT}s "
                    "(naive oracle too slow at this scale)"))
+        emit("TIMEOUT", name, f"after {ORACLE_TIMEOUT}s")
         continue
     except Exception as e:
         fails.append((name, f"oracle error: {e}"))
+        emit("FAIL", name, f"oracle error: {e}")
         continue
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
@@ -181,7 +205,7 @@ for name in names:
         bad = a[idx].head(3), b[idx].head(3)
         mismatch(name, f"values differ on {int(idx.sum())} rows\nspark:\n{bad[0]}\nduck:\n{bad[1]}")
         continue
-    passes.append((name, len(a)))
+    passes.append((name, len(a))); emit("PASS", name, f"{len(a)} rows")
 
 for n, r in passes:
     print(f"PASS  {n}  ({r} rows)")
