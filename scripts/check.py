@@ -155,8 +155,15 @@ def mismatch(name, msg):
     else:
         fails.append((name, msg)); emit("FAIL", name, msg)
 
+#   GRAFT_ONLY=a,b,c  process only the named entries — re-adjudicate a
+#     handful (e.g. ORACLE-TIMEOUT entries under a longer clamp) without
+#     re-walking the registry.  Applied before sharding.
+ONLY = set(x for x in os.environ.get("GRAFT_ONLY", "").split(",") if x)
+
 names = sorted(d for d in os.listdir(outdir)
                if os.path.isdir(os.path.join(outdir, d)))
+if ONLY:
+    names = [nm for nm in names if nm in ONLY]
 if SHARD:
     i, n = (int(x) for x in SHARD.split("/"))
     names = [nm for k, nm in enumerate(names) if k % n == i]

@@ -700,6 +700,12 @@ object Vocab {
     * DECIMAL(28,9) → DECIMAL SUM — the [[graft.llm.TextAnalysis]] χ²
     * convention) so no float-sum order leaks, and slope/intercept/R² are
     * shared-verbatim chains with NULLIF'd degenerate denominators.
+    * Each fit output carries a trailing `+ 0.0`: on a degenerate head
+    * (all counts equal — seen at sf10) the slope numerator is an exact
+    * zero whose SIGN is engine-private (DuckDB rounds to −0.0, Spark to
+    * +0.0), and IEEE `−0.0 + 0.0 = +0.0` canonicalizes both while being
+    * the identity on every nonzero value, so gate-scale hashes are
+    * untouched.
     *
     * Scale: the vocabulary aggregate is the [[topK]] shape (map-side
     * combine, TakeOrderedAndProject cut); the fit itself sees k rows. */
@@ -727,10 +733,10 @@ object Vocab {
         expr("CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) " +
           "AS DECIMAL(38,9))").as("syy"))
       .selectExpr("n",
-        s"ROUND($ZipfSlope, 6) AS slope",
+        s"ROUND($ZipfSlope, 6) + 0.0 AS slope",
         s"ROUND((CAST(sy AS DOUBLE) - ($ZipfSlope) * CAST(sx AS DOUBLE))" +
-          " / CAST(n AS DOUBLE), 6) AS intercept",
-        s"ROUND($ZipfR2, 6) AS r2")
+          " / CAST(n AS DOUBLE), 6) + 0.0 AS intercept",
+        s"ROUND($ZipfR2, 6) + 0.0 AS r2")
   }
 
   def zipfFitOracle(k: Int = 100): String =
@@ -756,9 +762,9 @@ object Vocab {
        |    CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS DECIMAL(38,9))
        |      AS syy
        |  FROM r)
-       |SELECT n, ROUND($ZipfSlope, 6) AS slope,
+       |SELECT n, ROUND($ZipfSlope, 6) + 0.0 AS slope,
        |  ROUND((CAST(sy AS DOUBLE) - ($ZipfSlope) * CAST(sx AS DOUBLE))
-       |    / CAST(n AS DOUBLE), 6) AS intercept,
-       |  ROUND($ZipfR2, 6) AS r2
+       |    / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+       |  ROUND($ZipfR2, 6) + 0.0 AS r2
        |FROM m""".stripMargin
 }

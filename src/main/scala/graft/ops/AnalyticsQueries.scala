@@ -47,16 +47,19 @@ object AnalyticsQueries {
     * mirror), so what the gate verifies is the operator's CONTRACT rather
     * than its registers: the plan computes both the sketch estimate and
     * the exact distinct per group and emits `approx_ok = |approx − exact|
-    * / exact ≤ 0.05` — the default-precision HLL++ error bound (rsd 0.05)
-    * — alongside the exact count.  The oracle emits the exact count and
-    * literal TRUE, so the hash-compare fails iff the estimate ever leaves
-    * its advertised band (r6 verdict #1: this closes the registry's last
-    * rows-only entry).  The engine's own fully-oracled HLL lives in
-    * [[hllDistinct]]. */
+    * / exact ≤ 0.05` alongside the exact count.  The sketch is sized
+    * rsd = 0.01 so the 5% tolerance is a 5σ bound — at the default
+    * rsd = 0.05 the tolerance was 1σ and tripped at sf10's ~2M distinct
+    * per group (a ~32%-per-group coin flip, not a regression); 2^14
+    * registers ≈ 16 KiB per group keeps the map-side partials trivial.
+    * The oracle emits the exact count and literal TRUE, so the
+    * hash-compare fails iff the estimate ever leaves its advertised band
+    * (r6 verdict #1: this closes the registry's last rows-only entry).
+    * The engine's own fully-oracled HLL lives in [[hllDistinct]]. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")).cast("double")
