@@ -21,6 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# GRAFT_DUCK_THREADS=n caps DuckDB's thread pool (default: all cores) so
+# several long-clamp oracle re-adjudications can run side by side without
+# thrashing the box.  Unset = driver-identical behavior.
+_threads = os.environ.get("GRAFT_DUCK_THREADS", "")
+if _threads:
+    con.execute(f"SET threads = {int(_threads)}")
 for t in TABLES:
     p = f"{sfdir}/{t}.parquet"
     if os.path.isdir(p):  # Spark-written table (gensf output): a directory
