@@ -19,6 +19,28 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** OPTIMIZATION r14 (guide §2.5 "input skew: one huge unsplittable
+    * file… repartition immediately after the read"): the bench parquet
+    * ships ONE row group per table, so every scan — and everything
+    * codegen-fused into its stage — runs as a single task no matter the
+    * core count.  Heavy derived frames (shingle sets, quantized
+    * vectors) therefore repartition before they are persisted/reused —
+    * but ONLY when the scan actually arrived narrower than the cluster:
+    * at production scale the scan already carries thousands of splits
+    * and an unconditional repartition would be a full extra shuffle of
+    * the table.  The decision is derived from the plan's own partition
+    * count vs `defaultParallelism`, not from a constant, so the same
+    * code is a spread at bench scale and a no-op at 100 TB. */
+  def spread(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cur = df.rdd.getNumPartitions
+    if (cur * 2 <= sc.defaultParallelism)
+      if (keys.isEmpty) df.repartition(sc.defaultParallelism)
+      else df.repartition(sc.defaultParallelism, keys: _*)
+    else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

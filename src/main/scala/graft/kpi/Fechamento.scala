@@ -103,36 +103,44 @@ object Fechamento {
       col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(custFarmer), col("o_custkey") === col("c_custkey"))
 
-    val pos = liFarmer.groupBy(col("farmer_key").as("farmer_id"))
-      .agg(expr(Frag.sumMoney(m)).as("pos_receita"),
-        expr(Frag.sumMoney(s"$m * ($w)")).as("pos_comissao"))
-
-    val coe = orderFarmer.filter(col("o_orderstatus") === "F")
-      .groupBy(col("farmer_key").as("farmer_id"))
-      .agg(expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare}")).as("coe_receita"),
-        expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")).as("coe_comissao"))
-
-    val op = orderFarmer.filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderstatus") =!= "P")
-      .groupBy(col("farmer_key").as("farmer_id"))
-      .agg(expr(Frag.sumMoney(s"$tp * ${Rates.OpShare}")).as("op_receita"),
-        expr(Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")).as("op_comissao"))
-
     // J10 — the month's snapshot date, computed once and broadcast.
     val ultima = li.agg(max(to_date(col("l_shipdate"))).as("data_positivador"))
 
-    val snapDay = liFarmer.join(broadcast(ultima),
-      to_date(col("l_shipdate")) === col("data_positivador"))
-    val capt = snapDay.groupBy(col("farmer_key").as("farmer_id"))
-      .agg(expr(Frag.sumMoney(s"$m * (1 - ${Frag.rate("l_discount")})")).as("captacao_raw"))
-    val churn = snapDay.groupBy(col("farmer_key").as("farmer_id"))
-      .agg(expr(Frag.sumMoney(
-        s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} ELSE 0 END"))
-        .as("churn_raw"))
+    // OPTIMIZATION r14 (guide §2.3/§2.4): pos + capt + churn were three
+    // separate aggregates over liFarmer (capt/churn behind a snapshot-day
+    // join), so the lineitem fact and its orders join ran 3×.  All three
+    // key on farmer_id, so ONE conditional aggregate computes them in a
+    // single fact pass: the snapshot-day membership becomes a CASE
+    // predicate against the broadcast 1-row ultima.  SUM over an
+    // all-NULL CASE is NULL, exactly matching the missing-row-then-
+    // LEFT-JOIN NULL of the old shape (every consumer COALESCEs), so the
+    // output is identical — proven by the unchanged oracle hash.
+    val isSnap = "to_date(l_shipdate) = data_positivador"
+    val liAgg = liFarmer.crossJoin(broadcast(ultima))
+      .groupBy(col("farmer_key").as("farmer_id"))
+      .agg(expr(Frag.sumMoney(m)).as("pos_receita"),
+        expr(Frag.sumMoney(s"$m * ($w)")).as("pos_comissao"),
+        expr(Frag.sumMoney(s"CASE WHEN $isSnap THEN " +
+          s"$m * (1 - ${Frag.rate("l_discount")}) END")).as("captacao_raw"),
+        expr(Frag.sumMoney(s"CASE WHEN $isSnap THEN " +
+          s"(CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} " +
+          "ELSE 0 END) END")).as("churn_raw"))
 
-    // A8 — responsibility period bounds within the month.
-    val periods = orderFarmer.groupBy(col("farmer_key").as("farmer_id"))
-      .agg(min(to_date(col("o_orderdate"))).as("periodo_inicio"),
+    // Same fold for the orders side: coe + op + periods all key on
+    // farmer_id — one conditional aggregate, one orders pass instead of 3.
+    val coeCond = "o_orderstatus = 'F'"
+    val opCond = "o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'"
+    val ordAgg = orderFarmer.groupBy(col("farmer_key").as("farmer_id"))
+      .agg(
+        expr(Frag.sumMoney(s"CASE WHEN $coeCond THEN " +
+          s"$tp * ${Rates.CoeShare} END")).as("coe_receita"),
+        expr(Frag.sumMoney(s"CASE WHEN $coeCond THEN " +
+          s"$tp * ${Rates.CoeShare} * ${Rates.Coe} END")).as("coe_comissao"),
+        expr(Frag.sumMoney(s"CASE WHEN $opCond THEN " +
+          s"$tp * ${Rates.OpShare} END")).as("op_receita"),
+        expr(Frag.sumMoney(s"CASE WHEN $opCond THEN " +
+          s"$tp * ${Rates.OpShare} * ${Rates.Coe} END")).as("op_comissao"),
+        min(to_date(col("o_orderdate"))).as("periodo_inicio"),
         max(to_date(col("o_orderdate"))).as("periodo_fim_raw"))
 
     // Compensation analog (J4 — compound join on farmer AND month).
@@ -150,12 +158,8 @@ object Fechamento {
       .filter(col("hierarchy_level").isin("junior", "pleno")) // F4
 
     val assembled = employees
-      .join(broadcast(pos), Seq("farmer_id"), "left") // J3 chain
-      .join(broadcast(coe), Seq("farmer_id"), "left")
-      .join(broadcast(op), Seq("farmer_id"), "left")
-      .join(broadcast(capt), Seq("farmer_id"), "left")
-      .join(broadcast(churn), Seq("farmer_id"), "left")
-      .join(broadcast(periods), Seq("farmer_id"), "left")
+      .join(broadcast(liAgg), Seq("farmer_id"), "left") // J3 chain
+      .join(broadcast(ordAgg), Seq("farmer_id"), "left")
       .join(broadcast(comp.withColumnRenamed("farmer_id", "comp_farmer_id")),
         col("farmer_id") === col("comp_farmer_id") &&
           col("target_date") === monthCol, "left") // J4 compound condition
@@ -231,31 +235,48 @@ object Fechamento {
         .agg(expr(aggs.head._2).as(aggs.head._1),
           aggs.tail.map { case (n, e) => expr(e).as(n) }: _*)
 
-    val pos = perFarmer(liFarmer, Seq(
-      "pos_receita" -> Frag.sumMoney(m),
-      "pos_comissao" -> Frag.sumMoney(s"$m * ($w)")))
-    val coe = perFarmer(ordFarmer.filter(col("o_orderstatus") === "F"), Seq(
-      "coe_receita" -> Frag.sumMoney(s"$tp * ${Rates.CoeShare}"),
-      "coe_comissao" -> Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")))
-    val op = perFarmer(ordFarmer.filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderstatus") =!= "P"), Seq(
-      "op_receita" -> Frag.sumMoney(s"$tp * ${Rates.OpShare}"),
-      "op_comissao" -> Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")))
-
     val ultima = liFarmer.groupBy(col("mes"))
       .agg(max(to_date(col("l_shipdate"))).as("data_positivador"))
-    // Join on the snapshot DATE alone: a snapshot date uniquely determines
-    // its month, so adding a mes equality would be redundant (and, since
-    // ultima derives from liFarmer, self-join-ambiguous).
-    val snapDay = liFarmer.join(broadcast(ultima.drop("mes")),
-      to_date(col("l_shipdate")) === col("data_positivador"))
-    val capt = perFarmer(snapDay, Seq(
-      "captacao_raw" -> Frag.sumMoney(s"$m * (1 - ${Frag.rate("l_discount")})")))
-    val churn = perFarmer(snapDay, Seq(
-      "churn_raw" -> Frag.sumMoney(
-        s"CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} ELSE 0 END")))
-    val periods = ordFarmer.groupBy(col("mes"), col("farmer_key").as("farmer_id"))
-      .agg(min(to_date(col("o_orderdate"))).as("periodo_inicio"),
+
+    // OPTIMIZATION r14 (guide §2.3/§2.4): pos/capt/churn and coe/op/
+    // periods were six separate aggregates, so each fact table (and the
+    // lineitem-orders join) ran several times per query.  Everything
+    // keys on (mes, farmer_id), so one conditional aggregate per fact
+    // side computes all components in a single pass — the snapshot-day
+    // membership joins the per-month ultima (aliased to a fresh key so
+    // the self-derived join cannot be ambiguous) and becomes a CASE
+    // predicate.  SUM over an all-NULL CASE is NULL = the old
+    // missing-row-then-LEFT-JOIN NULL; consumers COALESCE, so the
+    // output is identical (oracle hash unchanged, BENCH/check gates).
+    val snapKeyed = ultima
+      .select(col("mes").as("snap_mes"), col("data_positivador"))
+    val isSnap = "to_date(l_shipdate) = data_positivador"
+    val liAgg = perFarmer(
+      liFarmer
+        .join(broadcast(snapKeyed), col("mes") === col("snap_mes"), "left")
+        .drop("snap_mes"),
+      Seq(
+        "pos_receita" -> Frag.sumMoney(m),
+        "pos_comissao" -> Frag.sumMoney(s"$m * ($w)"),
+        "captacao_raw" -> Frag.sumMoney(s"CASE WHEN $isSnap THEN " +
+          s"$m * (1 - ${Frag.rate("l_discount")}) END"),
+        "churn_raw" -> Frag.sumMoney(s"CASE WHEN $isSnap THEN " +
+          s"(CASE WHEN l_returnflag = 'R' THEN ${Frag.money("l_quantity")} " +
+          "ELSE 0 END) END")))
+    val coeCond = "o_orderstatus = 'F'"
+    val opCond = "o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'"
+    val ordAgg = ordFarmer
+      .groupBy(col("mes"), col("farmer_key").as("farmer_id"))
+      .agg(
+        expr(Frag.sumMoney(s"CASE WHEN $coeCond THEN " +
+          s"$tp * ${Rates.CoeShare} END")).as("coe_receita"),
+        expr(Frag.sumMoney(s"CASE WHEN $coeCond THEN " +
+          s"$tp * ${Rates.CoeShare} * ${Rates.Coe} END")).as("coe_comissao"),
+        expr(Frag.sumMoney(s"CASE WHEN $opCond THEN " +
+          s"$tp * ${Rates.OpShare} END")).as("op_receita"),
+        expr(Frag.sumMoney(s"CASE WHEN $opCond THEN " +
+          s"$tp * ${Rates.OpShare} * ${Rates.Coe} END")).as("op_comissao"),
+        min(to_date(col("o_orderdate"))).as("periodo_inicio"),
         max(to_date(col("o_orderdate"))).as("periodo_fim_raw"))
 
     val comp = Sources.supplier(spark, dir)
@@ -277,15 +298,14 @@ object Fechamento {
       .crossJoin(broadcast(monthsDf))
 
     val assembled = employees
-      .join(broadcast(pos), Seq("mes", "farmer_id"), "left")
-      .join(broadcast(coe), Seq("mes", "farmer_id"), "left")
-      .join(broadcast(op), Seq("mes", "farmer_id"), "left")
-      .join(broadcast(capt), Seq("mes", "farmer_id"), "left")
-      .join(broadcast(churn), Seq("mes", "farmer_id"), "left")
-      .join(broadcast(periods), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(liAgg), Seq("mes", "farmer_id"), "left")
+      .join(broadcast(ordAgg), Seq("mes", "farmer_id"), "left")
       .join(broadcast(comp), col("farmer_id") === col("comp_farmer_id"), "left")
       .drop("comp_farmer_id")
-      .join(broadcast(ultima), Seq("mes"), "left")
+      // Same broadcast subplan as liAgg's snapKeyed join, so Spark's
+      // ReuseExchange computes the per-month snapshot dates ONCE.
+      .join(broadcast(snapKeyed), col("mes") === col("snap_mes"), "left")
+      .drop("snap_mes")
 
     val totals = totalCols.foldLeft(assembled) { case (df, (n, e)) =>
       df.withColumn(n, expr(e))

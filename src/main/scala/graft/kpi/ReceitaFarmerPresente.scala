@@ -60,22 +60,30 @@ object ReceitaFarmerPresente {
         col("o_orderdate") < cfg.nextMonthCol)
     val tp = Frag.money("o_totalprice")
 
-    val coe = ord.filter(col("o_orderstatus") === "F") // F4 'Liquidada' analog
+    // OPTIMIZATION r14 (guide §2.3/§2.4): coe + op were two separate
+    // filtered aggregates over the same month-scoped orders scan; both
+    // key on mes, so one conditional aggregate computes all four sums in
+    // a single orders pass.  A month with orders but no 'F' (or no
+    // urgent) rows gets NULL sums — identical to the old
+    // missing-row-then-LEFT-JOIN NULL (the projection COALESCEs), so the
+    // output is unchanged (oracle hash gate).
+    val coeCond = "o_orderstatus = 'F'" // F4 'Liquidada' analog
+    val opCond = // F4 '!= Cancelado' analog
+      "o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'"
+    val ordAgg = ord
       .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
       .agg(
-        expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare}")).as("coe_receita"),
-        expr(Frag.sumMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")).as("coe_comissao"))
-
-    val op = ord.filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderstatus") =!= "P") // F4 '!= Cancelado' analog
-      .groupBy(expr(Frag.mes("o_orderdate")).as("mes"))
-      .agg(
-        expr(Frag.sumMoney(s"$tp * ${Rates.OpShare}")).as("op_receita"),
-        expr(Frag.sumMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")).as("op_comissao"))
+        expr(Frag.sumMoney(s"CASE WHEN $coeCond THEN " +
+          s"$tp * ${Rates.CoeShare} END")).as("coe_receita"),
+        expr(Frag.sumMoney(s"CASE WHEN $coeCond THEN " +
+          s"$tp * ${Rates.CoeShare} * ${Rates.Coe} END")).as("coe_comissao"),
+        expr(Frag.sumMoney(s"CASE WHEN $opCond THEN " +
+          s"$tp * ${Rates.OpShare} END")).as("op_receita"),
+        expr(Frag.sumMoney(s"CASE WHEN $opCond THEN " +
+          s"$tp * ${Rates.OpShare} * ${Rates.Coe} END")).as("op_comissao"))
 
     main
-      .join(broadcast(coe), Seq("mes"), "left") // J2
-      .join(broadcast(op), Seq("mes"), "left")
+      .join(broadcast(ordAgg), Seq("mes"), "left") // J2
       .select(
         col("mes"),
         date_format(col("mes"), "MM/yyyy").as("mes_formatado"),

@@ -94,8 +94,13 @@ object Clustering {
   private[graft] def assignments(spark: SparkSession, dir: String,
       k: Int = DefaultK, iters: Int = DefaultIters): DataFrame = {
     graft.functions.SquaredL2.register(spark)
+    // r14: the quantized frame feeds every iteration's assignment AND
+    // centroid update (2 references × iters) — persist it once so the
+    // embeddings scan + quantize transform runs once, not O(iters)
+    // times (cache lifecycle caller-owned; Bench/Verify clearCache).
     val q = Sources.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantSpark).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     var assigned: DataFrame = null

@@ -110,8 +110,8 @@ object Dedup {
     // dominant cost, so spread it across cores (a small parquet file arrives
     // as ONE partition) and materialize it once.  At 100 TB the signatures
     // would be a persisted intermediate table instead.
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = Sources.spread( // r14: no-op when the scan is already wide
+      Sources.documents(spark, dir), col("doc_id"))
     // Cache lifecycle is caller-owned: the returned plan references this
     // cached frame lazily, so it cannot be unpersisted here.  Verify/Bench
     // clearCache() after materializing each query.
@@ -154,8 +154,8 @@ object Dedup {
   def minhashIncremental(spark: SparkSession, dir: String,
       newSource: String = "src7", minEstJaccard: Double = 0.2): DataFrame = {
     graft.functions.MinHashSignature.register(spark)
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = Sources.spread( // r14: no-op when the scan is already wide
+      Sources.documents(spark, dir), col("doc_id"))
     val sigs = docs.select(col("doc_id"), col("source"),
         expr("minhash_signature(split(text, ' '))").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -445,8 +445,8 @@ object Dedup {
       configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)))
       : DataFrame = {
     require(configs.forall { case (b, r) => b * r <= NumHashes })
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = Sources.spread( // r14: no-op when the scan is already wide
+      Sources.documents(spark, dir), col("doc_id"))
     val sigs = minhashSignatures(docs).select("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     configs.map { case (b, r) =>
@@ -549,11 +549,15 @@ object Dedup {
           col("cluster_id").as("nb")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("nb")).as("nb_min"))
         .withColumnRenamed("doc_a", "doc_id")
+      // r14: LAZY checkpoint — the convergence count below is the action
+      // that materializes it, so each round runs ONE job instead of two
+      // (eager checkpoint + count).  Lineage is still truncated once the
+      // blocks land; same labels, same rounds (evaluation strategy only).
       val next = labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.join(
           labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
@@ -788,10 +792,12 @@ object Dedup {
     // pattern; cache lifecycle is caller-owned, see there).
     // WordNgramShinglesSpec proves kernel ≡ declarative form exactly.
     graft.functions.WordNgramShingles.register(spark)
-    val docs = Sources.documents(spark, dir)
+    // r14: spread the RAW rows first (no-op when the scan is already
+    // wide), THEN compute the shingle kernel — so the expensive HOF runs
+    // on every core instead of inside the single-task scan stage.
+    val docs = Sources.spread(Sources.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         expr(s"ngram_shingles(text, $n)").as("toks"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The prefix-filter stages carry 8-byte xxhash64 shingle hashes, never
     // the shingle strings (which for n-grams average tens of bytes × three
@@ -1392,10 +1398,11 @@ object Dedup {
       minContainment: Double = 0.3, n: Int = 3): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.WordNgramShingles.register(spark)
-    val docs = Sources.documents(spark, dir)
+    // r14: spread the raw rows first, then the shingle kernel (see
+    // ngramJaccardCandidates).
+    val docs = Sources.spread(Sources.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         expr(s"ngram_shingles(text, $n)").as("toks"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 8-byte hashes through the filter stages, strings only in the exact
     // scorer — the ngramJaccard shuffle-width argument; collisions can

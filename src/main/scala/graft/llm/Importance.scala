@@ -50,19 +50,27 @@ object Importance {
 
   def dsirOf(docs: DataFrame, targetLang: String = TargetLang,
       k: Int = TopK): DataFrame = {
-    val perDoc = docs
+    // OPTIMIZATION r14 (guide §2.3/§2.4): perDoc was referenced four
+    // times (raw, target, totals, final scoring join) — four corpus
+    // explodes.  It is now spread (input-skew no-op at scale), persisted
+    // once, and the three bucket-level statistics fold into ONE
+    // aggregate: raw LEFT JOIN tgt + fill(0) ≡ a conditional sum with 0
+    // default, and the corpus totals re-aggregate the bucket sums
+    // exactly (integers).  Output identical (oracle hash gate).
+    val perDoc = graft.core.Sources.spread(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), col("lang"),
         expr(bucketSpark("word")).as("b"))
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("c"))
-    val raw = perDoc.groupBy("b").agg(sum(col("c")).as("cr"))
-    val tgt = perDoc.filter(col("lang") === targetLang)
-      .groupBy("b").agg(sum(col("c")).as("ct"))
-    val totals = perDoc.agg(sum(col("c")).as("n_raw"),
-      sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L)))
-        .as("n_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byBucket = perDoc.groupBy("b")
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L)))
+          .as("ct"))
+    val totals = byBucket.agg(sum(col("cr")).as("n_raw"),
+      sum(col("ct")).as("n_tgt"))
     // Two SPLIT double ratios instead of one BIGINT num/den pair:
     // (ct+1)*(n_raw+B) overflows BIGINT once corpus token counts reach
     // a few billion (n_tgt*n_raw ~ 2^63).  Each factor below stays
@@ -70,8 +78,7 @@ object Importance {
     // evaluated in a FIXED order, which both engines reproduce
     // bit-for-bit, so the hash gate still holds — and nothing can
     // overflow below 2^63 TOTAL corpus tokens (≫ 100 TB of text).
-    val rates = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
+    val rates = byBucket
       .crossJoin(broadcast(totals))
       .select(col("b"),
         (expr("CAST(ct + 1 AS DOUBLE)") / expr("CAST(cr + 1 AS DOUBLE)"))

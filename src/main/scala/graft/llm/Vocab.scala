@@ -216,7 +216,10 @@ object Vocab {
     * documents carry no bigram and drop by construction. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.WordNgramShingles.register(spark)
-    val pairs = Sources.documents(spark, dir)
+    // r14: spread the raw rows first (input-skew no-op at scale) so the
+    // bigram shingle kernel runs on every core, not inside the
+    // single-task scan stage.
+    val pairs = Sources.spread(Sources.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
       .filter(expr("size(split(bigram, ' ')) = 2"))
@@ -288,7 +291,10 @@ object Vocab {
       k: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.WordNgramShingles.register(spark)
-    val pairs = Sources.documents(spark, dir)
+    // r14: spread the raw rows first (input-skew no-op at scale) so the
+    // bigram shingle kernel runs on every core, not inside the
+    // single-task scan stage.
+    val pairs = Sources.spread(Sources.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         explode(expr("ngram_shingles(text, 2, false)")).as("bigram"))
       .filter(expr("size(split(bigram, ' ')) = 2"))
@@ -487,6 +493,19 @@ object Vocab {
     * the SAME merges as excluding them (the merge-table path). */
   private def bpeTrain(vocab0: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // OPTIMIZATION r14 (guide §1.2 "distributed algorithm first", §5
+    // lineage): the corpus-sized word-frequency aggregate is
+    // materialized ONCE up front (eager localCheckpoint) — previously
+    // the maxSyms guard, the round-1 pair count, AND the round-1
+    // checkpoint each re-ran the corpus explode+aggregate (3 corpus
+    // scans; at 100 TB that is the whole cost of training).  Every
+    // round's rewrite then checkpoints LAZILY: the materialization rides
+    // the next round's pair-count job instead of paying a separate eager
+    // job per round, and the final round's rewrite is never computed at
+    // all on the merges-only path (its checkpoint is simply never
+    // touched).  Same merges, same frame contents — evaluation strategy
+    // only.
+    var words = vocab0.localCheckpoint()
     // The 5-pass replace reaches its fixpoint only for words under 64
     // symbols (each left-to-right pass merges at least every other
     // occurrence of a self-overlapping run, so passes needed grows as
@@ -494,7 +513,7 @@ object Vocab {
     // tokenization that is merely identically-wrong in the oracle — so
     // the bound is enforced, not assumed.  Merging only ever shrinks a
     // word's symbol count, so checking vocab0 once covers every round.
-    val maxSyms = vocab0
+    val maxSyms = words
       .select(size(expr("filter(split(s, '·'), t -> t <> '')")).as("n"))
       .agg(max(col("n")).as("m")).collect()(0)
     val maxN = if (maxSyms.isNullAt(0)) 0 else maxSyms.getInt(0)
@@ -502,7 +521,6 @@ object Vocab {
       s"bpeTrain: longest word has $maxN symbols; the 5-pass merge is " +
         "only a fixpoint for words under 64 symbols — pre-split longer " +
         "words (or raise the pass count in BOTH engines) before training")
-    var words = vocab0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -527,10 +545,14 @@ object Vocab {
         val pat = s"·${l}·${r}·"; val rep = s"·${l}${r}·"
         val applied = (1 to 5).foldLeft(col("s"))((c, _) =>
           call_function("replace", c, lit(pat), lit(rep)))
-        // localCheckpoint per round: the lineage would otherwise grow
-        // 5 replace nodes per round and re-run every prior round's
-        // rewrite on each pair count.
-        words = words.withColumn("s", applied).localCheckpoint()
+        // Lazy localCheckpoint per round: the lineage would otherwise
+        // grow 5 replace nodes per round and re-run every prior round's
+        // rewrite on each pair count; lazy (eager = false) folds the
+        // materialization into the NEXT round's pair-count job instead
+        // of paying a dedicated job here (r14: halves the per-round job
+        // count, and the merges-only path never computes the final
+        // rewrite).
+        words = words.withColumn("s", applied).localCheckpoint(false)
         round += 1
       }
     }

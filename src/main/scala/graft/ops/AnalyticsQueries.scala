@@ -14,10 +14,21 @@ object AnalyticsQueries {
 
   /** ROLLUP hierarchy totals (reference has no grouping sets at all). */
   def rollup(spark: SparkSession, dir: String): DataFrame =
+    // OPTIMIZATION r14 (guide §2.3 "aggregate before you shuffle"):
+    // ROLLUP plans as Expand×3 over every fact row — the scan stage
+    // replicated 600k rows (single-task at bench scale; 3× the shuffle
+    // bytes at any scale) before aggregating.  Pre-aggregating at the
+    // finest grain first makes Expand run over a handful of partial
+    // rows; decimal SUM and COUNT re-aggregate exactly (associative),
+    // ROUND still applied once at the end, so the output is
+    // bit-identical (oracle hash gate).
     Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr(s"SUM(${Frag.money("l_extendedprice")})").as("s"),
+        count(lit(1)).as("c"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(expr(Frag.sumMoney(Frag.money("l_extendedprice"))).as("receita"),
-        count(lit(1)).as("n"))
+      .agg(expr("CAST(ROUND(SUM(s), 2) AS DECIMAL(18,2))").as("receita"),
+        sum(col("c")).as("n"))
 
   val rollupOracle: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -28,7 +39,9 @@ object AnalyticsQueries {
 
   /** Exact COUNT(DISTINCT) per group. */
   def countDistinct(spark: SparkSession, dir: String): DataFrame =
-    Sources.lineitem(spark, dir)
+    // r14: spread — parallelizes the distinct Expand (see hllDistinct).
+    Sources.spread(Sources.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_partkey")))
       .groupBy(col("l_returnflag"))
       .agg(countDistinctCol.as("n_parts"), count(lit(1)).as("n_rows"))
 
@@ -86,7 +99,10 @@ object AnalyticsQueries {
     * Exact count alongside shows the ±1.04/√64 error band holds. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HllSketch.register(spark)
-    Sources.lineitem(spark, dir)
+    // r14: spread — the HLL register updates and the exact-distinct
+    // Expand otherwise run inside the single-task scan stage.
+    Sources.spread(Sources.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_partkey")))
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("hll_distinct(CAST(l_partkey AS BIGINT))"), 4)
@@ -278,16 +294,23 @@ object AnalyticsQueries {
     * `grouping(col)` disambiguates a subtotal row's NULL from a genuine
     * NULL key — identical semantics in both engines. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Sources.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    // r14: pre-aggregate below Expand (see [[rollup]]) — the finest
+    // grouping set (l_returnflag, l_linestatus) is the pre-grain, so
+    // every set re-aggregates the partial sums exactly.
+    Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr(s"SUM(${Frag.money("l_extendedprice")})").as("s"),
+        count(lit(1)).as("c"))
+      .createOrReplaceTempView("lineitem_gs_pre")
     spark.sql(
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
-         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
-         |  ${Frag.sumMoney(Frag.money("l_extendedprice"))} AS receita,
-         |  COUNT(*) AS n
-         |FROM lineitem_gs
-         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-         |                        (l_returnflag), (l_linestatus))""".stripMargin)
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  CAST(ROUND(SUM(s), 2) AS DECIMAL(18,2)) AS receita,
+        |  SUM(c) AS n
+        |FROM lineitem_gs_pre
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))""".stripMargin)
   }
 
   val groupingSetsOracle: String =
@@ -567,11 +590,16 @@ object AnalyticsQueries {
     * aggregate (map-side partials per grouping id), not by re-scanning per
     * subtotal. */
   def cube(spark: SparkSession, dir: String): DataFrame =
+    // r14: pre-aggregate below Expand (see [[rollup]]) — CUBE×4 then
+    // multiplies partial rows, not fact rows; exact re-aggregation.
     Sources.orders(spark, dir)
-      .cube(col("o_orderpriority"),
+      .groupBy(col("o_orderpriority"),
         year(col("o_orderdate")).cast("int").as("ano"))
-      .agg(expr(Frag.sumMoney(Frag.money("o_totalprice"))).as("receita"),
-        count(lit(1)).as("n"))
+      .agg(expr(s"SUM(${Frag.money("o_totalprice")})").as("s"),
+        count(lit(1)).as("c"))
+      .cube(col("o_orderpriority"), col("ano"))
+      .agg(expr("CAST(ROUND(SUM(s), 2) AS DECIMAL(18,2))").as("receita"),
+        sum(col("c")).as("n"))
 
   val cubeOracle: String =
     s"""SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INT) AS ano,
@@ -879,10 +907,16 @@ object AnalyticsQueries {
     graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "outliersSketch")
-    val cents = Sources.lineitem(spark, dir)
+    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
+    // rows so the per-row sketch inserts run on every core instead of
+    // inside the single-task scan stage; no-op at production scan
+    // widths.  Both consumers share one identical exchange subtree, so
+    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
+    // boundaries are order-insensitive — output unchanged (oracle gate).
+    val cents = Sources.spread(Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents"))
+          .as("cents")))
     val fences = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch_multi(cents, array(0.25D, 0.75D), $c)").as("qs"))
       .select(col("l_returnflag"),
@@ -923,10 +957,16 @@ object AnalyticsQueries {
     graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "trimmedMean")
-    val cents = Sources.lineitem(spark, dir)
+    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
+    // rows so the per-row sketch inserts run on every core instead of
+    // inside the single-task scan stage; no-op at production scan
+    // widths.  Both consumers share one identical exchange subtree, so
+    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
+    // boundaries are order-insensitive — output unchanged (oracle gate).
+    val cents = Sources.spread(Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents"))
+          .as("cents")))
     val fences = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch_multi(cents, array(0.1D, 0.9D), $c)").as("qs"))
       .select(col("l_returnflag"),
@@ -1267,9 +1307,11 @@ object AnalyticsQueries {
     Scaffold.exactTwin("histogramEqDepth", "q_an_histogram_eqdepth_sketch")
     graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
-    val cents = Sources.lineitem(spark, dir)
+    // r14: spread (see madSketch) — parallel sketch inserts, reused
+    // exchange under both the boundary agg and the bucketing pass.
+    val cents = Sources.spread(Sources.lineitem(spark, dir)
       .select(expr("money_cents(l_extendedprice)")
-        .as("cents"))
+        .as("cents")))
     val w = Window.orderBy(col("cents"))
     val ranked = cents
       .withColumn("rn", row_number().over(w))
@@ -1312,9 +1354,11 @@ object AnalyticsQueries {
     // rule sizes against the table count (parquet-metadata cheap).
     val c = sketchCapFor(Sources.lineitem(spark, dir).count(), cap,
       "histogramEqDepthSketch")
-    val cents = Sources.lineitem(spark, dir)
+    // r14: spread (see madSketch) — parallel sketch inserts, reused
+    // exchange under both the boundary agg and the bucketing pass.
+    val cents = Sources.spread(Sources.lineitem(spark, dir)
       .select(expr("money_cents(l_extendedprice)")
-        .as("cents"))
+        .as("cents")))
     val bs = (1 until buckets)
     // ONE q_sketch_multi aggregate buffers the table once for all B−1
     // boundaries (r6 verdict #4: seven independent q_sketch aggregates
@@ -1364,10 +1408,16 @@ object AnalyticsQueries {
     Scaffold.exactTwin("mad", "q_an_mad_sketch")
     graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
-    val cents = Sources.lineitem(spark, dir)
+    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
+    // rows so the per-row sketch inserts run on every core instead of
+    // inside the single-task scan stage; no-op at production scan
+    // widths.  Both consumers share one identical exchange subtree, so
+    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
+    // boundaries are order-insensitive — output unchanged (oracle gate).
+    val cents = Sources.spread(Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents"))
+          .as("cents")))
     def medianOf(df: DataFrame, valCol: String, alias: String) = {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
       df.withColumn("rn", row_number().over(w))
@@ -1398,10 +1448,16 @@ object AnalyticsQueries {
     graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "madSketch")
-    val cents = Sources.lineitem(spark, dir)
+    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
+    // rows so the per-row sketch inserts run on every core instead of
+    // inside the single-task scan stage; no-op at production scan
+    // widths.  Both consumers share one identical exchange subtree, so
+    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
+    // boundaries are order-insensitive — output unchanged (oracle gate).
+    val cents = Sources.spread(Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents"))
+          .as("cents")))
     val med = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch(cents, 0.5D, $c)").as("median_cents"))
     cents.join(broadcast(med), Seq("l_returnflag"))

@@ -46,40 +46,57 @@ object Basket {
     * baskets.  Repeated lines of one part in one basket count once. */
   private[graft] def pairAffinityOf(lines: DataFrame,
       minSupport: Long): DataFrame = {
-    val baskets = lines.distinct()
+    // OPTIMIZATION r14 (guide §2.3/§2.4): the old shape materialized the
+    // distinct (okey, pk) lines and SELF-JOINED them on okey — the basket
+    // lines crossed the network three times (distinct + both join sides)
+    // before the Σ basket_size² pair rows even existed.  Baskets are
+    // small (TPC-H ≤ 7 lines, real carts tens), so the pairs are better
+    // generated IN-ROW: one exchange collects each basket's distinct
+    // sorted part array (collect_set dedups repeated lines, map-side
+    // partials), and a codegen'd nested-transform HOF emits exactly the
+    // a < b pairs the self-join produced.  The self-join and the distinct
+    // exchange are gone; the pair aggregate is unchanged.  Output
+    // identical by construction (same pair set per basket; oracle hash
+    // gate + BasketSpec).
+    val sets = lines
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partOrders = baskets.groupBy("pk")
+    val partOrders = sets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk")
       .agg(count(lit(1)).cast("bigint").as("n"))
     // Classical a-priori prune (r12 verdict #3): a part in fewer than
     // minSupport baskets cannot appear in ANY pair with
-    // support >= minSupport, so both self-join inputs drop its lines
+    // support >= minSupport, so the basket arrays drop its entries
     // BEFORE pair generation — identical output by construction, smaller
     // pair exchange whenever the part popularity distribution has a
     // sub-minSupport tail.  CONDITIONAL: one cheap driver-side probe
-    // over the persisted baskets (it doubles as the persist
-    // materializer) decides whether a tail exists at all — on
-    // distributions where every part is frequent (TPC-H at
-    // minSupport=2: ~30 baskets/part) the semi-join would prune nothing
-    // and only pay its broadcast + two extra stages (measured +2.0 s at
-    // sf0.1), so it is skipped and the plan is the bare self-join.
-    // Broadcast semi-join when it does engage: the frequent-part id set
-    // is dimension-sized next to the basket lines (and shrinks as
-    // minSupport grows), so the prune adds no basket-side shuffle.
+    // over the persisted sets (it doubles as the persist materializer)
+    // decides whether a tail exists at all — on distributions where
+    // every part is frequent (TPC-H at minSupport=2: ~30 baskets/part)
+    // the prune would drop nothing and only pay its extra stages, so it
+    // is skipped and the plan is the bare in-row expansion.
     val tailExists =
       !partOrders.where(col("n") < minSupport).limit(1).isEmpty
     val pruned =
-      if (!tailExists) baskets
-      else baskets.join(
-        broadcast(partOrders.where(col("n") >= minSupport).select(col("pk"))),
-        Seq("pk"), "left_semi")
-    val pairs = pruned.select(col("okey"), col("pk").as("part_a"))
-      .join(pruned.select(col("okey"), col("pk").as("part_b")), "okey")
-      .where(col("part_a") < col("part_b"))
+      if (!tailExists) sets
+      else sets.select(col("okey"), explode(col("pks")).as("pk"))
+        .join(
+          broadcast(partOrders.where(col("n") >= minSupport).select(col("pk"))),
+          Seq("pk"), "left_semi")
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(col("pk"))).as("pks"))
+    val pairs = pruned
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(slice(pks, i + 2, size(pks)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
-    val totalOrders = baskets.agg(
-      count_distinct(col("okey")).as("n_orders"))
+    val totalOrders = sets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(partOrders.select(col("pk").as("part_a"), col("n").as("n_a")),
         "part_a")

@@ -155,6 +155,10 @@ object Graph {
     */
   def bfsHops(spark: SparkSession, dir: String, source: Int = 0,
       iters: Int = 6): DataFrame = {
+    // r14 (guide §2.4): the edge aggregation is referenced twice (the
+    // mean-weight bounds AND the strong filter) — without an eager
+    // checkpoint the 4-table fact join ran twice.  Materialize the
+    // ≤ nations² edge table once; everything downstream reads it.
     val e = Sources.lineitem(spark, dir)
       .join(Sources.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
@@ -165,6 +169,7 @@ object Graph {
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val bounds = e.agg(sum("w").cast("bigint").as("tot"),
       count(lit(1)).as("cnt"))
     val strong = e.crossJoin(broadcast(bounds))

@@ -68,29 +68,35 @@ object Responsibility {
   def periodsFrom(base: DataFrame, tr: DataFrame): DataFrame = {
 
     // W2: close each transfer period at the next transfer.
+    // OPTIMIZATION r14 (guide §2.4): the transfer table was consumed
+    // three times (LEAD window, MIN-date groupBy, anti-join), i.e. three
+    // scans/exchanges of the event log.  All three derivations hang off
+    // the same client_id ordering, so the ONE window pass now also tags
+    // each client's first transfer (row_number over the identical window
+    // spec — same exchange+sort, and the shuffle below both consumers is
+    // reused by canonical-plan identity), and the old-manager and
+    // never-transferred periods collapse into one LEFT join: a client
+    // with no transfers gets first_date NULL, which IS the open-ended
+    // end_date the anti-join branch produced.  Output rows identical
+    // (U1 union unchanged; oracle hash gate).
     val w = Window.partitionBy("client_id").orderBy("transfer_date", "transfer_id")
-    val newPeriods = tr
+    val trw = tr
       .withColumn("end_date", lead(col("transfer_date"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val newPeriods = trw
       .select(col("client_id"), col("new_farmer_id").as("farmer_id"),
         col("transfer_date").as("start_date"), col("end_date"))
 
-    // W3 analog: the original manager's period runs from creation to the
-    // first transfer.
-    val firstTr = tr.groupBy("client_id")
-      .agg(min(col("transfer_date")).as("first_date"))
-    val oldPeriods = base.join(firstTr, "client_id")
+    // W3 analog + J5 folded: creation-to-first-transfer period, open-ended
+    // (NULL end) exactly when the client never transferred.
+    val firstTr = trw.filter(col("rn") === 1)
+      .select(col("client_id"), col("transfer_date").as("first_date"))
+    val basePeriods = base.join(firstTr, Seq("client_id"), "left")
       .select(col("client_id"), col("base_farmer_id").as("farmer_id"),
         to_date(lit(CreationDate)).as("start_date"),
         col("first_date").as("end_date"))
 
-    // J5: never-transferred clients get one open-ended period.
-    val never = base
-      .join(tr.select("client_id"), Seq("client_id"), "left_anti")
-      .select(col("client_id"), col("base_farmer_id").as("farmer_id"),
-        to_date(lit(CreationDate)).as("start_date"),
-        lit(null).cast("date").as("end_date"))
-
-    newPeriods.unionByName(oldPeriods).unionByName(never) // U1
+    newPeriods.unionByName(basePeriods) // U1
   }
 
   /** J7 — keep fact rows covered by some responsibility period (optionally
