@@ -57,42 +57,52 @@ object ReceitaCliente {
         expr(Frag.asMoney(s"$m * (1 - ${Frag.rate("l_discount")})"))
           .as("net_capture"))
 
-    // Source 2 — COE detail ('Liquidada' analog: settled orders).
-    val coe = ord.filter(col("o_orderstatus") === "F")
-      .select(
-        to_date(col("o_orderdate")).as("data_operacao"),
-        lit("COE").as("tipo_operacao"),
-        col("o_custkey").as("client_id"),
-        expr(tp).as("valor_financeiro"),
-        expr(s"CAST(100 * ${Rates.CoeShare} AS DECIMAL(5,2))").as("percentual_comissao"),
-        expr(Frag.asMoney(s"$tp * ${Rates.CoeShare}")).as("receita_bruta"),
-        expr(Frag.asMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe}")).as("comissao_bruta"),
-        expr(Frag.asMoney(s"$tp * ${Rates.CoeShare} * ${Rates.Coe} * ${Rates.Net}"))
-          .as("comissao_liquida"),
-        col("o_orderstatus").as("status"),
-        nullMoney.as("churn"), nullMoney.as("patrimony"), nullMoney.as("net_capture"))
-
-    // Source 3 — structured-ops detail ('!= Cancelado' analog).
-    val opEst = ord.filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderstatus") =!= "P")
-      .select(
-        to_date(col("o_orderdate")).as("data_operacao"),
-        lit("OperacaoEstruturada").as("tipo_operacao"),
-        col("o_custkey").as("client_id"),
-        expr(tp).as("valor_financeiro"),
-        expr(s"CAST(100 * ${Rates.OpShare} AS DECIMAL(5,2))").as("percentual_comissao"),
-        expr(Frag.asMoney(s"$tp * ${Rates.OpShare}")).as("receita_bruta"),
-        expr(Frag.asMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe}")).as("comissao_bruta"),
-        expr(Frag.asMoney(s"$tp * ${Rates.OpShare} * ${Rates.Coe} * ${Rates.Net}"))
-          .as("comissao_liquida"),
-        col("o_orderstatus").as("status"),
-        nullMoney.as("churn"), nullMoney.as("patrimony"), nullMoney.as("net_capture"))
+    // Source 2 + 3 — COE and structured-ops detail rows.
+    // OPTIMIZATION r14 (guide §2.3/§2.4): the two branches were separate
+    // filtered projections of the SAME orders scan UNIONed together —
+    // two fact passes.  One scan now emits both streams: each row builds
+    // an array of its (at most two) matching branch structs and explodes
+    // it — identical rows (an order matching both predicates still
+    // yields both detail rows), one orders pass.  The date-window filter
+    // is applied to the scan BEFORE the explode (both branches derive
+    // data_operacao from o_orderdate identically), so predicate pushdown
+    // to parquet survives the generator.  Oracle unchanged (hash gate).
+    val coeCond = "o_orderstatus = 'F'"
+    val opCond = "o_orderpriority = '1-URGENT' AND o_orderstatus <> 'P'"
+    def branchStruct(tipo: String, pctExpr: String, share: String) =
+      s"""struct(
+         |  CAST(o_orderdate AS DATE) AS data_operacao,
+         |  '$tipo' AS tipo_operacao,
+         |  o_custkey AS client_id,
+         |  $tp AS valor_financeiro,
+         |  $pctExpr AS percentual_comissao,
+         |  ${Frag.asMoney(s"$tp * $share")} AS receita_bruta,
+         |  ${Frag.asMoney(s"$tp * $share * ${Rates.Coe}")} AS comissao_bruta,
+         |  ${Frag.asMoney(s"$tp * $share * ${Rates.Coe} * ${Rates.Net}")}
+         |    AS comissao_liquida,
+         |  o_orderstatus AS status,
+         |  CAST(NULL AS DECIMAL(18,2)) AS churn,
+         |  CAST(NULL AS DECIMAL(18,2)) AS patrimony,
+         |  CAST(NULL AS DECIMAL(18,2)) AS net_capture)""".stripMargin
+    val coeOp = ord
+      .filter(expr(s"($coeCond) OR ($opCond)"))
+      .filter(to_date(col("o_orderdate"))
+        .between(cfg.windowStartCol, cfg.runDateCol))
+      .select(explode(expr(
+        s"""array(
+           |  CASE WHEN $coeCond THEN ${branchStruct("COE",
+                s"CAST(100 * ${Rates.CoeShare} AS DECIMAL(5,2))", Rates.CoeShare)} END,
+           |  CASE WHEN $opCond THEN ${branchStruct("OperacaoEstruturada",
+                s"CAST(100 * ${Rates.OpShare} AS DECIMAL(5,2))", Rates.OpShare)} END)"""
+          .stripMargin)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
 
     val cust = Sources.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val nat = Sources.nation(spark, dir).select("n_nationkey", "n_name")
 
-    positivador.unionByName(coe).unionByName(opEst) // U2
+    positivador.unionByName(coeOp) // U2 (coe+op emitted by one scan)
       .filter(col("data_operacao").between(cfg.windowStartCol, cfg.runDateCol)) // F5
       .join(broadcast(cust), col("client_id") === col("c_custkey")) // J1
       .join(broadcast(nat), col("c_nationkey").cast("int") === col("n_nationkey"))

@@ -392,20 +392,23 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("sv").as("cv"))
       var asg: DataFrame = null
       for (it <- 1 to iters) {
-        // r14: argmin folded as min(struct(dist, cid, sv)) — the
+        // r14: argmin folded as min(struct(dist, cid)) — the
         // [[graft.llm.Clustering]] kmeans aggregate shape (map-side
-        // partials, no per-iteration window sort of the n×codes rows).
-        // (dist, cid) is unique per vec_id, so the sv tail never
-        // participates in the comparison; distances are exact integers.
+        // partials over primitive structs; no per-iteration window sort
+        // of the n×codes rows).  A/B-probed at sf0.1 against the window
+        // form: aggregate+join-back 2.4 s vs window 3.4 s, and at scale
+        // the window is the melting exchange.  The subvector re-attaches
+        // by a vec_id equi-join against the cached slice frame only for
+        // the centroid update (never after the last iteration).
         asg = sv.crossJoin(broadcast(cb))
           .select(col("vec_id"),
-            struct(expr("vec_dist2(sv, cv)").as("dist"), col("cid"),
-              col("sv")).as("dc"))
+            struct(expr("vec_dist2(sv, cv)").as("dist"), col("cid")).as("dc"))
           .groupBy(col("vec_id"))
           .agg(min(col("dc")).as("dc"))
-          .select(col("vec_id"), col("dc.sv").as("sv"), col("dc.cid").as("cid"))
+          .select(col("vec_id"), col("dc.cid").as("cid"))
         if (it < iters)
-          cb = asg.select(col("cid"), posexplode(col("sv")))
+          cb = asg.join(sv, Seq("vec_id"))
+            .select(col("cid"), posexplode(col("sv")))
             .groupBy(col("cid"), col("pos"))
             .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS BIGINT)")
               .as("mn"))
@@ -1012,9 +1015,7 @@ object Similarity {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"),
         expr(qdotSpec("a_qv", "b_qv")).as("pdot"))
-      // r14: lazy — materializes inside round 2's penalty job instead of
-      // paying a dedicated eager job (evaluation strategy only).
-      .localCheckpoint(false)
+      .localCheckpoint()
     var result = pool.filter(col("rn") === 1)
       .select(col("query_id"), col("vec_id"), lit(1).as("sel"),
         col("qdot"), lit(0L).as("penalty"))
@@ -1038,10 +1039,11 @@ object Similarity {
         .filter(col("rn2") === 1)
         .select(col("query_id"), col("vec_id"), lit(i).as("sel"),
           col("qdot"), col("penalty"))
-      // r14: lazy per-round checkpoint — the materialization rides the
-      // next round's penalty job (the frame is persisted on first touch,
-      // so the two references inside one round read the same blocks).
-      result = result.unionByName(pick).localCheckpoint(false)
+      // Eager per-round checkpoint: the frame is referenced twice in the
+      // next round (penalty join + anti join); a lazy variant was
+      // measured slower (r14) — the first touching job computes the
+      // partitions for both references before the blocks land.
+      result = result.unionByName(pick).localCheckpoint()
     }
     result.select(col("query_id"), col("sel"),
       col("vec_id").as("neighbor_id"), col("qdot"), col("penalty"),

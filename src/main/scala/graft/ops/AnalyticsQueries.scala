@@ -39,9 +39,7 @@ object AnalyticsQueries {
 
   /** Exact COUNT(DISTINCT) per group. */
   def countDistinct(spark: SparkSession, dir: String): DataFrame =
-    // r14: spread — parallelizes the distinct Expand (see hllDistinct).
-    Sources.spread(Sources.lineitem(spark, dir)
-        .select(col("l_returnflag"), col("l_partkey")))
+    Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinctCol.as("n_parts"), count(lit(1)).as("n_rows"))
 
@@ -99,10 +97,7 @@ object AnalyticsQueries {
     * Exact count alongside shows the ±1.04/√64 error band holds. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HllSketch.register(spark)
-    // r14: spread — the HLL register updates and the exact-distinct
-    // Expand otherwise run inside the single-task scan stage.
-    Sources.spread(Sources.lineitem(spark, dir)
-        .select(col("l_returnflag"), col("l_partkey")))
+    Sources.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("hll_distinct(CAST(l_partkey AS BIGINT))"), 4)
@@ -907,16 +902,18 @@ object AnalyticsQueries {
     graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "outliersSketch")
-    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
-    // rows so the per-row sketch inserts run on every core instead of
-    // inside the single-task scan stage; no-op at production scan
-    // widths.  Both consumers share one identical exchange subtree, so
-    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
-    // boundaries are order-insensitive — output unchanged (oracle gate).
-    val cents = Sources.spread(Sources.lineitem(spark, dir)
+    // r14 NOTE (measured, kept single-pass): a round-robin spread of
+    // the (flag, cents) rows was tried here to parallelize the sketch
+    // inserts — it REGRESSED (+0.5–0.9 s at sf0.1): with a one-row-group
+    // input the shuffle WRITE (sort-before-repartition + serialization)
+    // runs on the same single scan task, costing more than the
+    // parallelism buys.  The single-task scan is the bench data's floor
+    // (guide §2.5 input skew); at production scan widths the stage is
+    // already wide.
+    val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents")))
+          .as("cents"))
     val fences = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch_multi(cents, array(0.25D, 0.75D), $c)").as("qs"))
       .select(col("l_returnflag"),
@@ -957,16 +954,18 @@ object AnalyticsQueries {
     graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "trimmedMean")
-    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
-    // rows so the per-row sketch inserts run on every core instead of
-    // inside the single-task scan stage; no-op at production scan
-    // widths.  Both consumers share one identical exchange subtree, so
-    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
-    // boundaries are order-insensitive — output unchanged (oracle gate).
-    val cents = Sources.spread(Sources.lineitem(spark, dir)
+    // r14 NOTE (measured, kept single-pass): a round-robin spread of
+    // the (flag, cents) rows was tried here to parallelize the sketch
+    // inserts — it REGRESSED (+0.5–0.9 s at sf0.1): with a one-row-group
+    // input the shuffle WRITE (sort-before-repartition + serialization)
+    // runs on the same single scan task, costing more than the
+    // parallelism buys.  The single-task scan is the bench data's floor
+    // (guide §2.5 input skew); at production scan widths the stage is
+    // already wide.
+    val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents")))
+          .as("cents"))
     val fences = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch_multi(cents, array(0.1D, 0.9D), $c)").as("qs"))
       .select(col("l_returnflag"),
@@ -1307,11 +1306,9 @@ object AnalyticsQueries {
     Scaffold.exactTwin("histogramEqDepth", "q_an_histogram_eqdepth_sketch")
     graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
-    // r14: spread (see madSketch) — parallel sketch inserts, reused
-    // exchange under both the boundary agg and the bucketing pass.
-    val cents = Sources.spread(Sources.lineitem(spark, dir)
+    val cents = Sources.lineitem(spark, dir)
       .select(expr("money_cents(l_extendedprice)")
-        .as("cents")))
+        .as("cents"))
     val w = Window.orderBy(col("cents"))
     val ranked = cents
       .withColumn("rn", row_number().over(w))
@@ -1354,11 +1351,9 @@ object AnalyticsQueries {
     // rule sizes against the table count (parquet-metadata cheap).
     val c = sketchCapFor(Sources.lineitem(spark, dir).count(), cap,
       "histogramEqDepthSketch")
-    // r14: spread (see madSketch) — parallel sketch inserts, reused
-    // exchange under both the boundary agg and the bucketing pass.
-    val cents = Sources.spread(Sources.lineitem(spark, dir)
+    val cents = Sources.lineitem(spark, dir)
       .select(expr("money_cents(l_extendedprice)")
-        .as("cents")))
+        .as("cents"))
     val bs = (1 until buckets)
     // ONE q_sketch_multi aggregate buffers the table once for all B−1
     // boundaries (r6 verdict #4: seven independent q_sketch aggregates
@@ -1408,16 +1403,18 @@ object AnalyticsQueries {
     Scaffold.exactTwin("mad", "q_an_mad_sketch")
     graft.functions.Fast.register(spark)
     import org.apache.spark.sql.expressions.Window
-    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
-    // rows so the per-row sketch inserts run on every core instead of
-    // inside the single-task scan stage; no-op at production scan
-    // widths.  Both consumers share one identical exchange subtree, so
-    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
-    // boundaries are order-insensitive — output unchanged (oracle gate).
-    val cents = Sources.spread(Sources.lineitem(spark, dir)
+    // r14 NOTE (measured, kept single-pass): a round-robin spread of
+    // the (flag, cents) rows was tried here to parallelize the sketch
+    // inserts — it REGRESSED (+0.5–0.9 s at sf0.1): with a one-row-group
+    // input the shuffle WRITE (sort-before-repartition + serialization)
+    // runs on the same single scan task, costing more than the
+    // parallelism buys.  The single-task scan is the bench data's floor
+    // (guide §2.5 input skew); at production scan widths the stage is
+    // already wide.
+    val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents")))
+          .as("cents"))
     def medianOf(df: DataFrame, valCol: String, alias: String) = {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
       df.withColumn("rn", row_number().over(w))
@@ -1448,16 +1445,18 @@ object AnalyticsQueries {
     graft.functions.Fast.register(spark)
     val c = sketchCapFor(lineitemFlagMaxGroup(spark, dir), cap,
       "madSketch")
-    // r14 (guide §2.5 input skew): spread the narrow (flag, cents)
-    // rows so the per-row sketch inserts run on every core instead of
-    // inside the single-task scan stage; no-op at production scan
-    // widths.  Both consumers share one identical exchange subtree, so
-    // ReuseExchange computes the scan+spread once.  Exact-regime sketch
-    // boundaries are order-insensitive — output unchanged (oracle gate).
-    val cents = Sources.spread(Sources.lineitem(spark, dir)
+    // r14 NOTE (measured, kept single-pass): a round-robin spread of
+    // the (flag, cents) rows was tried here to parallelize the sketch
+    // inserts — it REGRESSED (+0.5–0.9 s at sf0.1): with a one-row-group
+    // input the shuffle WRITE (sort-before-repartition + serialization)
+    // runs on the same single scan task, costing more than the
+    // parallelism buys.  The single-task scan is the bench data's floor
+    // (guide §2.5 input skew); at production scan widths the stage is
+    // already wide.
+    val cents = Sources.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("money_cents(l_extendedprice)")
-          .as("cents")))
+          .as("cents"))
     val med = cents.groupBy(col("l_returnflag"))
       .agg(expr(s"q_sketch(cents, 0.5D, $c)").as("median_cents"))
     cents.join(broadcast(med), Seq("l_returnflag"))

@@ -66,16 +66,23 @@ object QualityChecks {
   /** Core over explicit frames — spec-testable on corrupted inputs. */
   private[graft] def expectationsOf(li: DataFrame,
       supplier: DataFrame): DataFrame = {
-    val scanRow = li.agg(
+    // OPTIMIZATION r14 (guide §2.4): the scan checks and the referential
+    // check ran as two separate fact passes (an aggregate + an anti-join
+    // aggregate).  The anti-join count is equivalently a conditional
+    // count over a broadcast LEFT join (supplier key is unique, so the
+    // join never fans out; an unmatched — or NULL — l_suppkey surfaces
+    // as s_suppkey IS NULL exactly where the anti-join kept the row), so
+    // ONE fact pass now computes every violation count.  Output
+    // identical (oracle hash gate; QualitySpec).
+    val joined = li.join(broadcast(supplier.select(col("s_suppkey"))),
+      col("l_suppkey") === col("s_suppkey"), "left")
+    val scanRow = joined.agg(
       expr(scanChecks.head._2).as(scanChecks.head._1),
-      scanChecks.tail.map { case (n, e) => expr(e).as(n) }: _*)
-    val refRow = li.select("l_suppkey")
-      .join(broadcast(supplier.select("s_suppkey")),
-        col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .agg(count(lit(1)).as("supplier_ref"))
+      (scanChecks.tail.map { case (n, e) => expr(e).as(n) } :+
+        count(when(col("s_suppkey").isNull, 1)).as("supplier_ref")): _*)
     val names = scanChecks.map(_._1) :+ "supplier_ref"
     val stackArgs = names.map(n => s"'$n', $n").mkString(", ")
-    scanRow.crossJoin(refRow) // 1×1: assembles the report row
+    scanRow
       .selectExpr(
         s"stack(${names.size}, $stackArgs) AS (check_name, violations)")
       .withColumn("passed", col("violations") === 0L)

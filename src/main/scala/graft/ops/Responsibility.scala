@@ -69,28 +69,26 @@ object Responsibility {
 
     // W2: close each transfer period at the next transfer.
     // OPTIMIZATION r14 (guide §2.4): the transfer table was consumed
-    // three times (LEAD window, MIN-date groupBy, anti-join), i.e. three
-    // scans/exchanges of the event log.  All three derivations hang off
-    // the same client_id ordering, so the ONE window pass now also tags
-    // each client's first transfer (row_number over the identical window
-    // spec — same exchange+sort, and the shuffle below both consumers is
-    // reused by canonical-plan identity), and the old-manager and
-    // never-transferred periods collapse into one LEFT join: a client
-    // with no transfers gets first_date NULL, which IS the open-ended
-    // end_date the anti-join branch produced.  Output rows identical
-    // (U1 union unchanged; oracle hash gate).
+    // three times (LEAD window, MIN-date groupBy, anti-join).  The
+    // anti-join branch is gone: the old-manager and never-transferred
+    // periods collapse into ONE LEFT join against the MIN-date
+    // aggregate — a client with no transfers gets first_date NULL,
+    // which IS the open-ended end_date the anti-join branch produced.
+    // The MIN stays a plain groupBy (map-side partial aggregation, no
+    // sort) rather than riding the LEAD window: a row_number variant
+    // was measured SLOWER (Spark plans the rank filter as a separate
+    // WindowGroupLimit sort pipeline, so the exchange is not reused
+    // anyway).  Output rows identical (U1 union; oracle hash gate).
     val w = Window.partitionBy("client_id").orderBy("transfer_date", "transfer_id")
-    val trw = tr
+    val newPeriods = tr
       .withColumn("end_date", lead(col("transfer_date"), 1).over(w))
-      .withColumn("rn", row_number().over(w))
-    val newPeriods = trw
       .select(col("client_id"), col("new_farmer_id").as("farmer_id"),
         col("transfer_date").as("start_date"), col("end_date"))
 
     // W3 analog + J5 folded: creation-to-first-transfer period, open-ended
     // (NULL end) exactly when the client never transferred.
-    val firstTr = trw.filter(col("rn") === 1)
-      .select(col("client_id"), col("transfer_date").as("first_date"))
+    val firstTr = tr.groupBy("client_id")
+      .agg(min(col("transfer_date")).as("first_date"))
     val basePeriods = base.join(firstTr, Seq("client_id"), "left")
       .select(col("client_id"), col("base_farmer_id").as("farmer_id"),
         to_date(lit(CreationDate)).as("start_date"),
