@@ -374,15 +374,9 @@ object Similarity {
     graft.functions.SquaredL2.register(spark)
     require(dim % m == 0, "subspaces must tile the dimension")
     val subDim = dim / m
-    // r14: the quantized-vector frame feeds every subspace's Lloyd chain
-    // (m slices × iters assignments × LUT builds) — persisted once so the
-    // embeddings scan + quantize runs once instead of O(m·iters) times
-    // (cache lifecycle caller-owned; Bench/Verify clearCache between
-    // queries, and production would store this as the encoded table).
     val q = Sources.embeddings(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Per subspace: Lloyd's over the slice → (final codebook, assignment).
     val perSub = (0 until m).map { mi =>
