@@ -35,7 +35,12 @@ object Sources {
       keys: org.apache.spark.sql.Column*): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cur = df.rdd.getNumPartitions
-    if (cur * 2 <= sc.defaultParallelism)
+    // ×4 margin, not ×2: an sf1 A/B showed that once the scan arrives at
+    // even a third of the core count, the extra shuffle already costs
+    // more than the extra parallelism returns — spread only a REALLY
+    // narrow scan (the one-row-group bench shape), leave everything
+    // else to its native split width.
+    if (cur * 4 <= sc.defaultParallelism)
       if (keys.isEmpty) df.repartition(sc.defaultParallelism)
       else df.repartition(sc.defaultParallelism, keys: _*)
     else df

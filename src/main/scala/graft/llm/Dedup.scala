@@ -110,8 +110,8 @@ object Dedup {
     // dominant cost, so spread it across cores (a small parquet file arrives
     // as ONE partition) and materialize it once.  At 100 TB the signatures
     // would be a persisted intermediate table instead.
-    val docs = Sources.spread( // r14: no-op when the scan is already wide
-      Sources.documents(spark, dir), col("doc_id"))
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     // Cache lifecycle is caller-owned: the returned plan references this
     // cached frame lazily, so it cannot be unpersisted here.  Verify/Bench
     // clearCache() after materializing each query.
@@ -154,8 +154,8 @@ object Dedup {
   def minhashIncremental(spark: SparkSession, dir: String,
       newSource: String = "src7", minEstJaccard: Double = 0.2): DataFrame = {
     graft.functions.MinHashSignature.register(spark)
-    val docs = Sources.spread( // r14: no-op when the scan is already wide
-      Sources.documents(spark, dir), col("doc_id"))
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val sigs = docs.select(col("doc_id"), col("source"),
         expr("minhash_signature(split(text, ' '))").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -445,8 +445,8 @@ object Dedup {
       configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)))
       : DataFrame = {
     require(configs.forall { case (b, r) => b * r <= NumHashes })
-    val docs = Sources.spread( // r14: no-op when the scan is already wide
-      Sources.documents(spark, dir), col("doc_id"))
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val sigs = minhashSignatures(docs).select("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     configs.map { case (b, r) =>
@@ -792,10 +792,16 @@ object Dedup {
     // pattern; cache lifecycle is caller-owned, see there).
     // WordNgramShinglesSpec proves kernel ≡ declarative form exactly.
     graft.functions.WordNgramShingles.register(spark)
-    // r14: spread the RAW rows first (no-op when the scan is already
-    // wide), THEN compute the shingle kernel — so the expensive HOF runs
-    // on every core instead of inside the single-task scan stage.
-    val docs = Sources.spread(Sources.documents(spark, dir), col("doc_id"))
+    // r14: repartition the RAW rows FIRST, then compute the shingle
+    // kernel — the HOF runs on every core instead of inside the
+    // (one-row-group) single-task scan stage.  The repartition stays
+    // unconditional here: this frame is persisted and consumed by three
+    // stages, and the sf1 A/B showed the keyed spread still pays at
+    // native scan widths for this reuse pattern (at 100 TB the
+    // signatures/shingles are a persisted intermediate table instead —
+    // the standing design note).
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         expr(s"ngram_shingles(text, $n)").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1398,9 +1404,10 @@ object Dedup {
       minContainment: Double = 0.3, n: Int = 3): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.WordNgramShingles.register(spark)
-    // r14: spread the raw rows first, then the shingle kernel (see
+    // r14: repartition raw rows first, then the shingle kernel (see
     // ngramJaccardCandidates).
-    val docs = Sources.spread(Sources.documents(spark, dir), col("doc_id"))
+    val docs = Sources.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         expr(s"ngram_shingles(text, $n)").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
