@@ -59,6 +59,24 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
 
+  /** r15 (r14 verdict #8): the keyed spread the persisted shingle/
+    * signature builders apply before their codegen'd kernels.  r14 left
+    * these repartitions unconditional (justified by an sf1 A/B — the
+    * frames are persisted and re-read by 2–3 stages); this round makes
+    * the scale behavior explicit with the same plan-derived width test
+    * as [[Sources.spread]], at ×1 instead of ×4 because the persisted
+    * reuse amortizes the shuffle: engage whenever the scan arrives
+    * narrower than the cluster (always true for the bench's
+    * one-row-group tables, so bench behavior is unchanged), no-op at
+    * production scan widths where an extra full-table shuffle would
+    * cost more than it returns. */
+  private def spreadKeyed(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, col("doc_id"))
+    else df
+  }
+
   /** Per-document MinHash signature over word 3-shingles, as a single
     * `sig: array<bigint>` column.  Shingling, hashing, and the permutation
     * minima all run inside the custom codegen'd
@@ -108,10 +126,10 @@ object Dedup {
     // The signature pipeline is consumed three times (band generation plus
     // both sides of the pair join); higher-order-function evaluation is the
     // dominant cost, so spread it across cores (a small parquet file arrives
-    // as ONE partition) and materialize it once.  At 100 TB the signatures
-    // would be a persisted intermediate table instead.
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // as ONE partition — width-guarded since r15, see [[spreadKeyed]]) and
+    // materialize it once.  At 100 TB the signatures would be a persisted
+    // intermediate table instead.
+    val docs = spreadKeyed(Sources.documents(spark, dir))
     // Cache lifecycle is caller-owned: the returned plan references this
     // cached frame lazily, so it cannot be unpersisted here.  Verify/Bench
     // clearCache() after materializing each query.
@@ -129,16 +147,28 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     // Distinct id pairs FIRST (a pair colliding in k bands would otherwise
     // be scored k times), then the signatures join back exactly once per
-    // surviving pair.
-    val pairs = bands.select(col("band_id"), col("band_hash"),
-        col("doc_id").as("doc_a"))
-      .join(bands.select(col("band_id"), col("band_hash"),
-        col("doc_id").as("doc_b")), Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    // surviving pair.  r15 (guide §2.3/§2.4, the Basket recipe): pairs are
+    // generated IN-ROW from each band bucket's sorted member list instead
+    // of a bands-self-join — the r14 plan evaluated the band explode once
+    // PER JOIN SIDE and exchanged the band stream twice; this form
+    // aggregates it once.  A bucket is a near-duplicate collision group
+    // (the Σ bucket² quantity the banding design already bounds), so the
+    // collect_set buffer is O(bucket), and the a<b fan-out streams
+    // through two generators — identical pair set, one fewer exchange.
+    val pairs = bandPairs(bands, "doc_id")
     (sigs, pairs)
   }
+
+  /** Distinct ordered id pairs from a (…, band_id, band_hash, idCol) band
+    * stream, generated in-row per bucket (see [[minhashPairs]]). */
+  private def bandPairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col(idCol))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
+      .distinct()
 
   /** Incremental near-dup detection — the daily-batch shape of
     * [[minhashCandidates]]: candidate pairs that TOUCH the new batch
@@ -154,8 +184,7 @@ object Dedup {
   def minhashIncremental(spark: SparkSession, dir: String,
       newSource: String = "src7", minEstJaccard: Double = 0.2): DataFrame = {
     graft.functions.MinHashSignature.register(spark)
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = spreadKeyed(Sources.documents(spark, dir))
     val sigs = docs.select(col("doc_id"), col("source"),
         expr("minhash_signature(split(text, ' '))").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -445,23 +474,21 @@ object Dedup {
       configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)))
       : DataFrame = {
     require(configs.forall { case (b, r) => b * r <= NumHashes })
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = spreadKeyed(Sources.documents(spark, dir))
     val sigs = minhashSignatures(docs).select("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     configs.map { case (b, r) =>
+      // r15: in-row bucket pair generation (see [[minhashPairs]]) — each
+      // config's candidate count now reads the persisted signatures ONCE
+      // instead of twice (the self-join evaluated the band explode per
+      // side), and the band stream crosses one exchange instead of two.
       val bands = sigs.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${b - 1}),
            |  bb -> struct(bb AS band_id,
            |    ${bandHashExpr(s"slice(sig, bb * $r + 1, $r)")} AS band_hash))"""
           .stripMargin)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      bands.select(col("band_id"), col("band_hash"),
-          col("doc_id").as("doc_a"))
-        .join(bands.select(col("band_id"), col("band_hash"),
-          col("doc_id").as("doc_b")), Seq("band_id", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      bandPairs(bands, "doc_id")
         .agg(count(lit(1)).as("n_candidate_pairs"))
         .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
           col("n_candidate_pairs"))
@@ -781,7 +808,6 @@ object Dedup {
     * shingle-set frame and the distinct candidate id pairs. */
   private[graft] def ngramJaccardCandidates(spark: SparkSession, dir: String,
       minJaccard: Double = 0.3, n: Int = 1): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     // The shingle sets are consumed three times (the prefix pipeline plus
     // both sides of the scoring join) and their construction dominates the
     // profile, so (a) build them with the codegen'd
@@ -794,14 +820,13 @@ object Dedup {
     graft.functions.WordNgramShingles.register(spark)
     // r14: repartition the RAW rows FIRST, then compute the shingle
     // kernel — the HOF runs on every core instead of inside the
-    // (one-row-group) single-task scan stage.  The repartition stays
-    // unconditional here: this frame is persisted and consumed by three
-    // stages, and the sf1 A/B showed the keyed spread still pays at
-    // native scan widths for this reuse pattern (at 100 TB the
-    // signatures/shingles are a persisted intermediate table instead —
-    // the standing design note).
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // (one-row-group) single-task scan stage.  r15 (#8): the repartition
+    // now carries the same plan-derived width test as [[Sources.spread]]
+    // (at ×1 — this frame is persisted and re-read by three stages, so
+    // the spread pays whenever the scan arrives at all narrower than the
+    // cluster), making the 100 TB behavior explicit: a production-width
+    // scan skips the extra shuffle and the kernel inherits its splits.
+    val docs = spreadKeyed(Sources.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         expr(s"ngram_shingles(text, $n)").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -817,20 +842,40 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n"),
         xxhash64(col("tok_s")).as("tok"))
     val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // Rank each doc's tokens in the global (df, tok) order; the prefix is
-    // the first n - ceil(t*n) + 1 of them (AllPairs bound for Jaccard t).
-    val rankW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("tok").asc)
+    // r15 (guide §2.3/§2.4, the r14 Basket recipe): the per-doc prefix is
+    // sliced IN-ROW from the sorted (df, tok) array — the first
+    // n − ⌈t·n⌉ + 1 tokens in global (df, tok) order, the AllPairs bound
+    // for Jaccard t — and candidate pairs are generated IN-ROW from each
+    // prefix token's sorted posting list.  The r13/r14 form window-ranked
+    // the tokens (Exchange + full Sort + row_number) and SELF-JOINED the
+    // prefix stream, which evaluated the whole explode→docFreq→rank
+    // subtree once PER JOIN SIDE (the plan duplicated it verbatim).  This
+    // form runs the prefix pipeline once, sorts only doc-length arrays
+    // in-row, and replaces the self-join's two prefix-volume exchanges
+    // with one posting-list aggregation.  Memory stays O(posting list)
+    // per buffer — prefix postings hold each doc's RAREST tokens, the
+    // same boundedness the self-join relied on for its output size — and
+    // the pair fan-out streams through two generators, never
+    // materializing a |posting|² array.  Candidate set identical: all
+    // a<b doc pairs sharing ≥1 same-(lang,source) prefix token
+    // (DedupSpec's fast==naive identity pins it).
     val prefixes = toks.join(docFreq, "tok")
-      .withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
-      .select(col("lang"), col("source"), col("tok"), col("doc_id"))
-    val candidates = prefixes.select(col("lang"), col("source"), col("tok"),
-        col("doc_id").as("doc_a"))
-      .join(prefixes.select(col("lang"), col("source"), col("tok"),
-        col("doc_id").as("doc_b")), Seq("lang", "source", "tok"))
-      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("dts"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(expr(
+          s"""slice(transform(dts, s -> s.tok), 1,
+             |  CAST(n - CEIL($minJaccard * n) + 1 AS INT))""".stripMargin))
+          .as("tok"))
+    val candidates = prefixes
+      .groupBy(col("lang"), col("source"), col("tok"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("lang"), col("source"), col("ds"),
+        posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("lang"), col("source"), col("doc_a"),
+        explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
       .select("lang", "source", "doc_a", "doc_b")
       .distinct()
     (docs, candidates)
@@ -1402,12 +1447,10 @@ object Dedup {
     * the scale probe — candidate (doc_a ⊂? doc_b) ordered pairs. */
   private[graft] def containmentCandidates(spark: SparkSession, dir: String,
       minContainment: Double = 0.3, n: Int = 3): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.WordNgramShingles.register(spark)
     // r14: repartition raw rows first, then the shingle kernel (see
-    // ngramJaccardCandidates).
-    val docs = Sources.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // ngramJaccardCandidates; width-guarded since r15 via spreadKeyed).
+    val docs = spreadKeyed(Sources.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         expr(s"ngram_shingles(text, $n)").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1419,13 +1462,24 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n"),
         xxhash64(col("tok_s")).as("tok"))
     val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val rankW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("tok").asc)
+    // r15: the query-side prefix is sliced IN-ROW from the sorted
+    // (df, tok) array (the ngramJaccardCandidates recipe) — the window
+    // rank's full Sort of the token stream is gone.  The candidate join
+    // itself STAYS a join: its index side is each token's FULL posting
+    // list (every doc containing the token, unbounded for common tokens
+    // at corpus scale), which a collect_set pair generator would have to
+    // buffer whole — the streaming join is the scale-safe shape for the
+    // asymmetric filter, unlike the symmetric case where both sides are
+    // rarity-bounded prefixes.
     val prefixes = toks.join(docFreq, "tok")
-      .withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(minContainment) * col("n")).cast("int") + 1)
-      .select(col("lang"), col("tok"), col("doc_id").as("doc_a"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("dts"))
+      .select(col("lang"), col("doc_id").as("doc_a"),
+        explode(expr(
+          s"""slice(transform(dts, s -> s.tok), 1,
+             |  CAST(n - CEIL($minContainment * n) + 1 AS INT))""".stripMargin))
+          .as("tok"))
     val candidates = prefixes
       .join(toks.select(col("lang"), col("tok"), col("doc_id").as("doc_b")),
         Seq("lang", "tok"))
