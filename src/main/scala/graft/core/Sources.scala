@@ -34,16 +34,42 @@ object Sources {
   def spread(df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    val cur = df.rdd.getNumPartitions
     // ×4 margin, not ×2: an sf1 A/B showed that once the scan arrives at
     // even a third of the core count, the extra shuffle already costs
     // more than the extra parallelism returns — spread only a REALLY
     // narrow scan (the one-row-group bench shape), leave everything
     // else to its native split width.
-    if (cur * 4 <= sc.defaultParallelism)
+    if (estScanParts(df) * 4 <= sc.defaultParallelism)
       if (keys.isEmpty) df.repartition(sc.defaultParallelism)
       else df.repartition(sc.defaultParallelism, keys: _*)
     else df
+  }
+
+  /** Estimated scan width (input split count) from FILE METADATA alone:
+    * Σ file bytes / `files.maxPartitionBytes`, the same arithmetic the
+    * scan's own split planner applies.  r15: the r14 form read
+    * `df.rdd.getNumPartitions`, which forces a full analyze/optimize/
+    * plan pass of the subtree per invocation — a fixed driver cost
+    * every execution re-pays (measured ~0.2 s on the smallest dedup
+    * bench entry); the file listing is already cached on the relation,
+    * so this is a handful of getFileStatus calls.  The walk early-exits
+    * once the total provably exceeds every caller's widest guard
+    * (parallelism × maxPartitionBytes), so a production table with
+    * thousands of files stats only enough of them to prove it is wide.
+    * The estimate ignores openCost packing and row-group boundaries —
+    * both only matter within a factor callers' margins absorb. */
+  private[graft] def estScanParts(df: DataFrame): Long = {
+    val spark = df.sparkSession
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val cap = spark.sparkContext.defaultParallelism.toLong * maxPB
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var bytes = 0L
+    val it = df.inputFiles.iterator
+    while (it.hasNext && bytes <= cap) {
+      val p = new org.apache.hadoop.fs.Path(it.next())
+      bytes += p.getFileSystem(hconf).getFileStatus(p).getLen
+    }
+    math.max(1L, (bytes + maxPB - 1) / maxPB)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")

@@ -17,6 +17,9 @@ object Fast {
         org.apache.spark.sql.catalyst.FunctionIdentifier("bigsum")))
       LongExactSum.register(spark)
     if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bigprodsum")))
+      LongProductSum.register(spark)
+    if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("money_cents")))
       MoneyCents.register(spark)
   }

@@ -69,10 +69,13 @@ object Dedup {
     * narrower than the cluster (always true for the bench's
     * one-row-group tables, so bench behavior is unchanged), no-op at
     * production scan widths where an extra full-table shuffle would
-    * cost more than it returns. */
+    * cost more than it returns.  The width comes from [[Sources
+    * .estScanParts]] (file metadata, not a planning pass — the
+    * `df.rdd.getNumPartitions` form re-paid a full optimizer run per
+    * execution). */
   private def spreadKeyed(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+    if (Sources.estScanParts(df) < sc.defaultParallelism)
       df.repartition(sc.defaultParallelism, col("doc_id"))
     else df
   }
@@ -147,28 +150,30 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     // Distinct id pairs FIRST (a pair colliding in k bands would otherwise
     // be scored k times), then the signatures join back exactly once per
-    // surviving pair.  r15 (guide §2.3/§2.4, the Basket recipe): pairs are
-    // generated IN-ROW from each band bucket's sorted member list instead
-    // of a bands-self-join — the r14 plan evaluated the band explode once
-    // PER JOIN SIDE and exchanged the band stream twice; this form
-    // aggregates it once.  A bucket is a near-duplicate collision group
-    // (the Σ bucket² quantity the banding design already bounds), so the
-    // collect_set buffer is O(bucket), and the a<b fan-out streams
-    // through two generators — identical pair set, one fewer exchange.
-    val pairs = bandPairs(bands, "doc_id")
+    // surviving pair.
+    //
+    // r15 MEASURED REVERT: an in-row bucket pair generator (groupBy band
+    // key + sorted collect_set + per-member slice explode, the r14
+    // basket recipe) was tried here and LOST the same-boot A/B —
+    // q_dedup_minhash_lsh 0.42 → 0.89 s, q_dedup_band_tuning 0.91 →
+    // 1.53 s.  Root cause: `slice(ds, i+2, …)` copies the array suffix
+    // once PER EMITTED PAIR, so a bucket of k members pays O(k²) array
+    // bytes on top of the O(k²) output rows, while the self-join streams
+    // the same pairs with O(k) state and a codegen'd hash join — and the
+    // band explode it duplicates per side is a cheap transform over the
+    // PERSISTED signature table, not a recomputed kernel.  In-row pair
+    // generation only wins where the per-key member list is a small
+    // design constant (baskets ≤ 7, corpus sources — see overlapTail);
+    // band buckets are collision groups with no such constant.
+    val pairs = bands.select(col("band_id"), col("band_hash"),
+        col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_id"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
     (sigs, pairs)
   }
-
-  /** Distinct ordered id pairs from a (…, band_id, band_hash, idCol) band
-    * stream, generated in-row per bucket (see [[minhashPairs]]). */
-  private def bandPairs(bands: DataFrame, idCol: String): DataFrame =
-    bands.groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_set(col(idCol))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
-      .select(col("doc_a"),
-        explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
-      .distinct()
 
   /** Incremental near-dup detection — the daily-batch shape of
     * [[minhashCandidates]]: candidate pairs that TOUCH the new batch
@@ -478,17 +483,22 @@ object Dedup {
     val sigs = minhashSignatures(docs).select("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     configs.map { case (b, r) =>
-      // r15: in-row bucket pair generation (see [[minhashPairs]]) — each
-      // config's candidate count now reads the persisted signatures ONCE
-      // instead of twice (the self-join evaluated the band explode per
-      // side), and the band stream crosses one exchange instead of two.
+      // r15: in-row bucket pair generation was tried and REVERTED on the
+      // same-boot A/B (0.91 → 1.53 s) — see the measured note in
+      // [[minhashPairs]]; the self-join's band explode per side is a
+      // cheap transform over the persisted signatures.
       val bands = sigs.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${b - 1}),
            |  bb -> struct(bb AS band_id,
            |    ${bandHashExpr(s"slice(sig, bb * $r + 1, $r)")} AS band_hash))"""
           .stripMargin)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      bandPairs(bands, "doc_id")
+      bands.select(col("band_id"), col("band_hash"),
+          col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_id"), col("band_hash"),
+          col("doc_id").as("doc_b")), Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
         .agg(count(lit(1)).as("n_candidate_pairs"))
         .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
           col("n_candidate_pairs"))
@@ -604,28 +614,32 @@ object Dedup {
     * winner they lost to, which is the lineage a data audit wants.
     *
     * Scale: one labels join ([[duplicateClusters]]' fixpoint already
-    * bounded), then per-cluster max-length + min-id — two aggregations
-    * and two joins all keyed on cluster_id, so the exchanges reuse one
-    * partitioning; nothing is broadcast because cluster cardinality is
-    * corpus-order at 100 TB.  The argmax is the cross-engine-safe
-    * two-step (max length per cluster, then min doc_id among maxima) —
-    * both engines order (BIGINT, BIGINT) identically, where struct/
-    * arg_max ordering semantics would diverge. */
+    * bounded), then ONE cluster_id exchange — r15 (guide §2.4, r14
+    * verdict #2's recipe): the per-cluster max-length, size, and min-id-
+    * among-maxima were two aggregations and three joins over a
+    * checkpointed member frame (each reference re-exchanged it on
+    * cluster_id); they are now a chain of unbounded windows over the
+    * same cluster_id partitioning, so the member frame is built once,
+    * exchanged once, and never joined back.  Nothing is broadcast
+    * because cluster cardinality is corpus-order at 100 TB; per-window
+    * state is one cluster's rows, the same frame the join buffered.
+    * The argmax stays the cross-engine-safe two-step (max length, then
+    * min doc_id among maxima — `min(CASE len = max_len THEN doc_id)`
+    * over the window) — both engines order (BIGINT, BIGINT) identically,
+    * where struct/arg_max ordering semantics would diverge. */
   def resolveDuplicates(spark: SparkSession, dir: String,
       minEstJaccard: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val clusters = duplicateClusters(spark, dir, minEstJaccard)
-    val member = Sources.documents(spark, dir)
+    val w = Window.partitionBy(col("cluster_id"))
+    Sources.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .localCheckpoint() // referenced three times below
-    val agg = member.groupBy("cluster_id")
-      .agg(max(col("text_len")).as("max_len"),
-        count(lit(1)).cast("bigint").as("cluster_size"))
-    val canon = member.join(agg, "cluster_id")
-      .filter(col("text_len") === col("max_len"))
-      .groupBy("cluster_id").agg(min(col("doc_id")).as("canonical_id"))
-    member.join(agg, "cluster_id").join(canon, "cluster_id")
+      .withColumn("max_len", max(col("text_len")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("canonical_id",
+        min(when(col("text_len") === col("max_len"), col("doc_id"))).over(w))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("keep"))
@@ -842,23 +856,25 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n"),
         xxhash64(col("tok_s")).as("tok"))
     val docFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // r15 (guide §2.3/§2.4, the r14 Basket recipe): the per-doc prefix is
-    // sliced IN-ROW from the sorted (df, tok) array — the first
-    // n − ⌈t·n⌉ + 1 tokens in global (df, tok) order, the AllPairs bound
-    // for Jaccard t — and candidate pairs are generated IN-ROW from each
-    // prefix token's sorted posting list.  The r13/r14 form window-ranked
-    // the tokens (Exchange + full Sort + row_number) and SELF-JOINED the
-    // prefix stream, which evaluated the whole explode→docFreq→rank
-    // subtree once PER JOIN SIDE (the plan duplicated it verbatim).  This
-    // form runs the prefix pipeline once, sorts only doc-length arrays
-    // in-row, and replaces the self-join's two prefix-volume exchanges
-    // with one posting-list aggregation.  Memory stays O(posting list)
-    // per buffer — prefix postings hold each doc's RAREST tokens, the
-    // same boundedness the self-join relied on for its output size — and
-    // the pair fan-out streams through two generators, never
-    // materializing a |posting|² array.  Candidate set identical: all
-    // a<b doc pairs sharing ≥1 same-(lang,source) prefix token
-    // (DedupSpec's fast==naive identity pins it).
+    // r15 (guide §2.3/§2.4): the per-doc prefix is sliced IN-ROW from the
+    // sorted (df, tok) array — the first n − ⌈t·n⌉ + 1 tokens in global
+    // (df, tok) order, the AllPairs bound for Jaccard t.  The r13/r14
+    // form window-ranked the tokens (Exchange + full Sort + row_number)
+    // and the self-join then evaluated that whole explode→docFreq→rank
+    // subtree once PER JOIN SIDE (the plan duplicated it verbatim); the
+    // in-row slice sorts only doc-length arrays, and the prefix frame is
+    // now PERSISTED (within-query, the signature-table convention) so
+    // the pipeline runs ONCE and both join sides read the cache.
+    //
+    // The candidate stage itself stays a SELF-JOIN — r15 measured
+    // revert: generating pairs in-row from per-token posting lists
+    // (sorted collect_set + per-member slice explode) lost the same-boot
+    // A/B catastrophically where posting lists are long
+    // (q_dedup_threshold_sweep, floor 0.1: 1.27 → 3.93 s) — `slice`
+    // copies the posting suffix once per emitted pair, O(|posting|²)
+    // array bytes, while the join streams the same pairs with O(k)
+    // state.  In-row pair generation is reserved for small-constant
+    // member lists (see [[overlapTail]]).
     val prefixes = toks.join(docFreq, "tok")
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(max(col("n")).as("n"),
@@ -868,14 +884,12 @@ object Dedup {
           s"""slice(transform(dts, s -> s.tok), 1,
              |  CAST(n - CEIL($minJaccard * n) + 1 AS INT))""".stripMargin))
           .as("tok"))
-    val candidates = prefixes
-      .groupBy(col("lang"), col("source"), col("tok"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(col("lang"), col("source"), col("ds"),
-        posexplode(col("ds")).as(Seq("i", "doc_a")))
-      .select(col("lang"), col("source"), col("doc_a"),
-        explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = prefixes.select(col("lang"), col("source"), col("tok"),
+        col("doc_id").as("doc_a"))
+      .join(prefixes.select(col("lang"), col("source"), col("tok"),
+        col("doc_id").as("doc_b")), Seq("lang", "source", "tok"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("lang", "source", "doc_a", "doc_b")
       .distinct()
     (docs, candidates)
@@ -927,14 +941,24 @@ object Dedup {
     // position IS the table id (plane offset t*bits, same as before).
     graft.functions.HyperplaneBuckets.register(spark)
     val emb = Similarity.withNorm(Sources.embeddings(spark, dir))
-    val bucketed = emb.select(col("vec_id"), col("embedding"), col("norm"),
+    val bucketed = emb.select(col("vec_id"),
       posexplode(expr(s"hyperplane_buckets(embedding, $tables, $bits)")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bkt"))
-    val pairs = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
-      .join(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b")),
-        Seq("tbl", "bkt"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
+    // r15 (guide §2.3/§2.4, the in-row pair recipe): pairs come from each
+    // bucket's sorted member list — the r14 self-join evaluated the
+    // bucketing kernel once PER SIDE (the frame was never persisted) and
+    // exchanged the bucket stream twice; this form runs the kernel once
+    // and exchanges once.  The collect_set buffer is one bucket, the
+    // exact population the adaptiveLshBits guard already bounds (Σ
+    // bucket² is this query's admission condition), and only vec_ids
+    // travel — the embedding/norm payload stays out of the exchange.
+    val pairs = bucketed
+      .groupBy(col("tbl"), col("bkt"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(col("vs"), posexplode(col("vs")).as(Seq("i", "vec_a")))
+      .select(col("vec_a"),
+        explode(expr("slice(vs, i + 2, size(vs))")).as("vec_b"))
       .distinct()
     pairs
       .join(emb.select(col("vec_id").as("vec_a"),
@@ -1178,10 +1202,20 @@ object Dedup {
     * form is the oracle-checkable one). */
   def verbatimSpans(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
     graft.functions.WordNgramShingles.register(spark)
+    // r15 (guide §2.3/§2.4): owner and posting list ride ONE shingle
+    // aggregate — the r14 form computed the corpus explode twice (owner
+    // groupBy + join probe side) and exchanged the shingle stream twice.
+    // The collect_list buffer is one posting list per shingle, the same
+    // per-key group the sort-merge join buffered on its probe side
+    // (ngram_shingles emits each doc's DISTINCT shingle set, so the list
+    // is duplicate-free by construction and the re-explode reproduces
+    // the join's row set exactly).
     val sh = Sources.documents(spark, dir)
       .select(col("doc_id"), explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
-    val owner = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
-    sh.join(owner, "shingle")
+    sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("owner"),
+        collect_list(col("doc_id")).as("ds"))
+      .select(col("owner"), explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("owner") < col("doc_id"), 1)).as("dup_spans"))
@@ -1272,40 +1306,46 @@ object Dedup {
         explode(expr(s"ngram_shingles(text, $n)")).as("shingle_s"))
       .select(col("source"),
         expr(shingleHashSpark("shingle_s")).as("shingle"))
-      .distinct()
-      .localCheckpoint()
     overlapTail(sh)
   }
 
   /** Core over a (source, text) document frame — spec-testable on
-    * synthetic corpora.
-    *
-    * The distinct (source, shingle) set is materialized once (eager
-    * localCheckpoint): the plan references it four times (both sides of
-    * the self-join plus both size lookups), and a lazy frame would
-    * re-run the corpus explode+distinct per reference — the audit showed
-    * four full document scans before this.  Checkpointing the distinct
-    * set is also the production shape: it is the expensive pass, and a
-    * 100 TB run would land it in storage before the pairwise stage. */
+    * synthetic corpora. */
   private[graft] def corpusOverlapOf(docs: DataFrame, n: Int): DataFrame = {
     graft.functions.WordNgramShingles.register(docs.sparkSession)
     val sh = docs
       .select(col("source"),
         explode(expr(s"ngram_shingles(text, $n)")).as("shingle"))
-      .distinct()
-      .localCheckpoint()
     overlapTail(sh)
   }
 
-  /** Pairwise tail shared by the string and hashed overlap forms: the
-    * per-shingle self-join (multiplicity ≤ #sources) + broadcast size
-    * joins over a materialized distinct (source, shingle-key) set. */
+  /** Pairwise tail shared by the string and hashed overlap forms.
+    *
+    * r15 (guide §2.3/§2.4, the in-row pair recipe): the raw (source,
+    * shingle) stream aggregates straight to per-shingle SORTED SOURCE
+    * SETS — `collect_set` dedups exactly what the old standalone
+    * DISTINCT pass did, with map-side partials — and both the
+    * intersection counts (in-row a<b source pairs; multiplicity ≤
+    * #sources per shingle, the same bound the self-join relied on) and
+    * the per-source set sizes (explode + map-side-combined count) read
+    * that one frame.  The r14 form paid THREE shingle-volume exchanges
+    * (the distinct, then each self-join side re-exchanged the
+    * checkpointed set); this one pays one, and the checkpoint holds the
+    * grouped rows (≤ one per distinct shingle) instead of the flat set.
+    * The eager materialization stays: two consumers, and the grouped
+    * set is the 100 TB persisted intermediate. */
   private def overlapTail(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("source")
+    val ss = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .localCheckpoint()
+    val sizes = ss.select(explode(col("ss")).as("source"))
+      .groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("sz"))
-    val inter = sh.select(col("source").as("src_a"), col("shingle"))
-      .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")
-      .where(col("src_a") < col("src_b"))
+    val inter = ss
+      .filter(size(col("ss")) > 1)
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
+      .select(col("src_a"),
+        explode(expr("slice(ss, i + 2, size(ss))")).as("src_b"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).cast("bigint").as("common"))
     inter

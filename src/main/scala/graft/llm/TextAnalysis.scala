@@ -559,42 +559,48 @@ object TextAnalysis {
     * engines sort identically; the stopword list is the engine-wide
     * five-word set [[quality]] counts, shared verbatim.
     *
-    * Scale: one corpus explode, localCheckpointed once (the [[Vocab]]
-    * lmScore convention) and consumed by the phrase, word-score, and
-    * phrase-score aggregations; every window and aggregate keys on
-    * doc_id (+phrase/word) — per-document state only, no global
-    * structure anywhere. */
+    * Scale: one corpus explode and ONE doc_id exchange end to end —
+    * r15 (guide §2.4, r14 verdict #5): the phrase-length, word-score,
+    * and phrase-score passes were three groupBy+join round trips over a
+    * localCheckpointed token frame (the checkpoint erased the window's
+    * doc_id partitioning, so every consumer re-exchanged the token
+    * stream — ~6 token-volume exchanges); they are now windows over
+    * doc_id-PREFIXED keys ((doc_id, phrase_id), (doc_id, word)), each of
+    * which ClusteredDistribution-satisfies on the doc_id hash the
+    * stopword-run window already established, so the whole chain is
+    * intra-partition sorts after a single exchange.  Per-document state
+    * only, no global structure anywhere. */
   def rake(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stops = "'the', 'and', 'of', 'a', 'to'"
     val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val words = Sources.documents(spark, dir)
+    val wPhrase = Window.partitionBy(col("doc_id"), col("phrase_id"))
+    val wWord = Window.partitionBy(col("doc_id"), col("word"))
+    val scored = Sources.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn("is_stop", expr(s"word IN ($stops)"))
       .withColumn("phrase_id", sum(col("is_stop").cast("int")).over(runW))
       .filter(!col("is_stop"))
       .select(col("doc_id"), col("phrase_id"), col("pos"), col("word"))
-      .localCheckpoint()
-    val phrases = words.groupBy(col("doc_id"), col("phrase_id"))
-      .agg(count(lit(1)).as("plen"),
-        expr("array_join(transform(array_sort(collect_list(" +
-          "struct(pos, word))), s -> s.word), ' ')").as("phrase"))
-    val wordScores = words
-      .join(phrases.select("doc_id", "phrase_id", "plen"),
-        Seq("doc_id", "phrase_id"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      // deg = Σ plen over a word's occurrences; the old join attached
+      // plen by the UNIQUE (doc_id, phrase_id) key (no fan-out), so the
+      // window spelling sums the identical row set.
+      .withColumn("plen", count(lit(1)).over(wPhrase))
+      .withColumn("freq", count(lit(1)).over(wWord))
+      .withColumn("deg", sum(col("plen")).over(wWord))
       .withColumn("wscore", expr(
         "CAST(ROUND(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 9) " +
           "AS DECIMAL(28,9))"))
-    val phraseScores = words
-      .join(wordScores.select("doc_id", "word", "wscore"),
-        Seq("doc_id", "word"))
-      .groupBy(col("doc_id"), col("phrase_id"))
-      .agg(expr("CAST(SUM(wscore) AS DECIMAL(38,9))").as("score"))
-      .join(phrases, Seq("doc_id", "phrase_id"))
+    // Phrase score = exact decimal Σ of the member occurrences' word
+    // scores (order-free), phrase text from the pos-sorted members —
+    // one aggregate replaces the old score-groupBy + phrases join.
+    val phraseScores = scored.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, word))), s -> s.word), ' ')").as("phrase"),
+        expr("CAST(SUM(wscore) AS DECIMAL(38,9))").as("score"))
     val rankW = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("phrase").asc, col("phrase_id").asc)
     phraseScores.withColumn("rnk", row_number().over(rankW))

@@ -45,10 +45,16 @@ object Concentration {
       .groupBy(col("mes"), col("o_custkey"))
       .agg(sum(col("cents")).as("c"))
       .groupBy(col("mes"))
+      // r15 (guide step 4 / r14 verdict #4): Σ c² through the guarded
+      // 64-bit [[graft.functions.LongProductSum]] fast path — the
+      // DECIMAL spelling paid a BigDecimal multiply per group member in
+      // the hash aggregate; bigprodsum is the same exact integer (the
+      // oracle keeps the DECIMAL-product spelling, LongProductSumSpec
+      // pins equality) with overflow handled by the guard, not by
+      // precision headroom.
       .agg(count(lit(1)).as("n_customers"),
         sum(col("c")).as("t"),
-        expr("CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) " +
-          "AS DECIMAL(38,0))").as("sumsq"),
+        expr("bigprodsum(c, c)").as("sumsq"),
         max(col("c")).as("maxc"))
       .select(col("mes"), col("n_customers"), col("t").as("cents"),
         expr(HhiExpr).as("hhi"),
@@ -105,10 +111,10 @@ object Concentration {
       .agg(sum(col("cents")).as("c"))
       .withColumn("rk", row_number().over(w))
       .groupBy(col("mes"))
+      // r15: Σ rk·c via the guarded long fast path (see [[hhi]]).
       .agg(count(lit(1)).as("n_customers"),
         sum(col("c")).as("t"),
-        expr("CAST(SUM(CAST(rk AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))" +
-          " AS DECIMAL(38,0))").as("s_ic"))
+        expr("bigprodsum(CAST(rk AS BIGINT), c)").as("s_ic"))
       .select(col("mes"), col("n_customers"), col("t").as("cents"),
         expr(GiniExpr).as("gini"))
   }
