@@ -1066,13 +1066,31 @@ object TxLog {
         java.util.Collections.emptyList[Row](), schema)
       else spark.read.schema(schema)
         .parquet(files.map(f => s"$path/$f"): _*)
+    // r15 (guide §2.3): BOTH diff directions from ONE signed-count
+    // aggregation per commit.  The exceptAll pair each planned its own
+    // full-row hash aggregate over (adds ∪ removes) — the commit's rows
+    // were scanned and grouped twice per version.  `Σ ±1 grouped by all
+    // data columns` is the same null-safe multiset arithmetic Spark's
+    // ExceptAll rewrite runs internally: d > 0 emits d 'insert' copies
+    // (= adds ∖ removes multiset), d < 0 emits −d 'delete' copies, d = 0
+    // (a deleteWhere's carried survivors, a compaction's entire commit)
+    // cancels — one scan and one aggregation per commit, identical rows.
+    import org.apache.spark.sql.functions.{col, when, expr}
+    val dataCols = schema.fieldNames.toSeq.map(col)
     val parts = inRange.map { v =>
       val acts = readCommit(fs, commitPath(table, v))
       val added = readList(acts.filter(_.a == "add").map(_.p))
       val removed = readList(acts.filter(_.a == "remove").map(_.p))
-      added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-        .unionAll(removed.exceptAll(added)
-          .withColumn("_change_type", lit("delete")))
+      added.withColumn("_w", lit(1L))
+        .unionAll(removed.withColumn("_w", lit(-1L)))
+        .groupBy(dataCols: _*)
+        .agg(org.apache.spark.sql.functions.sum(col("_w")).as("_d"))
+        .filter(col("_d") =!= 0L)
+        .withColumn("_dup",
+          org.apache.spark.sql.functions.explode(expr("sequence(1, abs(_d))")))
+        .select(dataCols :+
+          when(col("_d") > 0L, lit("insert")).otherwise(lit("delete"))
+            .as("_change_type"): _*)
         .withColumn("_commit_version", lit(v))
     }
     parts.reduceOption(_ unionAll _).getOrElse(
