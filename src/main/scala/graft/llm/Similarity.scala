@@ -374,6 +374,16 @@ object Similarity {
     graft.functions.SquaredL2.register(spark)
     require(dim % m == 0, "subspaces must tile the dimension")
     val subDim = dim / m
+    // r15 MEASURED REVERT (extending the r14 persist revert): spreading
+    // the quantized frame across the cluster BEFORE persisting — so the
+    // cache is multi-partition instead of the 1-partition frame r14's
+    // probe rejected — STILL loses the same-boot A/B: q_ann_pq 3.09 →
+    // 3.77 s, q_ann_ivfpq 2.69 → 4.32 s.  The ~5·m plan references are
+    // independent single-task scan+quantize leaves that already run in
+    // parallel across cores; the spread+cache path serializes an
+    // exchange + columnar cache build onto the critical path before any
+    // consumer starts.  Production stores the ENCODED table (the codes
+    // are the persisted artifact), which no runtime cache emulates.
     val q = Sources.embeddings(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("qv"))
